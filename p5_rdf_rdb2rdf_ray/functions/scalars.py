@@ -138,6 +138,22 @@ class Template:
             self.segments.append(("lit", "".join(lit)))
         self.columns = [s for k, s in self.segments if k == "col"]
 
+    def unparse(self, rename: dict[str, str] | None = None) -> str:
+        """Serialize back to template syntax, optionally renaming columns
+        (used by the RefObjectMap fast path to re-express a parent subject
+        template over child join columns)."""
+        out = []
+        for kind, s in self.segments:
+            if kind == "lit":
+                out.append(s.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}"))
+            else:
+                name = (rename or {}).get(s, s)
+                if re.search(r"[^\w]", name):
+                    out.append('{"%s"}' % name)
+                else:
+                    out.append("{%s}" % name)
+        return "".join(out)
+
     def fill_scalar(self, row: dict, iri_safe: bool = True) -> str | None:
         """Scalar fill (driver-side / goldens). None if any referenced value
         is NULL (term-generation rule, W3C-R2RML §11)."""

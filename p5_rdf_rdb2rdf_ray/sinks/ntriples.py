@@ -1,0 +1,117 @@
+"""N-Triples / N-Quads text sink (SURVEY §2 #6).
+
+The reference serializes the model to Turtle [R: RDB2RDF.pm ::
+process_turtle]. We emit N-Triples/N-Quads instead: line-oriented ⇒
+embarrassingly parallel, canonical for golden compares. Fully vectorized
+(pyarrow string kernels; the only python-level work is the values that
+actually need escaping).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.scalars import ntriples_escape_array
+from ..terms import KIND_LITERAL
+
+
+def _fmt_node(arr: pa.Array, kind: pa.Array | None = None) -> pa.Array:
+    """IRI → <iri>; blank node label (``_:…``) passes through."""
+    is_bnode = pc.starts_with(arr, "_:")
+    wrapped = pc.binary_join_element_wise(
+        pa.scalar("<"), arr, pa.scalar(">"), pa.scalar("")
+    )
+    return pc.if_else(is_bnode, arr, wrapped)
+
+
+def format_batch(t: pa.Table) -> pa.Table:
+    """Triple rows → one-column table ``line`` of N-Triples/N-Quads lines
+    (without trailing newline)."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"line": pa.array([], pa.string())})
+    subj = _fmt_node(t.column("subj").combine_chunks())
+    pred = pc.binary_join_element_wise(
+        pa.scalar("<"), t.column("pred").combine_chunks(), pa.scalar(">"), pa.scalar("")
+    )
+    obj = t.column("obj").combine_chunks()
+    kind = t.column("obj_kind").combine_chunks()
+    lang = t.column("lang").combine_chunks()
+    dt = t.column("datatype").combine_chunks()
+
+    lit_body = pc.binary_join_element_wise(
+        pa.scalar('"'), ntriples_escape_array(obj), pa.scalar('"'), pa.scalar("")
+    )
+    lang_sfx = pc.if_else(
+        pc.is_valid(lang),
+        pc.binary_join_element_wise(pa.scalar("@"), pc.fill_null(lang, ""), pa.scalar("")),
+        pa.scalar(""),
+    )
+    dt_sfx = pc.if_else(
+        pc.is_valid(dt),
+        pc.binary_join_element_wise(
+            pa.scalar("^^<"), pc.fill_null(dt, ""), pa.scalar(">"), pa.scalar("")
+        ),
+        pa.scalar(""),
+    )
+    literal = pc.binary_join_element_wise(lit_body, lang_sfx, dt_sfx, pa.scalar(""))
+    node = _fmt_node(obj)
+    obj_s = pc.if_else(pc.equal(kind, KIND_LITERAL), literal, node)
+
+    graph = t.column("graph").combine_chunks()
+    g_sfx = pc.if_else(
+        pc.is_valid(graph),
+        pc.binary_join_element_wise(
+            pa.scalar(" "), _fmt_node(pc.fill_null(graph, "")), pa.scalar("")
+        ),
+        pa.scalar(""),
+    )
+    line = pc.binary_join_element_wise(
+        subj, pa.scalar(" "), pred, pa.scalar(" "), obj_s, g_sfx, pa.scalar(" ."),
+        pa.scalar(""),
+    )
+    return pa.table({"line": line})
+
+
+def to_ntriples_dataset(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(format_batch, batch_format="pyarrow")
+
+
+def collect_ntriples(ds: rd.Dataset) -> list[str]:
+    """Materialize all lines (tests / small graphs only)."""
+    out: list[str] = []
+    for b in to_ntriples_dataset(ds).iter_batches(batch_format="pyarrow"):
+        out.extend(b.column("line").to_pylist())
+    return out
+
+
+class _PartWriter:
+    """Task-side text writer: one ``part-*.nt`` file per batch."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        lines = format_batch(t).column("line").to_pylist()
+        if lines:
+            os.makedirs(self.path, exist_ok=True)
+            fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.nt")
+            with open(fname, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+        return pa.table({"rows": pa.array([len(lines)], pa.int64())})
+
+
+def write_ntriples(ds: rd.Dataset, path: str) -> int:
+    """Distributed N-Triples text sink; returns the number of lines."""
+    counts = ds.map_batches(_PartWriter(path), batch_format="pyarrow")
+    return sum(r["rows"] for r in counts.take_all())
+
+
+def table_to_ntriples(t: pa.Table) -> list[str]:
+    """Driver-side helper for an in-memory triple table."""
+    return format_batch(t).column("line").to_pylist()

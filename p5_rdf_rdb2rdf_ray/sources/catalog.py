@@ -1,0 +1,150 @@
+"""Logical-table catalog over a directory of Parquet tables (SURVEY §2 #1–3).
+
+Replaces the reference's live DBI handle + catalog introspection
+[R: Simple.pm :: process executes SELECTs on $dbh; DirectMapping.pm ::
+layout reads table_info/column_info/primary_key_info/foreign_key_info].
+
+- plain table       → ``ray.data.read_parquet`` with column pruning
+- rr:sqlQuery views → DuckDB over the parquet files, materialized to Arrow,
+  then ``ray.data.from_arrow``. This is the *fixture/small-view* path (the
+  reference pushes views to the RDBMS); at 100 TB an sqlQuery logical table
+  should be re-expressed as Dataset ops (filter/project/join) — the R2RML
+  front-end emits a warning when a large view goes through DuckDB.
+- row ids           → Direct Mapping of a table without a primary key needs a
+  per-row identity for fresh blank nodes (W3C-DM §2). Parquet has no rowid,
+  so we derive ``(file index, row offset within file)`` from parquet
+  metadata — deterministic across runs/retries, resumable-safe.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+ROWID_COL = "__rowid"
+
+
+@dataclass
+class TableLayout:
+    """Declared key metadata for one table — the Parquet stand-in for the
+    DBI catalog [R: DirectMapping.pm :: layout]."""
+
+    pkey: tuple[str, ...] = ()
+    # (child_cols, parent_table, parent_cols)
+    fkeys: tuple[tuple[tuple[str, ...], str, tuple[str, ...]], ...] = ()
+    uniques: tuple[tuple[str, ...], ...] = ()
+
+
+@dataclass
+class Catalog:
+    root: str
+    layouts: dict[str, TableLayout] = field(default_factory=dict)
+    # extra in-memory tables (tests/fixtures): name → pyarrow.Table
+    tables: dict[str, pa.Table] = field(default_factory=dict)
+
+    # -- catalog introspection (operator #3) -------------------------------
+
+    def table_names(self) -> list[str]:
+        names = set(self.tables)
+        if self.root:
+            for p in glob.glob(os.path.join(self.root, "*.parquet")):
+                names.add(os.path.splitext(os.path.basename(p))[0])
+        return sorted(names)
+
+    def schema(self, table: str) -> pa.Schema:
+        if table in self.tables:
+            return self.tables[table].schema
+        return pq.read_schema(self._path(table))
+
+    def layout(self, table: str) -> TableLayout:
+        return self.layouts.get(table, TableLayout())
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def files(self, table: str) -> list[str]:
+        p = self._path(table)
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return [p]
+
+    # -- loading -----------------------------------------------------------
+
+    def load(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        sql: str | None = None,
+        rowid: bool = False,
+    ) -> rd.Dataset:
+        if sql is not None:
+            return self._load_sql(sql, columns)
+        if table in self.tables:
+            t = self.tables[table]
+            if rowid:
+                t = t.append_column(
+                    ROWID_COL, pa.array(range(t.num_rows), pa.int64())
+                )
+            if columns is not None:
+                keep = [c for c in columns if c in t.column_names]
+                if rowid and ROWID_COL not in keep:
+                    keep.append(ROWID_COL)
+                t = t.select(keep)
+            return rd.from_arrow(t)
+        if rowid:
+            return self._load_with_rowid(table, columns)
+        return rd.read_parquet(self._path(table), columns=columns)
+
+    def _load_sql(self, sql: str, columns: list[str] | None) -> rd.Dataset:
+        """rr:sqlQuery logical table via DuckDB views over the catalog."""
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            for name in self.table_names():
+                if name in self.tables:
+                    con.register(name, self.tables[name])
+                else:
+                    con.execute(
+                        f"CREATE VIEW {name} AS SELECT * FROM "
+                        f"read_parquet('{self._path(table=name)}')"
+                    )
+            out = con.execute(sql).arrow()
+        finally:
+            con.close()
+        if columns is not None:
+            out = out.select([c for c in columns if c in out.column_names])
+        return rd.from_arrow(out)
+
+    def _load_with_rowid(
+        self, table: str, columns: list[str] | None
+    ) -> rd.Dataset:
+        """Deterministic (file, offset)-derived row ids.
+
+        Scale note: offsets come from parquet *metadata* (no data read);
+        each file is then read as its own fragment whose rowid base is the
+        cumulative row count — stable under retries and resume.
+        """
+        files = self.files(table)
+        offsets: list[int] = []
+        total = 0
+        for f in files:
+            offsets.append(total)
+            total += pq.ParquetFile(f).metadata.num_rows
+
+        parts: list[rd.Dataset] = []
+        for f, base in zip(files, offsets):
+            t = pq.read_table(f, columns=columns)
+            t = t.append_column(
+                ROWID_COL, pa.array(range(base, base + t.num_rows), pa.int64())
+            )
+            parts.append(rd.from_arrow(t))
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        return ds
