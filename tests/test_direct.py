@@ -1,0 +1,163 @@
+"""Direct Mapping conformance fixtures (FIXTURES.md §B; W3C-DM §2)."""
+
+import pyarrow as pa
+import pytest
+
+from p5_rdf_rdb2rdf_ray.engine.runner import run_mapping
+from p5_rdf_rdb2rdf_ray.mapping.direct import direct_mapping, rdfs_schema_triples
+from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples, table_to_ntriples
+from p5_rdf_rdb2rdf_ray.sources.catalog import Catalog, TableLayout
+
+from .graph_compare import diff, graphs_equal
+
+B = "http://ex.com/base/"
+
+DEPT = pa.table(
+    {
+        "dept_id": pa.array([1, 2, 3], pa.int64()),
+        "dname": pa.array(["eng", "ops", "hr"]),
+        "city": pa.array(["NYC", None, "SFO"]),
+    }
+)
+EMP = pa.table(
+    {
+        "emp_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ename": pa.array(["a", "b", "c", "d", "e"]),
+        "dept_id": pa.array([1, 1, 2, 2, None], pa.int64()),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def dm_catalog():
+    return Catalog(
+        root="",
+        tables={"dm_dept": DEPT, "dm_emp": EMP},
+        layouts={
+            "dm_dept": TableLayout(pkey=("dept_id",)),
+            "dm_emp": TableLayout(
+                pkey=("emp_id",),
+                fkeys=((("dept_id",), "dm_dept", ("dept_id",)),),
+            ),
+        },
+    )
+
+
+def _golden_dm_lines():
+    """Independent hand-derivation of the expected graph (W3C-DM §2)."""
+    lines = set()
+    ty = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xint = "http://www.w3.org/2001/XMLSchema#integer"
+    for did, dn, city in zip([1, 2, 3], ["eng", "ops", "hr"], ["NYC", None, "SFO"]):
+        s = f"<{B}dm_dept/dept_id={did}>"
+        lines.add(f"{s} <{ty}> <{B}dm_dept> .")
+        lines.add(f'{s} <{B}dm_dept#dept_id> "{did}"^^<{xint}> .')
+        lines.add(f'{s} <{B}dm_dept#dname> "{dn}" .')
+        if city is not None:
+            lines.add(f'{s} <{B}dm_dept#city> "{city}" .')
+    for eid, en, did in zip(
+        [1, 2, 3, 4, 5], ["a", "b", "c", "d", "e"], [1, 1, 2, 2, None]
+    ):
+        s = f"<{B}dm_emp/emp_id={eid}>"
+        lines.add(f"{s} <{ty}> <{B}dm_emp> .")
+        lines.add(f'{s} <{B}dm_emp#emp_id> "{eid}"^^<{xint}> .')
+        lines.add(f'{s} <{B}dm_emp#ename> "{en}" .')
+        if did is not None:
+            lines.add(f'{s} <{B}dm_emp#dept_id> "{did}"^^<{xint}> .')
+            lines.add(f"{s} <{B}dm_emp#ref-dept_id> <{B}dm_dept/dept_id={did}> .")
+    return lines
+
+
+def test_direct_mapping_fk_pair(ray_session, dm_catalog):
+    spec = direct_mapping(dm_catalog, base=B)
+    got = set(collect_ntriples(run_mapping(spec, dm_catalog)))
+    want = _golden_dm_lines()
+    assert got == want, diff(got, want)
+
+
+def test_dm_nopk_bnodes(ray_session):
+    t = pa.table({"a": ["x", "x", "y"], "b": [1, 1, 2]})
+    cat = Catalog(root="", tables={"dm_nopk": t})
+    spec = direct_mapping(cat, base=B)
+    got = collect_ntriples(run_mapping(spec, cat))
+    subs = {l.split(" ")[0] for l in got}
+    assert all(s.startswith("_:") for s in subs)
+    assert len(subs) == 3  # duplicate rows keep distinct bnodes
+    # 3 rows × (type + a + b) triples
+    assert len(got) == 9
+
+
+def test_dm_composite_key_encoding(ray_session):
+    parent = pa.table(
+        {
+            "k1": pa.array(["a b", "x/y", "ü"]),
+            "k2": pa.array([1, 2, 3], pa.int32()),
+            "v": pa.array(["p", "q", "r"]),
+        }
+    )
+    child = pa.table(
+        {
+            "cid": pa.array([10, 11], pa.int64()),
+            "fk1": pa.array(["a b", "ü"]),
+            "fk2": pa.array([1, 3], pa.int32()),
+        }
+    )
+    cat = Catalog(
+        root="",
+        tables={"dm_parent": parent, "dm_child": child},
+        layouts={
+            "dm_parent": TableLayout(pkey=("k1", "k2")),
+            "dm_child": TableLayout(
+                pkey=("cid",),
+                fkeys=((("fk1", "fk2"), "dm_parent", ("k1", "k2")),),
+            ),
+        },
+    )
+    spec = direct_mapping(cat, base=B)
+    got = set(collect_ntriples(run_mapping(spec, cat)))
+    assert f"<{B}dm_parent/k1=a%20b;k2=1> <{B}dm_parent#v> \"p\" ." in got
+    assert (
+        f"<{B}dm_child/cid=10> <{B}dm_child#ref-fk1;fk2> <{B}dm_parent/k1=a%20b;k2=1> ."
+        in got
+    )
+    assert (
+        f"<{B}dm_child/cid=11> <{B}dm_child#ref-fk1;fk2> <{B}dm_parent/k1=ü;k2=3> ."
+        in got
+    )
+
+
+def test_fk_to_nopk_table_general_join(ray_session):
+    """FK to a table without PK → parent rowid-skolem bnodes via real join."""
+    parent = pa.table({"u": ["p1", "p2"], "w": ["a", "b"]})
+    child = pa.table(
+        {"cid": pa.array([1, 2], pa.int64()), "pu": pa.array(["p1", "p2"])}
+    )
+    cat = Catalog(
+        root="",
+        tables={"np_parent": parent, "np_child": child},
+        layouts={
+            "np_child": TableLayout(
+                pkey=("cid",), fkeys=((("pu",), "np_parent", ("u",)),)
+            ),
+        },
+    )
+    spec = direct_mapping(cat, base=B)
+    got = set(collect_ntriples(run_mapping(spec, cat)))
+    # child ref triples point at the same bnodes the parent rows got
+    refs = {l for l in got if "#ref-pu" in l}
+    assert len(refs) == 2
+    parent_subjects = {
+        l.split(" ")[0] for l in got if l.startswith("_:") and "#w>" in l
+    }
+    ref_objects = {l.split(" ")[2] for l in refs}
+    assert ref_objects == parent_subjects
+
+
+def test_rdfs_schema_triples(dm_catalog):
+    t = rdfs_schema_triples(dm_catalog, base=B)
+    lines = set(table_to_ntriples(t))
+    assert f'<{B}dm_dept> <http://www.w3.org/2000/01/rdf-schema#label> "dm_dept" .' in lines
+    assert (
+        f"<{B}dm_emp#ename> <http://www.w3.org/2000/01/rdf-schema#domain> <{B}dm_emp> ."
+        in lines
+    )

@@ -1,0 +1,218 @@
+"""R2RML Turtle front-end tests (FIXTURES.md §C; W3C-R2RML §§6–11)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pyarrow as pa
+import pytest
+
+from p5_rdf_rdb2rdf_ray.engine.runner import run_mapping
+from p5_rdf_rdb2rdf_ray.mapping.r2rml import compile_r2rml
+from p5_rdf_rdb2rdf_ray.mapping.turtle import parse_turtle
+from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples
+from p5_rdf_rdb2rdf_ray.sources.catalog import Catalog
+
+from .graph_compare import diff
+
+EX = "http://ex.com/"
+TY = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+BOOKS = pa.table(
+    {
+        "book_id": pa.array([1, 2], pa.int64()),
+        "title": pa.array(["Moby Dick", "Perl & RDF"]),
+        "price": pa.array([Decimal("10.50"), None], pa.decimal128(10, 2)),
+        "pub_date": pa.array([dt.date(2001, 2, 3), None], pa.date32()),
+        "author_id": pa.array([10, 20], pa.int64()),
+    }
+)
+AUTHORS = pa.table(
+    {
+        "author_id": pa.array([10, 20], pa.int64()),
+        "name": pa.array(["Herman", "Toby"]),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return Catalog(root="", tables={"books": BOOKS, "authors": AUTHORS})
+
+
+def run_ttl(ttl, cat):
+    spec = compile_r2rml(ttl, base=EX)
+    return set(collect_ntriples(run_mapping(spec, cat)))
+
+
+def test_turtle_parser_basics():
+    g, pfx = parse_turtle(
+        """
+        @prefix ex: <http://ex.com/> .
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        ex:s a ex:T ;
+            ex:p "lit"@en , "typed"^^ex:dt ;
+            ex:q [ ex:r 4 ; ex:s true ] .
+        """
+    )
+    assert pfx["ex"] == "http://ex.com/"
+    assert (("iri", EX + "s"), ("iri", TY), ("iri", EX + "T")) in g.triples
+    lits = [o for (_, p, o) in g.triples if p == ("iri", EX + "p")]
+    assert ("lit", "lit", "en", None) in lits
+    assert ("lit", "typed", None, EX + "dt") in lits
+
+
+def test_c01_template_class(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ;
+                          rr:class ex:Book ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:title ;
+            rr:objectMap [ rr:column "title" ] ] .
+        """,
+        cat,
+    )
+    want = {
+        f"<{EX}book/1> <{TY}> <{EX}Book> .",
+        f"<{EX}book/2> <{TY}> <{EX}Book> .",
+        f'<{EX}book/1> <{EX}title> "Moby Dick" .',
+        f'<{EX}book/2> <{EX}title> "Perl & RDF" .',
+    }
+    assert got == want, diff(got, want)
+
+
+def test_c02_constants_and_graph(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ;
+                          rr:graphMap [ rr:constant ex:g1 ] ] ;
+          rr:predicateObjectMap [
+            rr:predicateMap [ rr:constant ex:flag ] ;
+            rr:objectMap [ rr:constant "yes" ] ] .
+        """,
+        cat,
+    )
+    assert f'<{EX}book/1> <{EX}flag> "yes" <{EX}g1> .' in got
+
+
+def test_c03_language_and_datatype_override(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:t ;
+            rr:objectMap [ rr:column "title" ; rr:language "en" ] ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:id ;
+            rr:objectMap [ rr:column "book_id" ; rr:datatype xsd:string ] ] .
+        """,
+        cat,
+    )
+    assert f'<{EX}book/1> <{EX}t> "Moby Dick"@en .' in got
+    assert (
+        f'<{EX}book/1> <{EX}id> "1"^^<http://www.w3.org/2001/XMLSchema#string> .'
+        in got
+    )
+
+
+def test_c04_natural_datatypes(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:price ; rr:objectMap [ rr:column "price" ] ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:pub ; rr:objectMap [ rr:column "pub_date" ] ] .
+        """,
+        cat,
+    )
+    want = {
+        f'<{EX}book/1> <{EX}price> "10.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .',
+        f'<{EX}book/1> <{EX}pub> "2001-02-03"^^<http://www.w3.org/2001/XMLSchema#date> .',
+    }
+    assert want <= got
+    # NULL suppression: book/2 price/pub are NULL
+    assert not any("book/2" in l for l in got if "price" in l or "pub" in l)
+
+
+def test_c05_termtype_bnode_value_based(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "n{author_id}" ; rr:termType rr:BlankNode ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:id ; rr:objectMap [ rr:column "book_id" ] ] .
+        """,
+        cat,
+    )
+    assert (
+        '_:n10 <http://ex.com/id> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        in got
+    )
+
+
+def test_c06_refobjectmap(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#books> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:author ;
+            rr:objectMap [ rr:parentTriplesMap <#authors> ;
+                           rr:joinCondition [ rr:child "author_id" ;
+                                              rr:parent "author_id" ] ] ] .
+        <#authors> rr:logicalTable [ rr:tableName "authors" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/author/{author_id}" ;
+                          rr:class ex:Author ] .
+        """,
+        cat,
+    )
+    assert f"<{EX}book/1> <{EX}author> <{EX}author/10> ." in got
+    assert f"<{EX}author/20> <{TY}> <{EX}Author> ." in got
+
+
+def test_c07_sqlquery_logical_table(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:sqlQuery "SELECT book_id, title FROM books WHERE book_id = 1" ] ;
+          rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ] ;
+          rr:predicateObjectMap [
+            rr:predicate ex:title ; rr:objectMap [ rr:column "title" ] ] .
+        """,
+        cat,
+    )
+    assert got == {f'<{EX}book/1> <{EX}title> "Moby Dick" .'}
+
+
+def test_c08_constant_shortcuts(cat, ray_session):
+    got = run_ttl(
+        """
+        @prefix rr: <http://www.w3.org/ns/r2rml#> .
+        @prefix ex: <http://ex.com/> .
+        <#m> rr:logicalTable [ rr:tableName "books" ] ;
+          rr:subject ex:TheBook ;
+          rr:predicateObjectMap [ rr:predicate ex:p ; rr:object ex:o ] .
+        """,
+        cat,
+    )
+    # constant subject/pred/object: one triple after dedup (2 rows collapse)
+    assert got == {f"<{EX}TheBook> <{EX}p> <{EX}o> ."}
