@@ -1,4 +1,4 @@
-"""Set semantics / distinct (SURVEY §2 #22) — hash-bucketed, combiner-first.
+"""Set semantics / distinct (SURVEY §2 #22) — hash-partitioned, combiner-first.
 
 The reference gets set semantics for free from RDF::Trine::Model
 [R: RDB2RDF.pm — the model dedups identical statements]. At scale that is
@@ -7,12 +7,13 @@ the one unavoidable all-to-all exchange, so it is structured as:
 1. **local combiner** — per-batch `pyarrow` hash group-by removes the bulk
    of duplicates *before* the shuffle (overlapping term maps mostly
    duplicate within a conversation, which stays within a block);
-2. **bucket shuffle** — one deterministic hash bucket column over the full
-   key, `groupby(bucket).map_groups` — B groups total (not one group per
-   unique row!), each deduped vectorized in one task.
+2. **hash repartition** — `Dataset.repartition(B, keys=key_cols)` co-locates
+   equal keys in one output block (Ray's hash-shuffle), then one vectorized
+   whole-block dedup per block. B blocks total — never one group per unique
+   row, and no reliance on `map_groups` group/block alignment.
 
-Bucket hash = pandas.util.hash_pandas_object (deterministic across
-processes), so a resumed/retried run buckets identically.
+Both phases are vectorized sort + adjacent-compare kernels — zero Python
+per row (see `_unique_batch` for why not `pa.Table.group_by`).
 """
 
 from __future__ import annotations
@@ -25,31 +26,69 @@ import ray.data as rd
 
 from ..terms import TRIPLE_COLUMNS
 
-BUCKET_COL = "__bucket"
+
+def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
+    """Key-based ``repartition``/``join`` need the hash-shuffle strategy.
+    Set it on the current DataContext AND on the context snapshot a Dataset
+    captured at creation (plan build reads the latter)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ctxs = [DataContext.get_current()]
+    if ds is not None and getattr(ds, "context", None) is not None:
+        ctxs.append(ds.context)
+    for ctx in ctxs:
+        if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # One aggregator actor can own many partitions. Two failure modes on
+        # small clusters with Ray's defaults: (a) 64 aggregator actors wait
+        # min_hash_shuffle_aggregator_wait_time_in_s=300s to all come up;
+        # (b) per-actor num_cpus = 0.0625 × (partitions/aggregator) can sum
+        # to the whole cluster, starving the upstream map tasks → deadlock.
+        # Cap the pool and make aggregator CPU demand nominal (they are
+        # mostly network/merge; map stages own the CPU budget).
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 
 
 def _unique_batch(t: pa.Table, cols: list[str]) -> pa.Table:
-    """Vectorized within-batch distinct over ``cols`` (drops other cols)."""
-    if t.num_rows == 0:
+    """Vectorized within-batch distinct over ``cols`` (drops other cols).
+
+    Sort + adjacent-row compare, NOT ``pa.Table.group_by``: pyarrow 16.1's
+    grouper emits duplicate groups on some multi-chunk layouts (observed:
+    164 duplicate groups on a 20k-row 3-chunk block), which silently breaks
+    set semantics. The adjacent-compare is exact and equally vectorized.
+    """
+    if t.num_rows <= 1:
         return t.select(cols)
-    return t.select(cols).group_by(cols, use_threads=False).aggregate([])
-
-
-def _key_hash(t: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray:
-    s = None
+    k = t.select(cols).combine_chunks()
+    idx = pc.sort_indices(
+        k,
+        sort_keys=[(c, "ascending") for c in cols],
+        null_placement="at_start",
+    )
+    s = k.take(idx)
+    n = s.num_rows
+    eq_all = np.ones(n - 1, dtype=bool)
     for c in cols:
-        col = pd.Series(t.column(c).to_pandas(), copy=False).astype("string")
-        h = pd.util.hash_pandas_object(col.fillna("\x00<null>"), index=False)
-        s = h if s is None else (s * np.uint64(1000003)) ^ h
-    return (s % np.uint64(num_buckets)).to_numpy()
-
-
-def _make_bucketer(cols: list[str], num_buckets: int):
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = _key_hash(t, cols, num_buckets) if t.num_rows else np.array([], np.uint64)
-        return t.append_column(BUCKET_COL, pa.array(b, pa.uint64()))
-
-    return add_bucket
+        col = s.column(c).combine_chunks()
+        a, b = col.slice(0, n - 1), col.slice(1, n - 1)
+        eq = pc.equal(a, b)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        same = pc.or_(pc.fill_null(eq, False), both_null)
+        eq_all &= same.to_numpy(zero_copy_only=False)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    np.logical_not(eq_all, out=keep[1:])
+    return s.filter(pa.array(keep))
 
 
 def distinct_rows(
@@ -59,19 +98,20 @@ def distinct_rows(
 ) -> rd.Dataset:
     """Global distinct over ``cols`` (output has exactly those columns)."""
 
+    ensure_hash_shuffle(ds)
+
     def combine(t: pa.Table) -> pa.Table:
         return _unique_batch(t, cols)
 
-    bucketer = _make_bucketer(cols, num_buckets)
-
-    def dedup_group(t: pa.Table) -> pa.Table:
+    def dedup_block(t: pa.Table) -> pa.Table:
         return _unique_batch(t, cols)
 
     return (
         ds.map_batches(combine, batch_format="pyarrow")
-        .map_batches(bucketer, batch_format="pyarrow")
-        .groupby(BUCKET_COL)
-        .map_groups(dedup_group, batch_format="pyarrow")
+        .repartition(num_buckets, keys=cols)
+        # batch_size=None → whole blocks; a key never spans two blocks after
+        # the hash repartition, so per-block dedup is globally exact
+        .map_batches(dedup_block, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -87,26 +127,18 @@ def first_per_group(
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Exact dedup keeping, per key group, the row with the minimal
-    ``order_col`` (deterministic 'first'). Same combiner→bucket structure."""
+    ``order_col`` (deterministic 'first'). Same combiner→repartition
+    structure as :func:`distinct_rows`."""
+
+    ensure_hash_shuffle(ds)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_col, kind="mergesort").drop_duplicates(
             subset=key_cols, keep="first"
         )
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = _key_hash(t, key_cols, num_buckets) if t.num_rows else np.array([], np.uint64)
-        return t.append_column(BUCKET_COL, pa.array(b, pa.uint64()))
-
-    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(order_col, kind="mergesort").drop_duplicates(
-            subset=key_cols, keep="first"
-        )
-        return out.drop(columns=[BUCKET_COL])
-
     return (
         ds.map_batches(combine, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(BUCKET_COL)
-        .map_groups(dedup_group, batch_format="pandas")
+        .repartition(num_buckets, keys=key_cols)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
     )

@@ -1,0 +1,176 @@
+"""Connected-components canonicalization (SURVEY §2 #24 — graft stage).
+
+Min-label propagation over an edge Dataset:
+
+    labels(node) ← min(node, min over neighbors' labels), iterate to fixpoint
+
+Each round is: hash-join labels onto edges + a grouped Min aggregate. Hot
+entities (one entity in 50% of turns — the FIXTURES skew case) are handled
+by a per-batch pre-aggregate *before* the grouped Min: the combiner
+collapses each batch to ≤ one row per node, so a node appearing in millions
+of edge rows contributes at most #blocks rows to the shuffle — the same
+salting effect as (node, salt)-two-phase aggregation, without a second
+shuffle.
+
+``cc_labels_small`` is the broadcast path (driver union-find) for gazetteer-
+sized graphs; the flagship uses it when the alias table is tiny and the
+distributed path for document-scale dedup graphs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+
+def cc_labels_small(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find with min-label canonical representative (driver-side;
+    use only for provably small graphs, e.g. the gazetteer alias set)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {x: find(x) for x in set(parent) | {n for e in edges for n in e}}
+
+
+def _min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: ≤ 1 row per node before the shuffle."""
+    return df.groupby("node", as_index=False)["label"].min()
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """→ Dataset(node:string, label:string) with label = min node id of the
+    component. Converges in ≤ diameter rounds; stops early when a round
+    changes nothing."""
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column(src).combine_chunks().cast(pa.string()),
+                        t.column(dst).combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    und = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t.column(src).combine_chunks().cast(pa.string()),
+                        t.column(dst).combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t.column(dst).combine_chunks().cast(pa.string()),
+                        t.column(src).combine_chunks().cast(pa.string()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from ..engine.distinct import distinct_rows
+
+    labels = (
+        distinct_rows(
+            edges.map_batches(to_nodes, batch_format="pyarrow"), ["node"]
+        )
+        .map_batches(
+            lambda t: t.append_column("label", t.column("node")),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbor messages: edge (src,dst) joined with labels on src
+        msgs = und.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        combined = labels.select_columns(["node", "label"]).union(msgs)
+        new_labels = (
+            combined.map_batches(_min_per_node, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence: did any label change?
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "old_label": t.column("label")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+            )
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"chg": [int((df["label"] != df["old_label"]).sum())]}
+                ),
+                batch_format="pandas",
+            )
+            .sum("chg")
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+class CanonicalMapper:
+    """Broadcast canonical-map application: rewrite an id column to its
+    component representative. Map fetched once per actor from the object
+    store."""
+
+    def __init__(self, mapping_ref=None, mapping: dict[str, str] | None = None,
+                 col: str = "entity_id", out_col: str = "canonical_id"):
+        if mapping is None:
+            import ray
+
+            mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
+        self.mapping = mapping
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_pylist()
+        mapped = [self.mapping.get(v, v) for v in vals]
+        return batch.append_column(self.out_col, pa.array(mapped, pa.string()))

@@ -1,0 +1,116 @@
+"""Mention detection + entity-link scoring (SURVEY §2 #20 — graft stage).
+
+A stateful actor-pool stage: the gazetteer and compiled patterns are built
+ONCE per actor in ``__init__`` (broadcast via ``ray.put`` — read from the
+object store per actor, not shipped per batch), and each ``__call__``
+processes one Arrow batch. Deterministic (seed-free scoring via crc32) so
+task retries and resumed runs reproduce identical links.
+
+Usage:
+
+    gaz_ref = ray.put(build_gazetteer())
+    mentions = transcripts.map_batches(
+        MentionScorer,
+        fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=(2, 8),
+    )
+
+Output rows: key columns (pass-through, e.g. conv_id/turn_idx),
+mention_idx:int32, surface:string, entity_id:string, score:float64.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pyarrow as pa
+
+DEFAULT_PATTERN = r"\[\[([A-Za-z0-9_]+)\]\]"
+
+
+def build_gazetteer(surfaces: list[str] | None = None) -> dict[str, str]:
+    """surface form → candidate entity id. Default: the FIXTURES §A
+    gazetteer (Entity_0..63 + Alias_0..7, each its own candidate; alias
+    resolution happens in the canonicalization stage)."""
+    if surfaces is None:
+        from ..pipelines.transcripts import gazetteer_surfaces
+
+        surfaces = gazetteer_surfaces()
+    return {s: s for s in surfaces}
+
+
+def link_score(surface: str, entity_id: str) -> float:
+    """Deterministic pseudo-score in [0.5, 1.0) — stands in for a link
+    model; crc32-based, stable across processes/retries."""
+    h = zlib.crc32(f"{surface}→{entity_id}".encode()) % 50
+    # single division: (50+h)/100 is the closest double to the two-digit
+    # decimal, so its shortest repr (and xsd:double canonical form) is exact
+    return (50 + h) / 100.0
+
+
+class MentionScorer:
+    """Actor-pool stage: batched mention detection over a text column."""
+
+    def __init__(
+        self,
+        gazetteer_ref=None,
+        gazetteer: dict[str, str] | None = None,
+        text_col: str = "text",
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        pattern: str = DEFAULT_PATTERN,
+    ):
+        if gazetteer is None:
+            if gazetteer_ref is not None:
+                import ray
+
+                gazetteer = ray.get(gazetteer_ref)
+            else:
+                gazetteer = build_gazetteer()
+        self.gazetteer = gazetteer
+        self.text_col = text_col
+        self.key_cols = key_cols
+        self.rx = re.compile(pattern)
+        # precomputed per-surface (entity, score): the "model" loaded once
+        self.links = {
+            s: (e, link_score(s, e)) for s, e in gazetteer.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        keys = {k: batch.column(k).to_pylist() for k in self.key_cols}
+        out_keys: dict[str, list] = {k: [] for k in self.key_cols}
+        midx: list[int] = []
+        surf: list[str] = []
+        ent: list[str] = []
+        score: list[float] = []
+        rx, links = self.rx, self.links
+        for i, txt in enumerate(texts):
+            if txt is None:
+                continue
+            j = 0
+            for m in rx.finditer(txt):
+                s = m.group(1)
+                hit = links.get(s)
+                if hit is None:
+                    continue
+                for k in self.key_cols:
+                    out_keys[k].append(keys[k][i])
+                midx.append(j)
+                surf.append(s)
+                ent.append(hit[0])
+                score.append(hit[1])
+                j += 1
+        arrays: list[pa.Array] = []
+        names: list[str] = []
+        for k in self.key_cols:
+            arrays.append(pa.array(out_keys[k], type=batch.schema.field(k).type))
+            names.append(k)
+        arrays += [
+            pa.array(midx, pa.int32()),
+            pa.array(surf, pa.string()),
+            pa.array(ent, pa.string()),
+            pa.array(score, pa.float64()),
+        ]
+        names += ["mention_idx", "surface", "entity_id", "score"]
+        return pa.Table.from_arrays(arrays, names=names)
