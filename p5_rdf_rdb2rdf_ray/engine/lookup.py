@@ -1,0 +1,145 @@
+"""Triple-pattern lookup with pushdown (SURVEY §2 #21c).
+
+The reference's ``DirectMapping::Store->get_statements($s,$p,$o)`` decodes
+bound terms back into table/column/PK constraints and issues a targeted
+``SELECT … WHERE`` [R: DirectMapping/Store.pm :: sub get_statements]. Ours
+decodes the subject IRI → (table, pk filter) and the predicate IRI →
+(table, column), then runs the Direct Mapping restricted to that slice with
+parquet predicate + projection pushdown — no full scan.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from dataclasses import replace
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..mapping.direct import direct_mapping
+from ..mapping.spec import MappingSpec, TriplesMapSpec
+from ..sources.catalog import Catalog
+
+
+def decode_subject(iri: str, base: str) -> tuple[str, dict[str, str]] | None:
+    """Inverse of the DM subject template: ``<base>T/c1=v1;c2=v2`` →
+    (table, {col: raw_value}); None if the IRI is not a DM row node."""
+    if not iri.startswith(base):
+        return None
+    rest = iri[len(base):]
+    if "/" not in rest:
+        return None
+    table, _, kv = rest.partition("/")
+    out: dict[str, str] = {}
+    for part in kv.split(";"):
+        if "=" not in part:
+            return None
+        c, _, v = part.partition("=")
+        out[urllib.parse.unquote(c)] = urllib.parse.unquote(v)
+    return urllib.parse.unquote(table), out
+
+
+def decode_predicate(iri: str, base: str) -> tuple[str, str] | None:
+    """``<base>T#col`` → (table, col); None otherwise (type/ref preds)."""
+    if not iri.startswith(base) or "#" not in iri:
+        return None
+    table, _, col = iri[len(base):].partition("#")
+    if col.startswith("ref-"):
+        return None
+    return urllib.parse.unquote(table), urllib.parse.unquote(col)
+
+
+def _cast_value(schema: pa.Schema, col: str, raw: str):
+    t = schema.field(col).type
+    if pa.types.is_integer(t):
+        return int(raw)
+    if pa.types.is_floating(t):
+        return float(raw)
+    return raw
+
+
+def get_statements(
+    catalog: Catalog,
+    subject: str | None = None,
+    predicate: str | None = None,
+    base: str = "http://example.com/base/",
+    distinct_buckets: int = 8,
+) -> rd.Dataset:
+    """Lazy Dataset of DM triples matching the bound terms.
+
+    Pushdown: bound subject → parquet row filter on the PK columns; bound
+    predicate → only that column's triples map is compiled (projection
+    pruning happens in the planner as usual).
+    """
+    from .runner import run_mapping
+
+    tables = None
+    flt = None
+    if subject is not None:
+        dec = decode_subject(subject, base)
+        if dec is None:
+            return rd.from_arrow(_empty())
+        table, kv = dec
+        tables = [table]
+        schema = catalog.schema(table)
+        exprs = [
+            pc.field(c) == _cast_value(schema, c, v) for c, v in kv.items()
+        ]
+        flt = exprs[0]
+        for e in exprs[1:]:
+            flt = flt & e
+    if predicate is not None:
+        decp = decode_predicate(predicate, base)
+        if decp is not None:
+            table, col = decp
+            if tables is None:
+                tables = [table]
+
+    # compile over ALL tables so FK parents resolve; execute only the bound
+    # table's map (if any)
+    spec = direct_mapping(catalog, base=base)
+    only_maps = tables
+    if predicate is not None:
+        # keep only matching predicate-object maps (type preds keep the map
+        # with classes only)
+        newmaps = {}
+        for name, tm in spec.maps.items():
+            pos = tuple(
+                p for p in tm.pos if p.pred.constant == predicate
+            )
+            refs = tuple(r for r in tm.refs if r.pred.constant == predicate)
+            classes = tm.classes if predicate.endswith("#type") else ()
+            if pos or refs or classes:
+                newmaps[name] = replace(tm, pos=pos, refs=refs, classes=classes)
+        spec = MappingSpec(maps={**spec.maps, **newmaps}, base=spec.base)
+        only_maps = sorted(newmaps) if only_maps is None else [
+            t for t in only_maps if t in newmaps
+        ]
+        if not newmaps or not only_maps:
+            return rd.from_arrow(_empty())
+
+    if flt is not None:
+        # filter pushdown: load the filtered slice into the catalog as an
+        # in-memory table (point lookups are small by construction)
+        table = tables[0]
+        dset = pads.dataset(catalog.files(table))
+        sliced = dset.to_table(filter=flt)
+        catalog = Catalog(
+            root=catalog.root,
+            layouts=catalog.layouts,
+            tables={**catalog.tables, table: sliced},
+        )
+
+    return run_mapping(
+        spec, catalog, distinct_buckets=distinct_buckets, only_maps=only_maps
+    )
+
+
+def _empty() -> pa.Table:
+    from ..terms import TRIPLE_SCHEMA
+
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+    )

@@ -176,12 +176,22 @@ def run_mapping(
     distinct_buckets: int = 64,
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
     hash_join_partitions: int = 32,
+    only_maps: list[str] | None = None,
 ) -> rd.Dataset:
     """Execute a full MappingSpec → Dataset of triple rows (TRIPLE_SCHEMA).
 
     Equivalent of the reference's ``$mapper->process($dbh)`` returning the
     populated model [R: RDB2RDF.pm :: process], as a lazy streaming Dataset.
+
+    ``only_maps`` restricts which triples maps EXECUTE while the full spec
+    stays visible for RefObjectMap parent resolution (a map can reference a
+    parent whose own triples are not wanted).
     """
+    run = (
+        list(spec.maps.values())
+        if only_maps is None
+        else [spec.maps[n] for n in only_maps]
+    )
     parts = [
         plan_triples_map(
             tm,
@@ -190,7 +200,7 @@ def run_mapping(
             broadcast_limit=broadcast_limit,
             hash_join_partitions=hash_join_partitions,
         )
-        for tm in spec.maps.values()
+        for tm in run
     ]
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if distinct:

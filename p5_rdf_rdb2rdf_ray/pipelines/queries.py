@@ -1,0 +1,584 @@
+"""Driver-facing query registry: one Ray pipeline + one DuckDB oracle per
+implemented operator (SURVEY §2 checklist → CORRECTNESS_r{N}.json).
+
+Every builder takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``;
+``ORACLES[name]`` is the DuckDB SQL producing identical rows (same column
+names!) over the pre-registered parquet views. Entries without an oracle
+(non-SQL-expressible: LSH internals, SimHash, language-ID heuristics) get
+the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..engine.lookup import get_statements
+from ..engine.runner import run_mapping
+from ..mapping.direct import direct_mapping
+from ..mapping.spec import (
+    IRI,
+    LITERAL,
+    MappingSpec,
+    PredObjSpec,
+    RefObjectSpec,
+    TermMapSpec,
+    TriplesMapSpec,
+)
+from ..sinks.ntriples import to_term_columns
+from ..sources.catalog import Catalog, TableLayout
+from ..stages.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..stages.groupagg import grouped_aggregate, top_k
+from ..stages.similarity import ann_topk, embedding_neardup_pairs
+from ..stages.textstats import (
+    fingerprints,
+    language_id,
+    quality_features,
+    token_counts,
+)
+
+BASE = "http://example.com/base/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def catalog_for(sf_dir: str) -> Catalog:
+    """TPC-H-ish layouts: the declared-key stand-in for DBI introspection."""
+    return Catalog(
+        root=sf_dir,
+        layouts={
+            "region": TableLayout(pkey=("r_regionkey",)),
+            "nation": TableLayout(
+                pkey=("n_nationkey",),
+                fkeys=((("n_regionkey",), "region", ("r_regionkey",)),),
+            ),
+            "customer": TableLayout(
+                pkey=("c_custkey",),
+                fkeys=((("c_nationkey",), "nation", ("n_nationkey",)),),
+            ),
+            "supplier": TableLayout(pkey=("s_suppkey",)),
+            "part": TableLayout(pkey=("p_partkey",)),
+            "orders": TableLayout(
+                pkey=("o_orderkey",),
+                fkeys=((("o_custkey",), "customer", ("c_custkey",)),),
+            ),
+            "events": TableLayout(
+                pkey=("event_id",),
+                fkeys=((("user_id",), "customer", ("c_custkey",)),),
+            ),
+            "documents": TableLayout(pkey=("doc_id",)),
+            "embeddings": TableLayout(pkey=("vec_id",)),
+        },
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# KG / RDB2RDF core
+
+
+def q_dm_nation(sf_dir: str) -> rd.Dataset:
+    """Direct Mapping of nation (PK subject, literals, FK ref to region)."""
+    cat = catalog_for(sf_dir)
+    # full spec so the FK parent (region) resolves; execute only nation's map
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    return to_term_columns(
+        run_mapping(spec, cat, distinct_buckets=8, only_maps=["nation"])
+    )
+
+
+SQL_DM_NATION = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}nation>' AS obj FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_nationkey>',
+         '"' || n_nationkey || '"^^<{XSD_INT}>' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_name>', '"' || n_name || '"' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_regionkey>',
+         '"' || n_regionkey || '"^^<{XSD_INT}>' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#ref-n_regionkey>',
+         '<{BASE}region/r_regionkey=' || n_regionkey || '>' FROM nation
+) t
+"""
+
+
+_TS_CANON = (
+    "regexp_replace(strftime({col}, '%Y-%m-%dT%H:%M:%S.%f'), '\\.?0+$', '')"
+)
+
+
+def q_dm_events(sf_dir: str) -> rd.Dataset:
+    """Direct Mapping of events: int64 PK, timestamp canon, FK→customer.
+
+    The value/props columns are excluded (double/json lexical forms are
+    checked by scalar unit tests, not the SQL oracle).
+    """
+    cat = catalog_for(sf_dir)
+    spec = direct_mapping(cat, tables=["events", "customer"], base=BASE)
+    tm = spec.maps["events"]
+    keep = {"event_id", "ts", "user_id", "event_type"}
+    from dataclasses import replace
+
+    tm = replace(
+        tm, pos=tuple(p for p in tm.pos if p.obj.column in keep)
+    )
+    spec = MappingSpec(
+        maps={"events": tm, "customer": spec.maps["customer"]}, base=BASE
+    )
+    return to_term_columns(
+        run_mapping(spec, cat, distinct_buckets=16, only_maps=["events"])
+    )
+
+
+SQL_DM_EVENTS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}events/event_id=' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}events>' AS obj FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#event_id>', '"' || event_id || '"^^<{XSD_INT}>'
+  FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#ts>',
+         '"' || {_TS_CANON.format(col='ts')} || '"^^<{XSD_DT}>' FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#user_id>', '"' || user_id || '"^^<{XSD_INT}>'
+  FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#event_type>', '"' || event_type || '"' FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#ref-user_id>',
+         '<{BASE}customer/c_custkey=' || user_id || '>' FROM events
+) t
+"""
+
+
+def q_r2rml_orders(sf_dir: str) -> rd.Dataset:
+    """R2RML-style mapping: template subject, constant predicates, literal
+    + dateTime objects, refObjectMap to customer (join fast path)."""
+    cat = catalog_for(sf_dir)
+    order_subj = TermMapSpec(kind=IRI, template=BASE + "order/{o_orderkey}")
+    cust_subj = TermMapSpec(kind=IRI, template=BASE + "customer/{c_custkey}")
+    orders = TriplesMapSpec(
+        name="orders",
+        table="orders",
+        subject=order_subj,
+        classes=(BASE + "Order",),
+        pos=(
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "status"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderstatus"),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "priority"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderpriority"),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "orderDate"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderdate"),
+            ),
+        ),
+        refs=(
+            RefObjectSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "customer"),
+                parent="customers",
+                join=(("o_custkey", "c_custkey"),),
+            ),
+        ),
+    )
+    customers = TriplesMapSpec(
+        name="customers", table="customer", subject=cust_subj,
+        classes=(BASE + "Customer",),
+    )
+    spec = MappingSpec(maps={"orders": orders, "customers": customers}, base=BASE)
+    return to_term_columns(run_mapping(spec, cat, distinct_buckets=16))
+
+
+SQL_R2RML_ORDERS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}order/' || o_orderkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Order>' AS obj FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}status>',
+         '"' || o_orderstatus || '"' FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}priority>',
+         '"' || o_orderpriority || '"' FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}orderDate>',
+         '"' || {_TS_CANON.format(col='o_orderdate')} || '"^^<{XSD_DT}>'
+  FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}customer>',
+         '<{BASE}customer/' || o_custkey || '>' FROM orders
+  UNION ALL
+  SELECT DISTINCT '<{BASE}customer/' || c_custkey || '>',
+         '<{RDF_TYPE}>', '<{BASE}Customer>' FROM customer
+) t
+"""
+
+
+def q_lookup_nation(sf_dir: str) -> rd.Dataset:
+    """Pushdown point lookup: all triples of one DM subject (21c)."""
+    cat = catalog_for(sf_dir)
+    return to_term_columns(
+        get_statements(
+            cat, subject=BASE + "nation/n_nationkey=3", base=BASE,
+            distinct_buckets=2,
+        )
+    )
+
+
+SQL_LOOKUP_NATION = SQL_DM_NATION.rstrip().rstrip(
+    ""
+) + " WHERE subj = '<" + BASE + "nation/n_nationkey=3>'"
+
+
+# ---------------------------------------------------------------------------
+# relational operators
+
+
+def q_q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-style grouped aggregate (partial-agg combiner + hash
+    shuffle). Aggregates chosen exact-reproducible (integral sums)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "count_order": ("l_quantity", "count"),
+        },
+        num_partitions=8,
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top10_orders(sf_dir: str) -> rd.Dataset:
+    """Global top-k without full sort (per-block prune + tiny merge)."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return top_k(
+        o, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False]
+    )
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_purchase_events(sf_dir: str) -> rd.Dataset:
+    """Filter + project with expression pushdown."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
+    return ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "value"]
+    )
+
+
+SQL_PURCHASE_EVENTS = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_brand_stats(sf_dir: str) -> rd.Dataset:
+    """Broadcast join (small part side) + grouped aggregate."""
+    import pyarrow as pa
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    ref = ray.put(part)
+
+    class Join:
+        def __init__(self):
+            self.part = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.join(self.part, keys=["l_partkey"], right_keys=["p_partkey"])
+
+    joined = li.map_batches(Join, batch_format="pyarrow", concurrency=(1, 8))
+    return grouped_aggregate(
+        joined,
+        keys=["p_brand"],
+        aggs={"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
+        num_partitions=8,
+    )
+
+
+SQL_BRAND_STATS = """
+SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_segment_orders(sf_dir: str) -> rd.Dataset:
+    """Hash join (Ray Dataset.join) + grouped aggregate."""
+    from ..engine.distinct import ensure_hash_shuffle
+    from ..engine.joins import hash_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ensure_hash_shuffle(o)
+    joined = hash_join(o, c, ["o_custkey"], ["c_custkey"], num_partitions=8)
+    return grouped_aggregate(
+        joined, keys=["c_mktsegment"], aggs={"n_orders": ("o_orderkey", "count")},
+        num_partitions=8,
+    )
+
+
+SQL_SEGMENT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_orders
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
+    from ..engine.distinct import distinct_rows
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    return distinct_rows(ev, ["event_type"], num_buckets=4)
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# training-data extras: dedup / similarity / text analysis
+
+
+def q_dedup_exact_docs(sf_dir: str) -> rd.Dataset:
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_counts_docs(sf_dir: str) -> rd.Dataset:
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOKEN_COUNTS_DOCS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str) -> rd.Dataset:
+    return quality_features(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_QUALITY_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(w, x -> x IN
+         ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         / greatest(len(w), 1) AS stop_ratio
+FROM t
+"""
+
+
+def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_FINGERPRINT_DOCS = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_langid_docs(sf_dir: str) -> rd.Dataset:
+    # heuristic model — rows-only check (no SQL oracle)
+    return language_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_SHINGLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jacc
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= {tau}
+"""
+
+
+def q_jaccard_pairs_docs(sf_dir: str) -> rd.Dataset:
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_JACCARD_PAIRS_DOCS = _SHINGLE_SQL.format(tau=0.6)
+
+
+def q_minhash_pairs_docs(sf_dir: str) -> rd.Dataset:
+    # LSH (32 bands × 2 rows) recall at τ=0.6 is 1 - (1-τ²)^32 ≈ 1 - 6e-7:
+    # the verified output equals the exact-Jaccard oracle in practice
+    return minhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_MINHASH_PAIRS_DOCS = SQL_JACCARD_PAIRS_DOCS
+
+
+def q_simhash_pairs_docs(sf_dir: str) -> rd.Dataset:
+    # rows-only: 64-bit SimHash bucketing is not SQL-expressible
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    mask = ids < n
+    m = np.vstack(
+        [np.asarray(v, np.float64) for v, keep in zip(t.column("embedding").to_pylist(), mask) if keep]
+    )
+    return ids[mask], m
+
+
+def q_ann_topk(sf_dir: str) -> rd.Dataset:
+    qs = _query_vectors(sf_dir, 5)
+    return ann_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e
+),
+r AS (
+  SELECT qid AS query_id, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_neardup_embeddings(sf_dir: str) -> rd.Dataset:
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46
+    )
+
+
+SQL_NEARDUP_EMBEDDINGS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "dm_nation": q_dm_nation,
+    "dm_events": q_dm_events,
+    "r2rml_orders": q_r2rml_orders,
+    "lookup_nation": q_lookup_nation,
+    "q1_pricing": q_q1_pricing,
+    "top10_orders": q_top10_orders,
+    "purchase_events": q_purchase_events,
+    "brand_stats": q_brand_stats,
+    "segment_orders": q_segment_orders,
+    "distinct_event_types": q_distinct_event_types,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "token_counts_docs": q_token_counts_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "langid_docs": q_langid_docs,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "ann_topk": q_ann_topk,
+    "neardup_embeddings": q_neardup_embeddings,
+}
+
+ORACLES = {
+    "dm_nation": SQL_DM_NATION,
+    "dm_events": SQL_DM_EVENTS,
+    "r2rml_orders": SQL_R2RML_ORDERS,
+    "lookup_nation": SQL_LOOKUP_NATION,
+    "q1_pricing": SQL_Q1,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "purchase_events": SQL_PURCHASE_EVENTS,
+    "brand_stats": SQL_BRAND_STATS,
+    "segment_orders": SQL_SEGMENT_ORDERS,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "token_counts_docs": SQL_TOKEN_COUNTS_DOCS,
+    "quality_docs": SQL_QUALITY_DOCS,
+    "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
+    "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
+    "ann_topk": SQL_ANN_TOPK,
+    "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
+    # langid_docs / simhash_pairs_docs: rows-only (non-SQL-expressible)
+}

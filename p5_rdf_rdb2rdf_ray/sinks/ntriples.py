@@ -75,6 +75,45 @@ def format_batch(t: pa.Table) -> pa.Table:
     return pa.table({"line": line})
 
 
+def format_terms_batch(t: pa.Table) -> pa.Table:
+    """Triple rows → 3 columns (subj, pred, obj) of N-Triples TERM strings
+    — the order-insensitive compare format for the DuckDB oracles."""
+    n = t.num_rows
+    if n == 0:
+        e = pa.array([], pa.string())
+        return pa.table({"subj": e, "pred": e, "obj": e})
+    subj = _fmt_node(t.column("subj").combine_chunks())
+    pred = pc.binary_join_element_wise(
+        pa.scalar("<"), t.column("pred").combine_chunks(), pa.scalar(">"), pa.scalar("")
+    )
+    obj = t.column("obj").combine_chunks()
+    kind = t.column("obj_kind").combine_chunks()
+    lang = t.column("lang").combine_chunks()
+    dt = t.column("datatype").combine_chunks()
+    lit_body = pc.binary_join_element_wise(
+        pa.scalar('"'), ntriples_escape_array(obj), pa.scalar('"'), pa.scalar("")
+    )
+    lang_sfx = pc.if_else(
+        pc.is_valid(lang),
+        pc.binary_join_element_wise(pa.scalar("@"), pc.fill_null(lang, ""), pa.scalar("")),
+        pa.scalar(""),
+    )
+    dt_sfx = pc.if_else(
+        pc.is_valid(dt),
+        pc.binary_join_element_wise(
+            pa.scalar("^^<"), pc.fill_null(dt, ""), pa.scalar(">"), pa.scalar("")
+        ),
+        pa.scalar(""),
+    )
+    literal = pc.binary_join_element_wise(lit_body, lang_sfx, dt_sfx, pa.scalar(""))
+    obj_s = pc.if_else(pc.equal(kind, KIND_LITERAL), literal, _fmt_node(obj))
+    return pa.table({"subj": subj, "pred": pred, "obj": obj_s})
+
+
+def to_term_columns(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(format_terms_batch, batch_format="pyarrow")
+
+
 def to_ntriples_dataset(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(format_batch, batch_format="pyarrow")
 

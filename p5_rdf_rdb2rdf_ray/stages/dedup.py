@@ -1,0 +1,415 @@
+"""Deduplication stages for training-data pipelines (graft extensions).
+
+- :func:`exact_dedup` — hash-partition on a content fingerprint, keep the
+  min-id representative per distinct text (first-wins), count copies.
+- :func:`doc_shingles` — word n-gram shingles, hashed to uint64 (pandas
+  siphash — deterministic across processes/retries).
+- :func:`ngram_jaccard_pairs` — exact near-dup pairs: shingle inverted
+  index → per-shingle pair expansion → grouped intersection counts →
+  Jaccard ≥ τ. The shuffle key is the shingle hash; hot shingles can be
+  df-capped (``max_df``) — the cap changes the metric, so it is OFF by
+  default and must be mirrored in any oracle.
+- :func:`minhash_pairs` — MinHash+LSH: signature → banded buckets →
+  candidate pairs → exact-Jaccard verification. With the default 32 bands
+  × 2 rows, P(miss) ≤ (1-τ²)^32 (≈6e-7 at τ=0.6) — effectively exact.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash;
+  near-pair candidates by 16-bit chunk pigeonhole, verified by Hamming
+  distance.
+
+Scale notes: every stage is shuffle-by-key + per-block vectorized work; no
+driver-side loops over the corpus. The MinHash verify step broadcasts only
+the candidate docs' shingle sets (output-sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..engine.distinct import distinct_rows, ensure_hash_shuffle
+from .groupagg import grouped_aggregate
+
+_HASH_SEED_PERMS = 0x5EED_0001
+
+
+def _hash_series(s: pd.Series) -> np.ndarray:
+    """Deterministic uint64 string hash (pandas siphash, fixed key)."""
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """→ (id_col = min id per distinct text, n_copies). Shuffles only
+    (fingerprint, id) — the text itself never moves."""
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__fp": _hash_series(df[text_col].fillna("")), id_col: df[id_col]}
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(fp, batch_format="pandas"),
+        keys=["__fp"],
+        aggs={id_col: (id_col, "min"), "n_copies": (id_col, "count")},
+        num_partitions=num_partitions,
+    )
+    return agg.select_columns([id_col, "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard
+
+
+def doc_shingles(
+    ds: rd.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (id_col, sh:uint64) — distinct word-n-gram hashes per doc."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        shs: list[str] = []
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
+            w = t.split()
+            grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+            ids.extend([i] * len(grams))
+            shs.extend(grams)
+        out = pd.DataFrame({id_col: ids, "__s": shs})
+        out["sh"] = _hash_series(out["__s"])
+        return out[[id_col, "sh"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _pairs_from_index(
+    sh_ds: rd.Dataset,
+    id_col: str,
+    num_partitions: int,
+    max_df: int | None,
+) -> rd.Dataset:
+    """Shingle stream → (a, b, inter) intersection counts per doc pair."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        # block = all rows of some shingle-hash range (post-repartition)
+        if not len(df):
+            return pd.DataFrame({"a": [], "b": [], "n": []}).astype(
+                {"a": "int64", "b": "int64", "n": "int64"}
+            )
+        if max_df is not None:
+            dfreq = df.groupby("sh")["sh"].transform("size")
+            df = df[dfreq <= max_df]
+        m = df.merge(df, on="sh")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        g = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})
+
+    ensure_hash_shuffle(sh_ds)
+    per_block = (
+        sh_ds.repartition(num_partitions, keys=["sh"])
+        .map_batches(expand, batch_format="pandas", batch_size=None)
+    )
+    # a pair appears in ≤ num_partitions blocks: final grouped sum is small
+    return grouped_aggregate(
+        per_block, keys=["a", "b"], aggs={"inter": ("n", "sum")},
+        num_partitions=num_partitions,
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    tau: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    max_df: int | None = None,
+) -> rd.Dataset:
+    """→ (doc_a, doc_b, jacc) for all pairs with shingle-Jaccard ≥ τ."""
+    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
+    sh = distinct_rows(sh, [id_col, "sh"], num_buckets=num_partitions)
+    sizes_ds = grouped_aggregate(
+        sh, keys=[id_col], aggs={"sz": ("sh", "count")},
+        num_partitions=num_partitions,
+    )
+    # doc-size lookup: broadcast once via the object store (id→size is tiny
+    # relative to the corpus; a 10^9-doc corpus would switch to a hash join)
+    sizes = {
+        r[id_col]: r["sz"] for r in sizes_ds.iter_rows()
+    }
+    sizes_ref = ray.put(sizes)
+
+    pairs = _pairs_from_index(sh, id_col, num_partitions, max_df)
+
+    class Finalize:
+        def __init__(self, sizes_ref):
+            self.sizes = ray.get(sizes_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"doc_a": [], "doc_b": [], "jacc": []}
+                ).astype({"doc_a": "int64", "doc_b": "int64", "jacc": "float64"})
+            sa = df["a"].map(self.sizes)
+            sb = df["b"].map(self.sizes)
+            j = df["inter"] / (sa + sb - df["inter"])
+            out = pd.DataFrame(
+                {"doc_a": df["a"], "doc_b": df["b"], "jacc": j}
+            )
+            return out[out["jacc"] >= tau].reset_index(drop=True)
+
+    return pairs.map_batches(
+        Finalize,
+        fn_constructor_kwargs={"sizes_ref": sizes_ref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _perm_params(num_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_HASH_SEED_PERMS)
+    a = rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    ds: rd.Dataset,
+    num_perms: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (id_col, sig: list<uint64> as fixed-width columns s0..s{P-1})."""
+    a, b = _perm_params(num_perms)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, sigs = [], []
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
+            w = t.split()
+            grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+            if not grams:
+                sig = np.full(num_perms, np.iinfo(np.uint64).max, np.uint64)
+            else:
+                h = _hash_series(pd.Series(sorted(grams)))
+                # (P, S) wraparound-mod-2^64 universal hash, min over shingles
+                sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            ids.append(i)
+            sigs.append(sig)
+        out = pd.DataFrame({id_col: ids})
+        m = np.vstack(sigs) if sigs else np.empty((0, num_perms), np.uint64)
+        for p in range(num_perms):
+            out[f"s{p}"] = m[:, p].astype("int64")  # bit-cast for arrow
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def minhash_pairs(
+    ds: rd.Dataset,
+    tau: float = 0.6,
+    num_perms: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """LSH candidates → exact-Jaccard verified pairs (doc_a, doc_b, jacc)."""
+    assert num_perms % bands == 0
+    rows = num_perms // bands
+    sigs = minhash_signatures(
+        ds, num_perms=num_perms, n=n, text_col=text_col, id_col=id_col
+    )
+
+    def buckets(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: [], "bkt": []}).astype(
+                {id_col: "int64", "bkt": "int64"}
+            )
+        outs = []
+        for bi in range(bands):
+            h = np.zeros(len(df), np.uint64)
+            for r in range(rows):
+                col = df[f"s{bi * rows + r}"].to_numpy().astype(np.uint64)
+                h = h * np.uint64(1000003) ^ col
+            # band index folded into the bucket key so bands don't collide
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col],
+                        "bkt": (h ^ np.uint64(bi * 0x9E3779B9)).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    bkt = sigs.map_batches(buckets, batch_format="pandas")
+    ensure_hash_shuffle(bkt)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="bkt")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        return out.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})
+
+    cand = (
+        bkt.repartition(num_partitions, keys=["bkt"])
+        .map_batches(expand, batch_format="pandas", batch_size=None)
+    )
+    cand = distinct_rows(cand, ["a", "b"], num_buckets=num_partitions)
+    cand_pairs = [(r["a"], r["b"]) for r in cand.iter_rows()]
+    if not cand_pairs:
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jacc": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_docs = {d for p in cand_pairs for d in p}
+    cand_docs_ref = ray.put(cand_docs)
+
+    # gather shingle sets for candidate docs only (output-sized)
+    def keep_cands(df: pd.DataFrame, _docs=None) -> pd.DataFrame:
+        docs = ray.get(cand_docs_ref)
+        return df[df[id_col].isin(docs)]
+
+    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
+    kept = sh.map_batches(keep_cands, batch_format="pandas")
+    sets: dict = {}
+    for r in kept.iter_rows():
+        sets.setdefault(r[id_col], set()).add(r["sh"])
+    out_a, out_b, out_j = [], [], []
+    for aa, bb in sorted(cand_pairs):
+        sa, sb = sets.get(aa, set()), sets.get(bb, set())
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= tau:
+            out_a.append(aa)
+            out_b.append(bb)
+            out_j.append(j)
+    import pyarrow as pa
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jacc": pa.array(out_j, pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """→ (id_col, simhash:int64) — 64-bit SimHash over word hashes."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, out = [], []
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
+            w = t.split()
+            if not w:
+                ids.append(i)
+                out.append(0)
+                continue
+            h = _hash_series(pd.Series(w))
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for k in np.nonzero(v > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(k)
+            ids.append(i)
+            out.append(np.int64(sig.astype(np.int64)))
+        return pd.DataFrame({id_col: ids, "simhash": pd.array(out, "int64")})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """→ (doc_a, doc_b, hamming) — pairs within Hamming ≤ k via 16-bit-chunk
+    pigeonhole (k ≤ 3 ⇒ one of 4 chunks equal) + exact popcount verify."""
+    sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].to_numpy().astype(np.uint64)
+        outs = []
+        for c in range(4):
+            key = ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col],
+                        "simhash": df["simhash"],
+                        "ck": key * 4 + c,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    ck = sigs.map_batches(chunks, batch_format="pandas")
+    ensure_hash_shuffle(ck)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="ck")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+            )
+        x = m["simhash_x"].to_numpy().astype(np.uint64)
+        y = m["simhash_y"].to_numpy().astype(np.uint64)
+        ham = np.array(
+            [bin(int(a ^ b)).count("1") for a, b in zip(x, y)], dtype=np.int64
+        )
+        out = pd.DataFrame(
+            {"doc_a": m[f"{id_col}_x"], "doc_b": m[f"{id_col}_y"], "hamming": ham}
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(
+            subset=["doc_a", "doc_b"]
+        )
+
+    pairs = (
+        ck.repartition(num_partitions, keys=["ck"])
+        .map_batches(expand, batch_format="pandas", batch_size=None)
+    )
+    return distinct_rows(pairs, ["doc_a", "doc_b", "hamming"], num_buckets=num_partitions)

@@ -1,0 +1,113 @@
+"""Grouped aggregation and top-k (SURVEY §2 #25 + relational extras).
+
+The reference exposes no grouped aggregation (RDF output is a set), but the
+driver's correctness harness and any real lakehouse workload needs it.
+
+Pattern (scale-first):
+
+1. **partial aggregate** per batch (pandas groupby — exact, no pyarrow
+   group_by: see ``engine/distinct._unique_batch`` for the arrow 16.1
+   duplicate-groups bug) — a batch with G distinct keys contributes ≤G rows
+   to the shuffle, i.e. the combiner IS the hot-key salting: a key in every
+   row of every block still only ships #blocks partial rows;
+2. **hash repartition** on the group keys (Ray hash shuffle);
+3. **final aggregate** per whole block — exact because a key never spans
+   blocks after the repartition.
+
+Supported fns: sum, count, min, max, mean (mean decomposes into
+sum+count partials and divides at finalize).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pandas as pd
+import ray.data as rd
+
+from ..engine.distinct import ensure_hash_shuffle
+
+# fn name -> (partial fn, merge fn)
+_MERGES = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_aggregate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """``aggs``: out_col -> (in_col, fn); fn in sum/count/min/max/mean.
+
+    Output columns: ``keys`` + the out_cols, exact global aggregates.
+    """
+    keys = list(keys)
+    # expand mean into hidden sum/count partials
+    plan: list[tuple[str, str, str]] = []  # (out, in, fn) non-mean
+    means: list[tuple[str, str]] = []  # (out, in)
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            means.append((out, col))
+            plan.append((f"__{out}_sum", col, "sum"))
+            plan.append((f"__{out}_cnt", col, "count"))
+        elif fn in _MERGES:
+            plan.append((out, col, fn))
+        else:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=keys + [o for o, _, _ in plan])
+        g = df.groupby(keys, dropna=False, sort=False)
+        out = {}
+        for o, c, fn in plan:
+            out[o] = getattr(g[c], fn)()
+        return pd.DataFrame(out).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = keys + [o for o, _, _ in plan if not o.startswith("__")] + [
+                o for o, _ in means
+            ]
+            return pd.DataFrame(columns=cols)
+        g = df.groupby(keys, dropna=False, sort=False)
+        out = {}
+        for o, _c, fn in plan:
+            out[o] = getattr(g[o], _MERGES[fn])()
+        res = pd.DataFrame(out).reset_index()
+        for o, _c in means:
+            res[o] = res[f"__{o}_sum"] / res[f"__{o}_cnt"]
+        drop = [c for c in res.columns if c.startswith("__")]
+        return res.drop(columns=drop)
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def top_k(
+    ds: rd.Dataset,
+    sort_cols: Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+) -> rd.Dataset:
+    """Global top-k without a full sort shuffle: per-block k-prune, then one
+    tiny final merge (#blocks × k rows through a single task)."""
+    sort_cols = list(sort_cols)
+    if isinstance(descending, bool):
+        desc = [descending] * len(sort_cols)
+    else:
+        desc = list(descending)
+    ascending = [not d for d in desc]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(prune, batch_format="pandas", batch_size=None)
+    )

@@ -1,0 +1,154 @@
+"""Multimodal (image/audio/video) column stages — Ray-side plumbing.
+
+Binary payloads ride as opaque ``binary`` columns with typed metadata
+columns next to them. The decode kernels themselves are STUBS (no
+image/audio libraries in this environment — clearly marked below); the
+actor-pool plumbing, schemas, batch sizing and output layout are real and
+tested, so swapping a real decoder in is a one-function change.
+
+Memory note: binary payloads dominate the batch; callers should pass a
+small ``batch_size`` (e.g. 64) so batch × concurrency stays inside the
+worker heap, and let the object store spill.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """DETERMINISTIC FAKE of a decode+feature-extract kernel.
+
+    Real implementation would be e.g. PIL.Image.open / torchaudio.load →
+    model features; neither library exists in this container. The fake
+    derives a stable feature vector from the payload bytes so tests can
+    assert exact values and retries are reproducible.
+    """
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: "model" initialised once per actor, batched
+    feature extraction per ``__call__``. Output: (media_id, kind,
+    feature: list<float32>)."""
+
+    def __init__(self, out_dim: int = 32, use_real_decoder: bool = False):
+        self.out_dim = out_dim
+        if use_real_decoder:
+            raise NotImplementedError(
+                "no image/audio decode libraries in this environment; "
+                "plug a real decoder in here (PIL / torchaudio / decord)"
+            )
+        self.decode = _fake_decode  # "model load" happens once, here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self.decode(p or b"", self.out_dim) for p in payloads]
+        m = np.vstack(feats) if feats else np.empty((0, self.out_dim), np.float32)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), pa.float32()), self.out_dim
+                ),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample ``num_frames`` evenly spaced pseudo-frames
+    per video payload. STUB decode (see `_fake_decode`); the fan-out
+    row→rows layout (one output row per frame) is the real contract."""
+
+    def __init__(self, num_frames: int = 4, frame_dim: int = 16):
+        self.num_frames = num_frames
+        self.frame_dim = frame_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, feats = [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for f in range(self.num_frames):
+                ids.append(mid)
+                fidx.append(f)
+                feats.append(_fake_decode((payload or b"") + bytes([f]), self.frame_dim))
+        m = np.vstack(feats) if feats else np.empty((0, self.frame_dim), np.float32)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), pa.float32()), self.frame_dim
+                ),
+            }
+        )
+
+
+def extract_features(
+    media: rd.Dataset,
+    out_dim: int = 32,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"out_dim": out_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payloads dominate memory
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: rd.Dataset,
+    num_frames: int = 4,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"num_frames": num_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows for tests/benches."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": list(range(n)),
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [rng.integers(0, 256, size=128, dtype=np.uint8).tobytes() for _ in range(n)],
+        "mime": ["application/octet-stream"] * n,
+        "width": [64] * n,
+        "height": [64] * n,
+        "duration_ms": [1000] * n,
+    }
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,248 @@
+"""Similarity search over embedding columns (graft extensions).
+
+- :func:`ann_topk` — brute-force cosine top-k: the query matrix is put in
+  the object store ONCE (``ray.put``), every batch does one numpy matmul
+  against it, per-batch top-k prune, then a single tiny global merge. This
+  is the exact baseline; wall-time scales linearly in corpus size and is
+  embarrassingly parallel.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing as the scale path:
+  probe only buckets the query hashes into (multi-probe over all bands).
+  Approximate; used when the corpus is too large for full scans.
+- :func:`embedding_neardup_pairs` — all-pairs cosine ≥ τ near-dup, blocked
+  matmul per batch against a broadcast (or chunked) corpus matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..engine.distinct import distinct_rows, ensure_hash_shuffle
+
+_LSH_SEED = 0x5EED_0002
+
+
+def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = np.asarray(arr.values, dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+class _TopKScorer:
+    """Actor-pool stage: query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        qids, qm = ray.get(queries_ref)
+        self.qids = qids
+        self.qm = _normalize(qm)  # (Q, D)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        m = _normalize(_to_matrix(batch, self.vec_col))  # (N, D)
+        ids = np.asarray(batch.column(self.id_col))
+        s = self.qm @ m.T  # (Q, N)
+        k = min(self.k, s.shape[1])
+        # per-query local top-k (argpartition = O(N))
+        idx = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qids, k)
+        cols = ids[idx.ravel()]
+        scores = np.take_along_axis(s, idx, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rows, pa.int64()),
+                self.id_col: pa.array(cols, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def ann_topk(
+    ds: rd.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """``queries`` = (query_ids (Q,), query_matrix (Q, D)).
+
+    → (query_id, vec_id, rank) — rank 1..k by cosine desc, ties → min id.
+    """
+    qref = ray.put((np.asarray(queries[0], np.int64), np.asarray(queries[1], np.float64)))
+    local = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df[df["rank"] <= k][["query_id", id_col, "rank"]].reset_index(
+            drop=True
+        )
+
+    return local.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+def lsh_topk(
+    ds: rd.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 10,
+    num_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Approximate top-k: random-hyperplane bucket signatures; only vectors
+    whose signature is within Hamming ≤ 2 of the query signature are scored.
+    Same output schema as :func:`ann_topk` (+score kept for diagnostics)."""
+    qids = np.asarray(queries[0], np.int64)
+    qm = _normalize(np.asarray(queries[1], np.float64))
+    dim = qm.shape[1]
+    rng = np.random.default_rng(_LSH_SEED)
+    planes = rng.standard_normal((num_planes, dim))
+    qsig = (qm @ planes.T > 0).astype(np.uint32)
+    qsig_packed = (qsig << np.arange(num_planes, dtype=np.uint32)).sum(axis=1)
+    qref = ray.put((qids, qm, planes, qsig_packed))
+
+    class Scorer:
+        def __init__(self):
+            self.qids, self.qm, self.planes, self.qsig = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            m = _normalize(_to_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col))
+            sig = (m @ self.planes.T > 0).astype(np.uint32)
+            packed = (sig << np.arange(self.planes.shape[0], dtype=np.uint32)).sum(
+                axis=1
+            )
+            rows_q, rows_i, rows_s = [], [], []
+            for qi in range(len(self.qids)):
+                x = packed ^ self.qsig[qi]
+                # popcount via bit tricks (vectorized)
+                ham = np.zeros_like(x)
+                v = x.copy()
+                while v.any():
+                    ham += v & 1
+                    v >>= 1
+                mask = ham <= 2
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qm[qi]
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                rows_q.extend([self.qids[qi]] * kk)
+                rows_i.extend(ids[mask][idx].tolist())
+                rows_s.extend(s[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    id_col: pa.array(rows_i, pa.int64()),
+                    "score": pa.array(rows_s, pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df[df["rank"] <= k].reset_index(drop=True)
+
+    return local.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+def embedding_neardup_pairs(
+    ds: rd.Dataset,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """→ (vec_a, vec_b) with cosine ≥ τ, vec_a < vec_b.
+
+    The corpus matrix is broadcast once (``ray.put``); each batch runs one
+    blocked matmul against it. O(N²/B) work split across the cluster — the
+    exact method; LSH-bucket first (``lsh_topk`` machinery) when N² is too
+    large.
+    """
+    full = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    ids_all = np.asarray(full.column(id_col))
+    m_all = _normalize(_to_matrix(full, vec_col))
+    ref = ray.put((ids_all, m_all))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                    }
+                )
+            m = _normalize(_to_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col))
+            s = m @ self.m.T  # (n, N)
+            bi, bj = np.nonzero(s >= tau)
+            a = ids[bi]
+            b = self.ids[bj]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))

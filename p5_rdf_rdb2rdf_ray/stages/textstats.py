@@ -1,0 +1,148 @@
+"""Text-analysis stages for training-data pipelines (graft extensions).
+
+All are stateless, vectorized ``map_batches`` transforms over a text column:
+token counting, quality features, document fingerprinting, and a
+deterministic n-gram/stopword language-ID heuristic (actor-pool stage: the
+language profiles are built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+TOKEN_RX = r"\S+"
+# BPE-ish subword split: words, numbers, punctuation runs (public GPT-2-style
+# pattern simplified to what `re`/pandas supports)
+BPE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """→ (id_col, n_tokens:int64, n_bpe_tokens:int64)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_tokens": s.str.count(TOKEN_RX).astype("int64"),
+                "n_bpe_tokens": s.str.count(BPE_RX).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_features(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """→ (id_col, n_chars, n_words, n_uniq_words, punct_ratio, stop_ratio).
+
+    Ratios are exact rational divisions of int counts — deterministic and
+    reproducible in SQL for the oracle compare.
+    """
+    stop = {"the", "a", "and", "of", "to", "in", "is", "it"}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        words = s.str.findall(TOKEN_RX)
+        n_words = words.str.len().astype("int64")
+        n_uniq = words.map(lambda w: len(set(w))).astype("int64")
+        n_stop = words.map(lambda w: sum(1 for x in w if x in stop)).astype("int64")
+        n_chars = s.str.len().astype("int64")
+        n_punct = s.str.count(r"[^\w\s]").astype("int64")
+        nz = n_words.replace(0, 1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "n_uniq_words": n_uniq,
+                "punct_ratio": n_punct / n_chars.replace(0, 1),
+                "stop_ratio": n_stop / nz,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def fingerprints(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """→ (id_col, fp:string) — md5 content fingerprint (matches SQL md5())."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df[text_col].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        )
+        return pd.DataFrame({id_col: df[id_col], "fp": fp})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# language ID — deterministic stopword/character profiles, actor pool
+
+
+_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "fr": {"le", "la", "et", "de", "un", "une", "est", "dans", "que", "pour"},
+    "es": {"el", "la", "y", "de", "un", "una", "es", "en", "que", "por"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "zh": set(),  # CJK detected by codepoint range
+}
+
+
+class LanguageID:
+    """Actor-pool stage: profiles compiled once per actor in ``__init__``
+    (stands in for loading a fasttext-style model), batch scoring in
+    ``__call__``. Deterministic: ties broken by language code order."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.profiles = sorted(_PROFILES.items())  # deterministic order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds: list[str] = []
+        for t in texts:
+            t = t or ""
+            if any("一" <= ch <= "鿿" for ch in t[:200]):
+                preds.append("zh")
+                continue
+            words = set(t.lower().split())
+            best, best_n = "en", -1
+            for lang, prof in self.profiles:
+                n = len(words & prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def language_id(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    return ds.map_batches(
+        LanguageID,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,216 @@
+"""Training-data stages vs brute-force oracles (dedup / similarity /
+textstats / groupagg / multimodal / lookup pushdown)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from p5_rdf_rdb2rdf_ray.stages.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_aggregate, top_k
+from p5_rdf_rdb2rdf_ray.stages.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_table,
+)
+from p5_rdf_rdb2rdf_ray.stages.similarity import (
+    ann_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from p5_rdf_rdb2rdf_ray.stages.textstats import token_counts
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        words = [vocab[int(k)] for k in rng.integers(0, 30, size=40)]
+        texts.append(" ".join(words))
+    # engineered near-dups and exact dups
+    texts.append(texts[0])                      # 80 = exact dup of 0
+    texts.append(texts[1] + " w0 w1")           # 81 ≈ 1
+    mutated = texts[2].split()
+    mutated[5] = "w29"
+    texts.append(" ".join(mutated))             # 82 ≈ 2
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def _shingles(t, n=3):
+    w = t.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _true_pairs(texts, tau):
+    out = set()
+    S = [_shingles(t) for t in texts]
+    for i in range(len(S)):
+        for j in range(i + 1, len(S)):
+            u = S[i] | S[j]
+            if u and len(S[i] & S[j]) / len(u) >= tau:
+                out.add((i, j))
+    return out
+
+
+def test_exact_dedup(ray_session, docs):
+    got = exact_dedup(rd.from_arrow(docs), num_partitions=4).to_pandas()
+    texts = docs.column("text").to_pylist()
+    want = pd.Series(texts).groupby(texts).size()
+    assert len(got) == len(set(texts))
+    dup_rep = got[got.n_copies == 2]
+    assert list(dup_rep.doc_id) == [0]  # min-id representative
+
+
+def test_ngram_jaccard_pairs(ray_session, docs):
+    texts = docs.column("text").to_pylist()
+    got = ngram_jaccard_pairs(rd.from_arrow(docs), tau=0.5, num_partitions=4)
+    gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
+    assert gp == _true_pairs(texts, 0.5)
+
+
+def test_minhash_pairs_match_exact(ray_session, docs):
+    texts = docs.column("text").to_pylist()
+    got = minhash_pairs(rd.from_arrow(docs), tau=0.5, num_partitions=4)
+    gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
+    assert gp == _true_pairs(texts, 0.5)
+
+
+def test_simhash_pairs_finds_exact_dup(ray_session, docs):
+    got = simhash_pairs(rd.from_arrow(docs), max_hamming=3, num_partitions=4)
+    gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
+    assert (0, 80) in gp  # identical docs → hamming 0
+    for a, b in gp:
+        assert a < b
+
+
+def test_ann_topk_exact(ray_session):
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((200, 16))
+    ids = np.arange(200)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel(), pa.float32()), 16
+            ),
+        }
+    )
+    qids = ids[:3]
+    qm = m[:3]
+    got = ann_topk(rd.from_arrow(t), (qids, qm), k=5).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = (qm / np.linalg.norm(qm, axis=1, keepdims=True)) @ mn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = list(ids[order])
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert list(sub.vec_id) == want
+
+
+def test_lsh_topk_high_recall_on_self(ray_session):
+    rng = np.random.default_rng(13)
+    m = rng.standard_normal((300, 16))
+    t = pa.table(
+        {
+            "vec_id": np.arange(300),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel(), pa.float32()), 16
+            ),
+        }
+    )
+    got = lsh_topk(rd.from_arrow(t), (np.arange(3), m[:3]), k=1).to_pandas()
+    # each query's own vector must be retrieved (hamming 0 bucket)
+    top1 = got[got["rank"] == 1]
+    assert dict(zip(top1.query_id, top1.vec_id)) == {0: 0, 1: 1, 2: 2}
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.default_rng(17)
+    m = rng.standard_normal((100, 8))
+    m[50] = m[10] + rng.standard_normal(8) * 0.01  # engineered near-dup
+    t = pa.table(
+        {
+            "vec_id": np.arange(100),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel(), pa.float32()), 8
+            ),
+        }
+    )
+    got = embedding_neardup_pairs(rd.from_arrow(t), tau=0.99).to_pandas()
+    assert (10, 50) in set(zip(got.vec_a, got.vec_b))
+
+
+def test_grouped_aggregate_exact(ray_session):
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, size=n).astype(str),
+            "v": rng.integers(0, 100, size=n).astype(float),
+        }
+    )
+    got = grouped_aggregate(
+        rd.from_pandas(df),
+        keys=["k"],
+        aggs={
+            "s": ("v", "sum"),
+            "c": ("v", "count"),
+            "mn": ("v", "min"),
+            "mx": ("v", "max"),
+            "avg": ("v", "mean"),
+        },
+        num_partitions=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        df.groupby("k")["v"]
+        .agg(s="sum", c="count", mn="min", mx="max", avg="mean")
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "s", "c", "mn", "mx", "avg"]],
+        want[["k", "s", "c", "mn", "mx", "avg"]],
+        check_dtype=False,
+    )
+
+
+def test_top_k(ray_session):
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"a": rng.permutation(1000), "b": np.arange(1000)})
+    got = top_k(rd.from_pandas(df), ["a"], k=5, descending=True).to_pandas()
+    assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
+
+
+def test_multimodal_features_deterministic(ray_session):
+    media = synth_media_table(30)
+    f1 = extract_features(rd.from_arrow(media), batch_size=8).to_pandas()
+    f2 = extract_features(rd.from_arrow(media), batch_size=16).to_pandas()
+    assert len(f1) == 30
+    m1 = {r.media_id: list(r.feature) for r in f1.itertuples()}
+    m2 = {r.media_id: list(r.feature) for r in f2.itertuples()}
+    assert m1 == m2  # batch-size independent, retry-reproducible
+
+
+def test_multimodal_frame_sampler(ray_session):
+    media = synth_media_table(30)
+    frames = sample_frames(rd.from_arrow(media), num_frames=4).to_pandas()
+    n_videos = sum(1 for k in media.column("kind").to_pylist() if k == "video")
+    assert len(frames) == n_videos * 4
+    assert set(frames.frame_idx) == {0, 1, 2, 3}
+
+
+def test_token_counts(ray_session):
+    t = pa.table({"doc_id": [1, 2], "text": ["a b  c", "hello, world!"]})
+    got = token_counts(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens"] == 3
+    assert got.loc[2, "n_tokens"] == 2
+    assert got.loc[2, "n_bpe_tokens"] == 4  # hello , world !
