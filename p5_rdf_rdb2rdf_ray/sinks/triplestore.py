@@ -1,0 +1,202 @@
+"""Partitioned Parquet triple store with per-partition lineage manifests
+(SURVEY §4 checkpoint/resume; north-rule "per-partition lineage").
+
+Layout:
+
+    store/
+      bucket=00007/part-<uuid>.parquet
+      bucket=00007/_MANIFEST.json     # {bucket, rows, input_fp, version}
+      _METRICS.json                   # run-level metrics
+
+Bucket = deterministic hash of the triple key columns % num_buckets — the
+same partitioning the distinct stage uses, so bucket contents are a pure
+function of the INPUT (not of scheduling). That purity is what makes
+bucket-level resume sound: a bucket whose manifest carries the current
+input fingerprint is provably identical to what this run would produce,
+and is skipped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..engine.distinct import _unique_batch, ensure_hash_shuffle
+from ..terms import TRIPLE_COLUMNS
+
+ENGINE_VERSION = 1
+BUCKET_COL = "__bucket"
+
+
+def fingerprint_files(paths: list[str]) -> str:
+    """Cheap, deterministic input fingerprint: (basename, size) of every
+    input file. Content hashing would read 100 TB; size+name catches
+    re-generation and is what the resume guarantee is scoped to."""
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        h.update(os.path.basename(p).encode())
+        h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()
+
+
+def add_bucket_column(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Deterministic hash bucket over the triple key columns (pandas
+    siphash — stable across processes, runs, and retries)."""
+    if t.num_rows == 0:
+        return t.append_column(BUCKET_COL, pa.array([], pa.int64()))
+    acc = None
+    for c in TRIPLE_COLUMNS:
+        col = t.column(c).to_pandas().astype("string").fillna("\x00")
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy()
+        acc = h if acc is None else (acc * np.uint64(1000003)) ^ h
+    b = (acc % np.uint64(num_buckets)).astype(np.int64)
+    return t.append_column(BUCKET_COL, pa.array(b, pa.int64()))
+
+
+def completed_buckets(out_dir: str, input_fp: str) -> set[int]:
+    """Buckets whose manifest matches the current input fingerprint."""
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        mpath = os.path.join(out_dir, name, "_MANIFEST.json")
+        if name.startswith("bucket=") and os.path.exists(mpath):
+            try:
+                m = json.load(open(mpath))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("input_fp") == input_fp and m.get("version") == ENGINE_VERSION:
+                done.add(int(name.split("=")[1]))
+    return done
+
+
+class _BucketWriter:
+    """Writer task for one hash-partition block: writes the parquet part
+    then the manifest — manifest-last gives atomic completion semantics
+    (a bucket without a manifest is retried on resume)."""
+
+    def __init__(self, out_dir: str, input_fp: str):
+        self.out_dir = out_dir
+        self.input_fp = input_fp
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        # the hash repartition co-locates equal bucket VALUES, but one
+        # output block may carry several buckets — group within the block
+        # (a bucket never spans blocks, so each group here is complete)
+        import pyarrow.compute as pc
+
+        out_b, out_r = [], []
+        buckets = t.column(BUCKET_COL)
+        for bucket in sorted(set(buckets.to_pylist())):
+            body = t.filter(pc.equal(buckets, bucket)).drop_columns([BUCKET_COL])
+            bucket = int(bucket)
+            d = os.path.join(self.out_dir, f"bucket={bucket:05d}")
+            os.makedirs(d, exist_ok=True)
+            part = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(body, part)
+            manifest = {
+                "bucket": bucket,
+                "rows": body.num_rows,
+                "parts": [os.path.basename(part)],
+                "input_fp": self.input_fp,
+                "version": ENGINE_VERSION,
+            }
+            tmp = os.path.join(d, "._MANIFEST.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+            out_b.append(bucket)
+            out_r.append(body.num_rows)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "rows": pa.array(out_r, pa.int64())})
+
+
+def write_triplestore(
+    triples: rd.Dataset,
+    out_dir: str,
+    *,
+    num_buckets: int = 32,
+    input_fp: str = "",
+    resume: bool = True,
+    distinct: bool = True,
+) -> dict:
+    """Triple stream → partitioned store; returns run metrics.
+
+    With ``resume=True`` buckets already completed for this ``input_fp``
+    are excluded from the shuffle (filtered right after bucketing — the
+    skipped data never crosses the wire) and their parts left untouched.
+    """
+    done = completed_buckets(out_dir, input_fp) if resume else set()
+    if len(done) == num_buckets:
+        metrics = {
+            "buckets_written": [],
+            "buckets_skipped": sorted(done),
+            "rows_written": 0,
+            "input_fp": input_fp,
+            "version": ENGINE_VERSION,
+        }
+        with open(os.path.join(out_dir, "_METRICS.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        return metrics
+
+    done_arr = pa.array(sorted(done), pa.int64())
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        t = _unique_batch(t, list(TRIPLE_COLUMNS)) if distinct else t
+        t = add_bucket_column(t, num_buckets)
+        if len(done_arr):
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.is_in(t.column(BUCKET_COL), value_set=done_arr))
+            t = t.filter(keep)
+        return t
+
+    ds = triples.map_batches(bucketer, batch_format="pyarrow")
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(num_buckets, keys=[BUCKET_COL])
+    if distinct:
+        def dedup(t: pa.Table) -> pa.Table:
+            u = _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
+            return u
+
+        ds = ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)
+    results = ds.map_batches(
+        _BucketWriter(out_dir, input_fp), batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    written = {int(r["bucket"]): int(r["rows"]) for r in results}
+    metrics = {
+        "buckets_written": sorted(written),
+        "buckets_skipped": sorted(done),
+        "rows_written": sum(written.values()),
+        "input_fp": input_fp,
+        "version": ENGINE_VERSION,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_METRICS.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
+def read_triplestore(out_dir: str) -> rd.Dataset:
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if name.startswith("bucket=") and os.path.isdir(d):
+            parts.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return rd.read_parquet(parts)

@@ -1,0 +1,97 @@
+"""Checkpoint/resume: failure injection at shard and bucket level."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+import ray.data as rd
+
+from p5_rdf_rdb2rdf_ray.pipelines.flagship import BASE
+from p5_rdf_rdb2rdf_ray.pipelines.resumable import run_flagship_resumable
+from p5_rdf_rdb2rdf_ray.pipelines.transcripts import (
+    generate_transcripts,
+    write_transcripts,
+)
+from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples
+from p5_rdf_rdb2rdf_ray.sinks.triplestore import read_triplestore
+
+from .golden_kg import golden_kg_lines, precision_recall
+
+
+@pytest.fixture()
+def tx(tmp_path):
+    d = str(tmp_path / "tx")
+    write_transcripts(d, n_convs=40, num_files=4, seed=42)
+    return d
+
+
+def _store_lines(out):
+    return set(collect_ntriples(read_triplestore(os.path.join(out, "store"))))
+
+
+def test_full_run_matches_golden(ray_session, tx, tmp_path):
+    out = str(tmp_path / "out")
+    m = run_flagship_resumable(tx, out, num_buckets=8)
+    assert m["rows_written"] > 0 and not m["buckets_skipped"]
+    got = _store_lines(out)
+    want = golden_kg_lines(generate_transcripts(40, seed=42), BASE)
+    p, r = precision_recall(got, want)
+    assert p == 1.0 and r == 1.0
+
+
+def test_resume_is_noop_when_complete(ray_session, tx, tmp_path):
+    out = str(tmp_path / "out")
+    run_flagship_resumable(tx, out, num_buckets=8)
+    parts_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "store", "bucket=*", "part-*"))
+    }
+    m2 = run_flagship_resumable(tx, out, num_buckets=8)
+    assert m2["stage_a_shards_run"] == []
+    assert m2["buckets_written"] == []
+    assert len(m2["buckets_skipped"]) == 8
+    parts_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "store", "bucket=*", "part-*"))
+    }
+    assert parts_before == parts_after  # nothing rewritten
+
+
+def test_resume_after_partial_failure(ray_session, tx, tmp_path):
+    out = str(tmp_path / "out")
+    run_flagship_resumable(tx, out, num_buckets=8)
+    want = _store_lines(out)
+
+    # inject failure: one stage-A shard and one store bucket lost mid-run
+    shutil.rmtree(os.path.join(out, "stageA", "shard=00002"))
+    shutil.rmtree(os.path.join(out, "store", "bucket=00003"))
+    # a second bucket lost only its manifest (crash between part and manifest)
+    os.remove(os.path.join(out, "store", "bucket=00005", "_MANIFEST.json"))
+    for p in glob.glob(os.path.join(out, "store", "bucket=00005", "part-*")):
+        os.remove(p)
+
+    m = run_flagship_resumable(tx, out, num_buckets=8)
+    assert m["stage_a_shards_run"] == [2]
+    # stage-A output changed (shard 2 parts have fresh names) → new input_fp
+    # → ALL buckets rewritten: lineage says the old manifests no longer
+    # describe this input. Correctness over cleverness.
+    got = _store_lines(out)
+    assert got == want
+
+
+def test_resume_skips_buckets_same_input(ray_session, tx, tmp_path):
+    """Bucket-level resume: stage A intact, some buckets missing."""
+    out = str(tmp_path / "out")
+    run_flagship_resumable(tx, out, num_buckets=8)
+    want = _store_lines(out)
+    shutil.rmtree(os.path.join(out, "store", "bucket=00003"))
+    untouched = os.path.join(out, "store", "bucket=00001", "_MANIFEST.json")
+    mtime = os.path.getmtime(untouched)
+    m = run_flagship_resumable(tx, out, num_buckets=8)
+    assert m["stage_a_shards_run"] == []
+    assert m["buckets_written"] == [3]
+    assert sorted(m["buckets_skipped"]) == [0, 1, 2, 4, 5, 6, 7]
+    assert os.path.getmtime(untouched) == mtime
+    assert _store_lines(out) == want
