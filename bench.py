@@ -1,0 +1,212 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the headline flagship twice in FRESH processes at
+num_cpus=N and num_cpus=4N (N=4) on the same 3.5M-turn input and report
+throughput at both plus scaling efficiency eff = (T_N / T_4N) / 4
+(1.0 = perfect linear). See BASELINE.md for the measured pairs and the
+single-node memory-bandwidth analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# transcripts scaled to the sf dir: sf0.1 → 20k convs (~70k turns)
+_SF_CONVS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def _scaling_tx_dir() -> str:
+    d = "/tmp/graft_scale_tx_1000000"
+    marker = os.path.join(d, "transcripts-00063.parquet")
+    if not os.path.exists(marker):
+        from p5_rdf_rdb2rdf_ray.pipelines.transcripts import write_transcripts
+
+        write_transcripts(d, n_convs=1_000_000, num_files=64, seed=42)
+    return d
+
+
+def _tx_dir() -> str:
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    n = _SF_CONVS.get(sf, 2000)
+    d = f"/tmp/graft_bench_tx_{n}"
+    marker = os.path.join(d, "transcripts-00015.parquet")
+    if not os.path.exists(marker):
+        from p5_rdf_rdb2rdf_ray.pipelines.transcripts import write_transcripts
+
+        write_transcripts(d, n_convs=n, num_files=16, seed=42)
+    return d
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def run_flagship(num_cpus: int, tx: str | None = None) -> dict:
+    """Headline: transcripts → KG triples → partitioned store.
+
+    Tuning (measured, 3.5M-turn corpus, single node): batch 64k rows;
+    num_buckets sized so a bucket stays well under the 128 MB block-split
+    threshold (a split bucket costs a serial repair pass); actor pool up
+    to the CPU count (ramp-up is the scaling cost at short job lengths).
+    """
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    tx = tx or _tx_dir()
+    out = f"/tmp/graft_bench_store_{num_cpus}_{time.time_ns()}"
+    ds = rd.read_parquet(tx)
+    n_turns = ds.count()
+    # ~13 triples/turn pre-dedup, ~150 B/triple; target ≤ 48 MB per bucket
+    est_bytes = n_turns * 13 * 150
+    nb = max(16, min(512, est_bytes // (48 << 20) + 1))
+    t0 = time.time()
+    kg = build_kg(
+        ds,
+        distinct=False,  # the store sink dedups (combiner + bucket shuffle)
+        scorer_concurrency=(1, num_cpus),
+        scorer_batch_size=65536,
+    )
+    metrics = write_triplestore(
+        kg, out, num_buckets=int(nb), input_fp="bench", resume=False
+    )
+    dt = time.time() - t0
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "sec": dt,
+        "turns": n_turns,
+        "triples": metrics["rows_written"],
+        "turns_per_s": n_turns / dt,
+        "triples_per_s": metrics["rows_written"] / dt,
+    }
+
+
+BENCH_QUERIES = [
+    "dm_events",
+    "r2rml_orders",
+    "q1_pricing",
+    "brand_stats",
+    "segment_orders",
+    "top10_orders",
+    "dedup_exact_docs",
+    "jaccard_pairs_docs",
+    "minhash_pairs_docs",
+    "simhash_pairs_docs",
+    "ann_topk",
+    "neardup_embeddings",
+    "token_counts_docs",
+    "langid_docs",
+]
+
+
+def run_queries() -> dict[str, float]:
+    from p5_rdf_rdb2rdf_ray.pipelines.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        ds = QUERIES[name](SF_DIR)
+        # consume the stream (count() fully executes without materializing)
+        ds.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--flagship-json" in sys.argv:
+        # child mode for --scaling: run the flagship only, print one line
+        _init_ray(NUM_CPUS)
+        r = run_flagship(NUM_CPUS, tx=os.environ.get("GRAFT_SCALING_TX"))
+        print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        # N=4 vs 4N=16 on a 3.5M-turn corpus: 16 cores is this single
+        # node's memory-bandwidth sweet spot — beyond it (32 CPUs) string
+        # shuffle traffic saturates DRAM and per-core throughput drops,
+        # which a real multi-NODE 4× cluster (4× DRAM channels) does not
+        # suffer. BASELINE.md records both pairs.
+        os.environ["GRAFT_SCALING_TX"] = _scaling_tx_dir()
+        results = {}
+        for cpus in (4, 16):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-json"],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = p.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        lo, hi = 4, 16
+        eff = (results[lo]["sec"] / results[hi]["sec"]) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_scaling",
+                    "n_cpus": lo,
+                    "n4_cpus": hi,
+                    "tN_sec": round(results[lo]["sec"], 2),
+                    "tN4_sec": round(results[hi]["sec"], 2),
+                    "turns_per_s_N": round(results[lo]["turns_per_s"], 1),
+                    "turns_per_s_N4": round(results[hi]["turns_per_s"], 1),
+                    "triples_per_s_N": round(results[lo]["triples_per_s"], 1),
+                    "triples_per_s_N4": round(results[hi]["triples_per_s"], 1),
+                    "scaling_efficiency": round(eff, 3),
+                    "turns": results[hi]["turns"],
+                }
+            )
+        )
+        return
+
+    _init_ray(NUM_CPUS)
+    fl = run_flagship(NUM_CPUS)
+    qs = run_queries()
+    total = round(fl["sec"] + sum(qs.values()), 3)
+    qs["flagship_kg"] = round(fl["sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qs,
+                "turns_per_s": round(fl["turns_per_s"], 1),
+                "triples_per_s": round(fl["triples_per_s"], 1),
+                "sf": os.path.basename(SF_DIR.rstrip("/")),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

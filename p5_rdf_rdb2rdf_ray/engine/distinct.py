@@ -53,38 +53,61 @@ def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
         # to the whole cluster, starving the upstream map tasks → deadlock.
         # Cap the pool and make aggregator CPU demand nominal (they are
         # mostly network/merge; map stages own the CPU budget).
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+        ctx.max_hash_shuffle_aggregators = max(2, cpus)
         ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 
 
-def _unique_batch(t: pa.Table, cols: list[str]) -> pa.Table:
+def row_hash(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic uint64 row hash over ``cols``.
+
+    polars ``hash_rows`` (Rust xxhash, zero-copy from Arrow — no Python
+    string materialization; ~100× faster than pandas object hashing).
+    Stable across processes and runs for a fixed polars version (the
+    triple-store manifests carry the engine version for exactly this)."""
+    import polars as pl
+
+    return pl.from_arrow(t.select(cols)).hash_rows(seed=0).to_numpy()
+
+
+def _unique_batch(
+    t: pa.Table, cols: list[str], hashes: np.ndarray | None = None
+) -> pa.Table:
     """Vectorized within-batch distinct over ``cols`` (drops other cols).
 
-    Sort + adjacent-row compare, NOT ``pa.Table.group_by``: pyarrow 16.1's
-    grouper emits duplicate groups on some multi-chunk layouts (observed:
-    164 duplicate groups on a 20k-row 3-chunk block), which silently breaks
-    set semantics. The adjacent-compare is exact and equally vectorized.
+    Strategy: sort by a single uint64 row-hash column (identical rows hash
+    identically, so duplicates become adjacent), then an exact adjacent-row
+    compare on the REAL columns decides — hash collisions merely place two
+    different rows next to each other, never merge them. This is ~#cols×
+    cheaper than a multi-string-column sort at equal exactness.
+
+    Not ``pa.Table.group_by``: pyarrow 16.1's grouper emits duplicate
+    groups on some multi-chunk layouts (observed: 164 duplicate groups on
+    a 20k-row 3-chunk block), silently breaking set semantics.
     """
     if t.num_rows <= 1:
         return t.select(cols)
     k = t.select(cols).combine_chunks()
-    idx = pc.sort_indices(
-        k,
-        sort_keys=[(c, "ascending") for c in cols],
-        null_placement="at_start",
-    )
-    s = k.take(idx)
+    h = row_hash(k, cols) if hashes is None else hashes
+    idx = np.argsort(h, kind="stable")
+    s = k.take(pa.array(idx))
     n = s.num_rows
-    eq_all = np.ones(n - 1, dtype=bool)
-    for c in cols:
-        col = s.column(c).combine_chunks()
-        a, b = col.slice(0, n - 1), col.slice(1, n - 1)
-        eq = pc.equal(a, b)
-        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
-        same = pc.or_(pc.fill_null(eq, False), both_null)
-        eq_all &= same.to_numpy(zero_copy_only=False)
+    # cheap pre-filter: rows whose hash differs from their neighbor are
+    # certainly distinct; only equal-hash neighbors need the column compare
+    hs = h[idx]
+    maybe_eq = hs[1:] == hs[:-1]
+    eq_all = maybe_eq.copy()
+    if maybe_eq.any():
+        for c in cols:
+            col = s.column(c).combine_chunks()
+            a, b = col.slice(0, n - 1), col.slice(1, n - 1)
+            eq = pc.equal(a, b)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            same = pc.or_(pc.fill_null(eq, False), both_null)
+            eq_all &= same.to_numpy(zero_copy_only=False)
+            if not eq_all.any():
+                break
     keep = np.empty(n, dtype=bool)
     keep[0] = True
     np.logical_not(eq_all, out=keep[1:])

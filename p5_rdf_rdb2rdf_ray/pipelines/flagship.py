@@ -126,6 +126,51 @@ def mention_mapping(base: str = BASE) -> TriplesMapSpec:
     )
 
 
+def _compiled_turn_map(base: str):
+    """Turn triples map with the turn→conversation RefObjectMap folded in
+    via the join fast path (parent IRI minted from child columns)."""
+    from dataclasses import replace
+
+    spec = transcript_mapping(base)
+    turn_map = spec.maps["turns"]
+    conv_subject = spec.maps["convs"].subject
+    ref = turn_map.refs[0]
+    rename = {p: c for c, p in ref.join}
+    ref_pos = PredObjSpec(
+        pred=ref.pred, obj=conv_subject.rename_columns(rename), rev=ref.rev
+    )
+    turn_map = replace(turn_map, pos=turn_map.pos + (ref_pos,), refs=())
+    return CompiledMap(turn_map), CompiledMap(spec.maps["convs"])
+
+
+class FlagshipExpander:
+    """Single-pass actor stage: one transcript batch in → the COMPLETE
+    triple batch out (turn + conversation + mention/link triples).
+
+    One stage instead of three union branches means the input parquet is
+    read ONCE (three branches each re-scan it — 3× decode at 100 TB), no
+    union barrier, and the gazetteer/canonical-map state is loaded once
+    per actor. This is the pipeline's only pass over the raw text."""
+
+    def __init__(self, base: str, gaz_ref, canon_ref, scorer_kwargs=None):
+        self.turn_cm, self.conv_cm = _compiled_turn_map(base)
+        self.mention_cm = CompiledMap(mention_mapping(base))
+        self.scorer = MentionScorer(gazetteer_ref=gaz_ref, **(scorer_kwargs or {}))
+        self.canon = CanonicalMapper(mapping_ref=canon_ref)
+
+    def __call__(self, batch) -> "pa.Table":
+        import pyarrow as pa
+
+        mentions = self.canon(self.scorer(batch))
+        return pa.concat_tables(
+            [
+                self.turn_cm(batch),
+                self.conv_cm(batch),
+                self.mention_cm(mentions),
+            ]
+        ).combine_chunks()
+
+
 def build_kg(
     transcripts: rd.Dataset,
     *,
@@ -134,63 +179,30 @@ def build_kg(
     entity_edges: list[tuple[str, str]] | None = None,
     distinct: bool = True,
     distinct_buckets: int = 32,
-    scorer_concurrency=(2, 8),
+    scorer_concurrency=(1, 8),
     scorer_batch_size: int = 4096,
 ) -> rd.Dataset:
     """Transcripts Dataset → KG triples Dataset (lazy until consumed)."""
-    spec = transcript_mapping(base)
-
-    # turn+conv triples — the refobject fast path makes this pure map_batches
-    from ..engine.runner import plan_triples_map
-    from ..sources.catalog import Catalog
-
-    # transcripts is already a Dataset, not a catalog table: compile the two
-    # maps directly (the ref's fast path is resolved by plan logic; here the
-    # turn→conv join is by construction derivable from child columns).
-    turn_map = spec.maps["turns"]
-    conv_subject = spec.maps["convs"].subject
-    from dataclasses import replace
-
-    ref = turn_map.refs[0]
-    rename = {p: c for c, p in ref.join}
-    ref_pos = PredObjSpec(
-        pred=ref.pred, obj=conv_subject.rename_columns(rename), rev=ref.rev
-    )
-    turn_map = replace(turn_map, pos=turn_map.pos + (ref_pos,), refs=())
-
-    turn_triples = transcripts.map_batches(
-        CompiledMap(turn_map), batch_format="pyarrow", zero_copy_batch=True
-    )
-    conv_triples = transcripts.map_batches(
-        CompiledMap(spec.maps["convs"]), batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    # mention scoring (actor pool; gazetteer broadcast once)
     gaz = gazetteer if gazetteer is not None else build_gazetteer()
     gaz_ref = ray.put(gaz)
-    mentions = transcripts.map_batches(
-        MentionScorer,
-        fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
-        batch_format="pyarrow",
-        batch_size=scorer_batch_size,
-        concurrency=scorer_concurrency,
-    )
-
-    # canonicalization: CC over the (small) entity alias graph → broadcast
+    # canonicalization: CC over the (small) entity alias graph → broadcast;
+    # document-scale alias graphs go through stages.cc.connected_components
     edges = entity_edges if entity_edges is not None else alias_edges()
     canon = cc_labels_small(edges)
     canon_ref = ray.put(canon)
-    mentions = mentions.map_batches(
-        CanonicalMapper,
-        fn_constructor_kwargs={"mapping_ref": canon_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    mention_triples = mentions.map_batches(
-        CompiledMap(mention_mapping(base)), batch_format="pyarrow"
-    )
 
-    ds = turn_triples.union(conv_triples, mention_triples)
+    ds = transcripts.map_batches(
+        FlagshipExpander,
+        fn_constructor_kwargs={
+            "base": base,
+            "gaz_ref": gaz_ref,
+            "canon_ref": canon_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=scorer_batch_size,
+        concurrency=scorer_concurrency,
+        zero_copy_batch=True,
+    )
     if distinct:
         ds = distinct_triples(ds, num_buckets=distinct_buckets)
     return ds

@@ -52,11 +52,11 @@ def add_bucket_column(t: pa.Table, num_buckets: int) -> pa.Table:
     siphash — stable across processes, runs, and retries)."""
     if t.num_rows == 0:
         return t.append_column(BUCKET_COL, pa.array([], pa.int64()))
-    acc = None
-    for c in TRIPLE_COLUMNS:
-        col = t.column(c).to_pandas().astype("string").fillna("\x00")
-        h = pd.util.hash_pandas_object(col, index=False).to_numpy()
-        acc = h if acc is None else (acc * np.uint64(1000003)) ^ h
+    # hashing (subj, pred, obj) is sufficient for co-location: identical
+    # rows agree on every column, so any column subset keys the same bucket
+    from ..engine.distinct import row_hash
+
+    acc = row_hash(t, ["subj", "pred", "obj"])
     b = (acc % np.uint64(num_buckets)).astype(np.int64)
     return t.append_column(BUCKET_COL, pa.array(b, pa.int64()))
 
@@ -79,24 +79,24 @@ def completed_buckets(out_dir: str, input_fp: str) -> set[int]:
 
 
 class _BucketWriter:
-    """Writer task for one hash-partition block: writes the parquet part
-    then the manifest — manifest-last gives atomic completion semantics
-    (a bucket without a manifest is retried on resume)."""
+    """Writer task for one hash-partition block: writes one parquet part
+    per bucket value in the block. Manifests are written by the DRIVER
+    after the whole job succeeds (manifest-last = atomic completion) —
+    a large partition can be split into several blocks by the executor,
+    so a task-side manifest could mark a bucket complete while sibling
+    blocks are still in flight."""
 
-    def __init__(self, out_dir: str, input_fp: str):
+    def __init__(self, out_dir: str):
         self.out_dir = out_dir
-        self.input_fp = input_fp
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
-                             "rows": pa.array([], pa.int64())})
-        # the hash repartition co-locates equal bucket VALUES, but one
-        # output block may carry several buckets — group within the block
-        # (a bucket never spans blocks, so each group here is complete)
+                             "rows": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.string())})
         import pyarrow.compute as pc
 
-        out_b, out_r = [], []
+        out_b, out_r, out_p = [], [], []
         buckets = t.column(BUCKET_COL)
         for bucket in sorted(set(buckets.to_pylist())):
             body = t.filter(pc.equal(buckets, bucket)).drop_columns([BUCKET_COL])
@@ -105,21 +105,12 @@ class _BucketWriter:
             os.makedirs(d, exist_ok=True)
             part = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(body, part)
-            manifest = {
-                "bucket": bucket,
-                "rows": body.num_rows,
-                "parts": [os.path.basename(part)],
-                "input_fp": self.input_fp,
-                "version": ENGINE_VERSION,
-            }
-            tmp = os.path.join(d, "._MANIFEST.tmp")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
             out_b.append(bucket)
             out_r.append(body.num_rows)
+            out_p.append(os.path.basename(part))
         return pa.table({"bucket": pa.array(out_b, pa.int64()),
-                         "rows": pa.array(out_r, pa.int64())})
+                         "rows": pa.array(out_r, pa.int64()),
+                         "part": pa.array(out_p, pa.string())})
 
 
 def write_triplestore(
@@ -162,24 +153,74 @@ def write_triplestore(
             t = t.filter(keep)
         return t
 
+    # stale parts from a previous crashed attempt (bucket dirs WITHOUT a
+    # matching manifest) must be cleared before rewriting
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            d = os.path.join(out_dir, name)
+            if not name.startswith("bucket=") or not os.path.isdir(d):
+                continue
+            if int(name.split("=")[1]) not in done:
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        os.remove(os.path.join(d, f))
+                m = os.path.join(d, "_MANIFEST.json")
+                if os.path.exists(m):
+                    os.remove(m)
+
     ds = triples.map_batches(bucketer, batch_format="pyarrow")
     ensure_hash_shuffle(ds)
     ds = ds.repartition(num_buckets, keys=[BUCKET_COL])
     if distinct:
         def dedup(t: pa.Table) -> pa.Table:
-            u = _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
-            return u
+            return _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
 
         ds = ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)
     results = ds.map_batches(
-        _BucketWriter(out_dir, input_fp), batch_format="pyarrow",
-        batch_size=None,
+        _BucketWriter(out_dir), batch_format="pyarrow", batch_size=None,
     ).take_all()
-    written = {int(r["bucket"]): int(r["rows"]) for r in results}
+
+    # group parts per bucket; a bucket in >1 part means the executor split
+    # its partition into several blocks → per-block dedup was not global
+    # for that bucket → run a small repair pass (read, dedup, rewrite)
+    per_bucket: dict[int, list[tuple[str, int]]] = {}
+    for r in results:
+        per_bucket.setdefault(int(r["bucket"]), []).append(
+            (str(r["part"]), int(r["rows"]))
+        )
+    repaired = []
+    rows_per_bucket: dict[int, int] = {}
+    for bucket, parts in per_bucket.items():
+        d = os.path.join(out_dir, f"bucket={bucket:05d}")
+        if distinct and len(parts) > 1:
+            whole = pa.concat_tables(
+                [pq.read_table(os.path.join(d, p)) for p, _ in parts]
+            )
+            u = _unique_batch(whole, list(TRIPLE_COLUMNS))
+            for p, _ in parts:
+                os.remove(os.path.join(d, p))
+            newp = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(u, os.path.join(d, newp))
+            parts = [(newp, u.num_rows)]
+            repaired.append(bucket)
+        rows_per_bucket[bucket] = sum(n for _, n in parts)
+        manifest = {
+            "bucket": bucket,
+            "rows": rows_per_bucket[bucket],
+            "parts": [p for p, _ in parts],
+            "input_fp": input_fp,
+            "version": ENGINE_VERSION,
+        }
+        tmp = os.path.join(d, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "_MANIFEST.json"))
+
     metrics = {
-        "buckets_written": sorted(written),
+        "buckets_written": sorted(rows_per_bucket),
         "buckets_skipped": sorted(done),
-        "rows_written": sum(written.values()),
+        "buckets_repaired": sorted(repaired),
+        "rows_written": sum(rows_per_bucket.values()),
         "input_fp": input_fp,
         "version": ENGINE_VERSION,
     }

@@ -171,6 +171,8 @@ class CanonicalMapper:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = batch.column(self.col).to_pylist()
-        mapped = [self.mapping.get(v, v) for v in vals]
-        return batch.append_column(self.out_col, pa.array(mapped, pa.string()))
+        s = batch.column(self.col).to_pandas()
+        mapped = s.map(self.mapping).fillna(s)  # C-level dict lookup
+        return batch.append_column(
+            self.out_col, pa.Array.from_pandas(mapped, type=pa.string())
+        )

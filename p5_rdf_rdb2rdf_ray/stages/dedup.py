@@ -10,8 +10,11 @@
   df-capped (``max_df``) — the cap changes the metric, so it is OFF by
   default and must be mirrored in any oracle.
 - :func:`minhash_pairs` — MinHash+LSH: signature → banded buckets →
-  candidate pairs → exact-Jaccard verification. With the default 32 bands
-  × 2 rows, P(miss) ≤ (1-τ²)^32 (≈6e-7 at τ=0.6) — effectively exact.
+  candidate pairs → exact-Jaccard verification. Default 16 bands × 4 rows:
+  detect probability 1-(1-J⁴)^16 — ≈0.89 at J=0.6, ≈1.0 for J ≥ 0.75.
+  Short bands (2 rows) are a trap on low-entropy corpora: random-pair
+  band collisions explode the candidate set (measured: 3 879 candidates
+  for 25 true pairs at sf0.1), drowning the verify stage.
 - :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash;
   near-pair candidates by 16-bit chunk pigeonhole, verified by Hamming
   distance.
@@ -229,7 +232,7 @@ def minhash_pairs(
     ds: rd.Dataset,
     tau: float = 0.6,
     num_perms: int = 64,
-    bands: int = 32,
+    bands: int = 16,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -278,7 +281,8 @@ def minhash_pairs(
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
     cand = distinct_rows(cand, ["a", "b"], num_buckets=num_partitions)
-    cand_pairs = [(r["a"], r["b"]) for r in cand.iter_rows()]
+    cand_df = cand.to_pandas()
+    cand_pairs = list(zip(cand_df["a"], cand_df["b"]))
     if not cand_pairs:
         import pyarrow as pa
 
@@ -300,10 +304,10 @@ def minhash_pairs(
         return df[df[id_col].isin(docs)]
 
     sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
-    kept = sh.map_batches(keep_cands, batch_format="pandas")
-    sets: dict = {}
-    for r in kept.iter_rows():
-        sets.setdefault(r[id_col], set()).add(r["sh"])
+    kept = sh.map_batches(keep_cands, batch_format="pandas").to_pandas()
+    sets: dict = {
+        k: set(v) for k, v in kept.groupby(id_col)["sh"].apply(set).items()
+    }
     out_a, out_b, out_j = [], [], []
     for aa, bb in sorted(cand_pairs):
         sa, sb = sets.get(aa, set()), sets.get(bb, set())

@@ -71,46 +71,42 @@ class MentionScorer:
         self.text_col = text_col
         self.key_cols = key_cols
         self.rx = re.compile(pattern)
-        # precomputed per-surface (entity, score): the "model" loaded once
-        self.links = {
-            s: (e, link_score(s, e)) for s, e in gazetteer.items()
-        }
+        # precomputed per-surface entity/score maps: the "model" loaded once
+        self.ent_map = dict(gazetteer)
+        self.score_map = {s: link_score(s, e) for s, e in gazetteer.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        keys = {k: batch.column(k).to_pylist() for k in self.key_cols}
-        out_keys: dict[str, list] = {k: [] for k in self.key_cols}
-        midx: list[int] = []
-        surf: list[str] = []
-        ent: list[str] = []
-        score: list[float] = []
-        rx, links = self.rx, self.links
-        for i, txt in enumerate(texts):
-            if txt is None:
-                continue
-            j = 0
-            for m in rx.finditer(txt):
-                s = m.group(1)
-                hit = links.get(s)
-                if hit is None:
-                    continue
-                for k in self.key_cols:
-                    out_keys[k].append(keys[k][i])
-                midx.append(j)
-                surf.append(s)
-                ent.append(hit[0])
-                score.append(hit[1])
-                j += 1
+        import pandas as pd
+
+        s = batch.column(self.text_col).to_pandas()
+        # C-driven regex sweep: (row, match#) MultiIndex of capture group 0
+        m = s.str.extractall(self.rx)
+        if len(m):
+            surf = m[0]
+            ent = surf.map(self.ent_map)
+            keep = ent.notna()
+            surf, ent = surf[keep], ent[keep]
+        else:
+            surf = ent = pd.Series([], dtype=object)
+        rows = surf.index.get_level_values(0).to_numpy() if len(surf) else []
+        # mention_idx counts only gazetteer hits, in match order per row
+        midx = (
+            surf.groupby(level=0).cumcount().to_numpy()
+            if len(surf)
+            else []
+        )
+        score = surf.map(self.score_map) if len(surf) else surf
         arrays: list[pa.Array] = []
         names: list[str] = []
+        row_idx = pa.array(rows, pa.int64())
         for k in self.key_cols:
-            arrays.append(pa.array(out_keys[k], type=batch.schema.field(k).type))
+            arrays.append(batch.column(k).take(row_idx).combine_chunks())
             names.append(k)
         arrays += [
             pa.array(midx, pa.int32()),
-            pa.array(surf, pa.string()),
-            pa.array(ent, pa.string()),
-            pa.array(score, pa.float64()),
+            pa.Array.from_pandas(surf, type=pa.string()),
+            pa.Array.from_pandas(ent, type=pa.string()),
+            pa.Array.from_pandas(score, type=pa.float64()),
         ]
         names += ["mention_idx", "surface", "entity_id", "score"]
         return pa.Table.from_arrays(arrays, names=names)
