@@ -8,12 +8,12 @@ Layout:
       bucket=00007/_MANIFEST.json     # {bucket, rows, input_fp, version}
       _METRICS.json                   # run-level metrics
 
-Bucket = deterministic hash of the triple key columns % num_buckets — the
-same partitioning the distinct stage uses, so bucket contents are a pure
-function of the INPUT (not of scheduling). That purity is what makes
-bucket-level resume sound: a bucket whose manifest carries the current
-input fingerprint is provably identical to what this run would produce,
-and is skipped.
+Bucket = deterministic hash of the SUBJECT term % num_buckets: identical
+triples co-locate (dedup stays exact), point lookups prune to one bucket
+(`lookup_store`), and bucket contents are a pure function of the INPUT
+(not of scheduling). That purity is what makes bucket-level resume sound:
+a bucket whose manifest carries the current input fingerprint is provably
+identical to what this run would produce, and is skipped.
 """
 
 from __future__ import annotations
@@ -47,17 +47,26 @@ def fingerprint_files(paths: list[str]) -> str:
     return h.hexdigest()
 
 
-def add_bucket_column(t: pa.Table, num_buckets: int) -> pa.Table:
-    """Deterministic hash bucket over the triple key columns (pandas
-    siphash — stable across processes, runs, and retries)."""
-    if t.num_rows == 0:
-        return t.append_column(BUCKET_COL, pa.array([], pa.int64()))
-    # hashing (subj, pred, obj) is sufficient for co-location: identical
-    # rows agree on every column, so any column subset keys the same bucket
+def subject_bucket(subj: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket of a subject term (polars xxhash)."""
     from ..engine.distinct import row_hash
 
-    acc = row_hash(t, ["subj", "pred", "obj"])
-    b = (acc % np.uint64(num_buckets)).astype(np.int64)
+    h = row_hash(pa.table({"subj": subj}), ["subj"])
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket_column(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Deterministic hash bucket on the SUBJECT term.
+
+    Partitioning by subject (not the full key) keeps dedup exact —
+    identical rows share a subject, so they co-locate — while making the
+    store subject-prunable: a point lookup touches exactly one bucket
+    (the reference's Store pushdown, SURVEY 21c). Subjects have bounded
+    degree (≈10 triples here), so subject skew is mild by construction.
+    """
+    if t.num_rows == 0:
+        return t.append_column(BUCKET_COL, pa.array([], pa.int64()))
+    b = subject_bucket(t.column("subj"), num_buckets)
     return t.append_column(BUCKET_COL, pa.array(b, pa.int64()))
 
 
@@ -134,6 +143,7 @@ def write_triplestore(
             "buckets_written": [],
             "buckets_skipped": sorted(done),
             "rows_written": 0,
+            "num_buckets": num_buckets,
             "input_fp": input_fp,
             "version": ENGINE_VERSION,
         }
@@ -221,6 +231,7 @@ def write_triplestore(
         "buckets_skipped": sorted(done),
         "buckets_repaired": sorted(repaired),
         "rows_written": sum(rows_per_bucket.values()),
+        "num_buckets": num_buckets,
         "input_fp": input_fp,
         "version": ENGINE_VERSION,
     }
@@ -228,6 +239,52 @@ def write_triplestore(
     with open(os.path.join(out_dir, "_METRICS.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics
+
+
+def lookup_store(
+    out_dir: str,
+    subject: str,
+    predicate: str | None = None,
+) -> pa.Table:
+    """Point lookup over a written store with partition pruning: the
+    subject hashes to exactly one ``bucket=`` directory; only that
+    bucket's parts are read, with a parquet row filter on (subj[, pred]).
+    The analogue of the reference Store's ``get_statements`` serving reads
+    from the MATERIALIZED graph (SURVEY 21c)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    num_buckets = 0
+    mpath = os.path.join(out_dir, "_METRICS.json")
+    if os.path.exists(mpath):
+        try:
+            num_buckets = int(json.load(open(mpath)).get("num_buckets", 0))
+        except (json.JSONDecodeError, OSError, ValueError):
+            num_buckets = 0
+    if not num_buckets:
+        # fallback: count of bucket dirs (empty buckets have no dir, so
+        # this can only be used when the store is dense)
+        num_buckets = len(
+            [
+                n for n in os.listdir(out_dir)
+                if n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
+            ]
+        )
+    if num_buckets == 0:
+        from ..terms import TRIPLE_SCHEMA
+
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
+    b = int(subject_bucket(pa.array([subject]), num_buckets)[0])
+    d = os.path.join(out_dir, f"bucket={b:05d}")
+    parts = [
+        os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    flt = pc.field("subj") == subject
+    if predicate is not None:
+        flt = flt & (pc.field("pred") == predicate)
+    return pads.dataset(parts).to_table(filter=flt)
 
 
 def read_triplestore(out_dir: str) -> rd.Dataset:

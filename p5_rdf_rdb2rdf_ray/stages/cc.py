@@ -22,7 +22,6 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
 
 
 def cc_labels_small(edges: list[tuple[str, str]]) -> dict[str, str]:
@@ -59,8 +58,16 @@ def connected_components(
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """→ Dataset(node:string, label:string) with label = min node id of the
-    component. Converges in ≤ diameter rounds; stops early when a round
-    changes nothing."""
+    component. Min-label propagation: converges in ≤ diameter rounds and
+    stops early on a fixpoint (cheap convergence probe: the global sum of
+    label hashes, an order-insensitive digest — no join needed). Scale
+    path for high-diameter graphs would switch to pointer doubling /
+    large-star-small-star (O(log n) rounds)."""
+    from ..engine.distinct import distinct_rows, ensure_hash_shuffle, row_hash
+    from ..engine.joins import hash_join
+    from .groupagg import grouped_aggregate
+
+    ensure_hash_shuffle(edges)
 
     def to_nodes(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -94,11 +101,10 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
 
-    from ..engine.distinct import distinct_rows
-
     labels = (
         distinct_rows(
-            edges.map_batches(to_nodes, batch_format="pyarrow"), ["node"]
+            edges.map_batches(to_nodes, batch_format="pyarrow"), ["node"],
+            num_buckets=num_partitions,
         )
         .map_batches(
             lambda t: t.append_column("label", t.column("node")),
@@ -107,14 +113,22 @@ def connected_components(
         .materialize()
     )
 
+    def digest(lbl: rd.Dataset) -> int:
+        # order-insensitive fixpoint probe: sum of row hashes
+        return int(
+            lbl.map_batches(
+                lambda t: pa.table(
+                    {"h": pa.array(row_hash(t, ["node", "label"]).astype("int64"))}
+                ),
+                batch_format="pyarrow",
+            ).sum("h")
+        )
+
+    prev = digest(labels)
     for _ in range(max_rounds):
-        # neighbor messages: edge (src,dst) joined with labels on src
-        msgs = und.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
+        # neighbor messages: (src,dst) ⋈ labels(src) → (dst, label)
+        msgs = hash_join(
+            und, labels, ["src"], ["node"], num_partitions=num_partitions
         ).map_batches(
             lambda t: pa.table(
                 {"node": t.column("dst"), "label": t.column("label")}
@@ -122,36 +136,16 @@ def connected_components(
             batch_format="pyarrow",
         )
         combined = labels.select_columns(["node", "label"]).union(msgs)
-        new_labels = (
-            combined.map_batches(_min_per_node, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        # convergence: did any label change?
-        changed = (
-            new_labels.join(
-                labels.map_batches(
-                    lambda t: pa.table(
-                        {"node": t.column("node"), "old_label": t.column("label")}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                num_partitions=num_partitions,
-                on=("node",),
-            )
-            .map_batches(
-                lambda df: pd.DataFrame(
-                    {"chg": [int((df["label"] != df["old_label"]).sum())]}
-                ),
-                batch_format="pandas",
-            )
-            .sum("chg")
-        )
-        labels = new_labels
-        if not changed:
+        # two-phase grouped Min (per-batch combiner = hot-node salting:
+        # a hub in millions of edge rows ships ≤ one row per block)
+        labels = grouped_aggregate(
+            combined, keys=["node"], aggs={"label": ("label", "min")},
+            num_partitions=num_partitions,
+        ).materialize()
+        cur = digest(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 

@@ -95,3 +95,19 @@ def test_resume_skips_buckets_same_input(ray_session, tx, tmp_path):
     assert sorted(m["buckets_skipped"]) == [0, 1, 2, 4, 5, 6, 7]
     assert os.path.getmtime(untouched) == mtime
     assert _store_lines(out) == want
+
+
+def test_store_point_lookup_prunes(ray_session, tx, tmp_path):
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import lookup_store
+
+    out = str(tmp_path / "out")
+    run_flagship_resumable(tx, out, num_buckets=8)
+    subj = BASE + "conv/c000003/turn/0"
+    t = lookup_store(os.path.join(out, "store"), subj)
+    assert t.num_rows >= 5  # type/role/text/ts/inConversation
+    assert set(t.column("subj").to_pylist()) == {subj}
+    got_preds = set(t.column("pred").to_pylist())
+    assert BASE + "text" in got_preds and BASE + "inConversation" in got_preds
+    # predicate-bound lookup
+    t2 = lookup_store(os.path.join(out, "store"), subj, BASE + "text")
+    assert t2.num_rows == 1

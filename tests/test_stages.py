@@ -214,3 +214,26 @@ def test_token_counts(ray_session):
     assert got.loc[1, "n_tokens"] == 3
     assert got.loc[2, "n_tokens"] == 2
     assert got.loc[2, "n_bpe_tokens"] == 4  # hello , world !
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.cc import cc_labels_small, connected_components
+
+    rng = np.random.default_rng(31)
+    # 3 chains + singleton pairs + one hub (hot key)
+    edges = []
+    for c in range(3):
+        for i in range(30):
+            edges.append((f"n{c}_{i}", f"n{c}_{i+1}"))
+    hub = "hub"
+    for i in range(50):
+        edges.append((hub, f"spoke_{i}"))
+    t = pa.table({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    got = connected_components(
+        rd.from_arrow(t), max_rounds=40, num_partitions=4
+    ).to_pandas()
+    want = cc_labels_small(edges)
+    gm = dict(zip(got.node, got.label))
+    assert gm == want
