@@ -256,6 +256,40 @@ SQL_LOOKUP_NATION = SQL_DM_NATION.rstrip().rstrip(
 ) + " WHERE subj = '<" + BASE + "nation/n_nationkey=3>'"
 
 
+def q_r2rml_sqlquery(sf_dir: str) -> rd.Dataset:
+    """R2RML ``rr:sqlQuery`` logical table (SURVEY §2 #2): an arbitrary
+    SQL view as the triples-map source (big-customer slice)."""
+    cat = catalog_for(sf_dir)
+    view = TriplesMapSpec(
+        name="bigcust",
+        table="__sql__",
+        sql="SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000",
+        subject=TermMapSpec(kind=IRI, template=BASE + "bigcustomer/{c_custkey}"),
+        classes=(BASE + "BigCustomer",),
+        pos=(
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "name"),
+                obj=TermMapSpec(kind=LITERAL, column="c_name"),
+            ),
+        ),
+    )
+    spec = MappingSpec(maps={"bigcust": view}, base=BASE)
+    return to_term_columns(run_mapping(spec, cat, distinct_buckets=4))
+
+
+SQL_R2RML_SQLQUERY = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}bigcustomer/' || c_custkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}BigCustomer>' AS obj
+  FROM customer WHERE c_acctbal > 5000
+  UNION ALL
+  SELECT '<{BASE}bigcustomer/' || c_custkey || '>', '<{BASE}name>',
+         '"' || c_name || '"'
+  FROM customer WHERE c_acctbal > 5000
+) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operators
 
@@ -521,6 +555,17 @@ SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 10
 """
 
 
+def q_lsh_topk(sf_dir: str) -> rd.Dataset:
+    """Approximate (LSH-bucketed) top-k — the scale path of ann_topk;
+    rows-only check (bucketing is not SQL-expressible)."""
+    from ..stages.similarity import lsh_topk
+
+    qs = _query_vectors(sf_dir, 5)
+    return lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
+    )
+
+
 def q_neardup_embeddings(sf_dir: str) -> rd.Dataset:
     return embedding_neardup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46
@@ -542,6 +587,7 @@ QUERIES = {
     "dm_nation": q_dm_nation,
     "dm_events": q_dm_events,
     "r2rml_orders": q_r2rml_orders,
+    "r2rml_sqlquery": q_r2rml_sqlquery,
     "lookup_nation": q_lookup_nation,
     "q1_pricing": q_q1_pricing,
     "top10_orders": q_top10_orders,
@@ -558,6 +604,7 @@ QUERIES = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
+    "lsh_topk": q_lsh_topk,
     "neardup_embeddings": q_neardup_embeddings,
 }
 
@@ -565,6 +612,7 @@ ORACLES = {
     "dm_nation": SQL_DM_NATION,
     "dm_events": SQL_DM_EVENTS,
     "r2rml_orders": SQL_R2RML_ORDERS,
+    "r2rml_sqlquery": SQL_R2RML_SQLQUERY,
     "lookup_nation": SQL_LOOKUP_NATION,
     "q1_pricing": SQL_Q1,
     "top10_orders": SQL_TOP10_ORDERS,
@@ -580,5 +628,5 @@ ORACLES = {
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
-    # langid_docs / simhash_pairs_docs: rows-only (non-SQL-expressible)
+    # langid_docs / simhash_pairs_docs / lsh_topk: rows-only
 }
