@@ -119,7 +119,14 @@ def distinct_rows(
     cols: list[str],
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    """Global distinct over ``cols`` (output has exactly those columns)."""
+    """Global distinct over ``cols`` (output has exactly those columns).
+
+    Sizing: a hash partition larger than ``DataContext.target_max_block_size``
+    (128 MB default) is split into several blocks and the per-block dedup is
+    then not global for that partition — pick ``num_buckets`` so partitions
+    stay well under the limit (the triple-store sink sizes its buckets and
+    runs a repair pass; see ``sinks/triplestore.py``).
+    """
 
     ensure_hash_shuffle(ds)
 

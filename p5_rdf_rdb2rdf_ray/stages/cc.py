@@ -114,15 +114,21 @@ def connected_components(
     )
 
     def digest(lbl: rd.Dataset) -> int:
-        # order-insensitive fixpoint probe: sum of row hashes
-        return int(
-            lbl.map_batches(
-                lambda t: pa.table(
-                    {"h": pa.array(row_hash(t, ["node", "label"]).astype("int64"))}
-                ),
-                batch_format="pyarrow",
-            ).sum("h")
-        )
+        # order-insensitive fixpoint probe: sum of row hashes. One int64
+        # per block to the driver — no aggregate shuffle per round.
+        import numpy as np
+
+        total = np.uint64(0)
+        for b in lbl.map_batches(
+            lambda t: pa.table(
+                {"h": pa.array([int(row_hash(t, ["node", "label"]).sum())
+                                if t.num_rows else 0], pa.uint64())}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            for v in b.column("h").to_pylist():
+                total += np.uint64(v)
+        return int(total)
 
     prev = digest(labels)
     for _ in range(max_rounds):
