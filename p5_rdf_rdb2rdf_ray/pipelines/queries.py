@@ -460,6 +460,44 @@ FROM t
 """
 
 
+def q_user_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization over the events stream (windowed custom
+    operator: repartition by user + vectorized in-block windowing)."""
+    from ..stages.sessions import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ev, gap_s=1800.0, num_partitions=8)
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
+    """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
+    from ..stages.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -599,6 +637,8 @@ QUERIES = {
     "token_counts_docs": q_token_counts_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "winnow_fp_docs": q_winnow_fp_docs,
+    "user_sessions": q_user_sessions,
     "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -624,6 +664,7 @@ ORACLES = {
     "token_counts_docs": SQL_TOKEN_COUNTS_DOCS,
     "quality_docs": SQL_QUALITY_DOCS,
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "user_sessions": SQL_USER_SESSIONS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "ann_topk": SQL_ANN_TOPK,

@@ -1,0 +1,62 @@
+"""Gap-based sessionization — a windowed aggregate Ray Data lacks natively
+(SURVEY §2.4 "custom operators" note; the events table's stream shape).
+
+Semantics: per user, order events by ts; a new session starts when the gap
+to the previous event exceeds ``gap``. Output: one row per session with
+(user_id, session_idx, n_events, t_start, t_end).
+
+Partitioning assumption (documented per the brief): ONE USER'S EVENTS FIT
+IN ONE BLOCK — we hash-repartition by user and window inside each block
+vectorized (cumsum over a boolean gap mask). A user whose history exceeds
+a block would need range-partitioning by (user, time) with boundary-session
+merging; not needed at this data shape (≤ thousands of events/user).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ..engine.distinct import ensure_hash_shuffle
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_s: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """→ (user_id, session_idx, n_events, t_start, t_end), exact."""
+
+    ensure_hash_shuffle(events)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "session_idx": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "t_start": pd.Series([], dtype="datetime64[us]"),
+                    "t_end": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        df = df.sort_values([user_col, ts_col], kind="mergesort")
+        new_user = df[user_col] != df[user_col].shift()
+        gap = df[ts_col].diff().dt.total_seconds() > gap_s
+        df = df.assign(__s=(new_user | gap).cumsum())
+        g = df.groupby([user_col, "__s"], sort=False)
+        out = g.agg(
+            n_events=(ts_col, "size"),
+            t_start=(ts_col, "min"),
+            t_end=(ts_col, "max"),
+        ).reset_index()
+        out["session_idx"] = out.groupby(user_col, sort=False).cumcount() + 1
+        return out[[user_col, "session_idx", "n_events", "t_start", "t_end"]]
+
+    return (
+        events.repartition(num_partitions, keys=[user_col])
+        # whole blocks: all of a user's events are in one block post-shuffle
+        .map_batches(window, batch_format="pandas", batch_size=None)
+    )

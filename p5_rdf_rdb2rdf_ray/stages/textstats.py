@@ -146,3 +146,43 @@ def language_id(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def winnow_fingerprints(
+    ds: rd.Dataset,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer et al. 2003): rolling
+    Rabin-Karp hashes of k-grams, one minimum per window of w — the
+    classic near-dup/plagiarism sketch. → (id_col, n_fp, fp_xor) summary
+    (fp_xor = order-insensitive digest of the selected fingerprints)."""
+    B = np.uint64(1000003)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_fp, fp_xor = [], [], []
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                ids.append(i); n_fp.append(0); fp_xor.append(0)
+                continue
+            # vectorized rolling polynomial hash over all k-grams
+            powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            h = (win * powers).sum(axis=1)  # wraparound mod 2^64
+            if len(h) >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            else:
+                mins = np.array([h.min()], np.uint64)
+            sel = np.unique(mins)
+            ids.append(i)
+            n_fp.append(len(sel))
+            fp_xor.append(int(np.bitwise_xor.reduce(sel)) - 2**63)
+        return pd.DataFrame(
+            {id_col: ids, "n_fp": pd.array(n_fp, "int64"),
+             "fp_xor": pd.array(fp_xor, "int64")}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
