@@ -19,7 +19,7 @@ import pyarrow.dataset as pads
 import ray.data as rd
 
 from ..mapping.direct import direct_mapping
-from ..mapping.spec import MappingSpec, TriplesMapSpec
+from ..mapping.spec import MappingSpec
 from ..sources.catalog import Catalog
 
 

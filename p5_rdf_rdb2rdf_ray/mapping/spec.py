@@ -32,7 +32,7 @@ per batch inside ``map_batches`` — batch-wise, never per row.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Mapping, Sequence
+from typing import Any, Callable, Mapping
 
 from ..functions.scalars import Template, curie_expand
 from ..terms import DEFAULT_NAMESPACES

@@ -45,11 +45,6 @@ def cc_labels_small(edges: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in set(parent) | {n for e in edges for n in e}}
 
 
-def _min_per_node(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch combiner: ≤ 1 row per node before the shuffle."""
-    return df.groupby("node", as_index=False)["label"].min()
-
-
 def connected_components(
     edges: rd.Dataset,
     src: str = "src",

@@ -20,7 +20,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..engine.distinct import distinct_rows, ensure_hash_shuffle
 
 _LSH_SEED = 0x5EED_0002
 

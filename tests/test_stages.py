@@ -237,3 +237,29 @@ def test_connected_components_distributed(ray_session):
     want = cc_labels_small(edges)
     gm = dict(zip(got.node, got.label))
     assert gm == want
+
+
+def test_first_per_group(ray_session):
+    from p5_rdf_rdb2rdf_ray.engine.distinct import first_per_group
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, size=2000),
+            "o": rng.permutation(2000),
+            "v": np.arange(2000),
+        }
+    )
+    got = (
+        first_per_group(rd.from_pandas(df), ["k"], "o", num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values("o", kind="mergesort")
+        .drop_duplicates(subset=["k"], keep="first")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "o", "v"]], want[["k", "o", "v"]], check_dtype=False)
