@@ -6,9 +6,10 @@
   siphash — deterministic across processes/retries).
 - :func:`ngram_jaccard_pairs` — exact near-dup pairs: shingle inverted
   index → per-shingle pair expansion → grouped intersection counts →
-  Jaccard ≥ τ. The shuffle key is the shingle hash; hot shingles can be
-  df-capped (``max_df``) — the cap changes the metric, so it is OFF by
-  default and must be mirrored in any oracle.
+  Jaccard ≥ τ, in ONE shuffle (shingle rows carry the doc's set size, so
+  no distinct pass and no size broadcast). Hot shingles can be df-capped
+  (``max_df``) — the cap changes the metric, so it is OFF by default and
+  must be mirrored in any oracle.
 - :func:`minhash_pairs` — MinHash+LSH: signature → banded buckets →
   candidate pairs → exact-Jaccard verification. Default 16 bands × 4 rows:
   detect probability 1-(1-J⁴)^16 — ≈0.89 at J=0.6, ≈1.0 for J ≥ 0.75.
@@ -84,14 +85,18 @@ def doc_shingles(
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ids: list = []
         shs: list[str] = []
+        szs: list[int] = []
         for i, t in zip(df[id_col], df[text_col].fillna("")):
             w = t.split()
             grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
             ids.extend([i] * len(grams))
             shs.extend(grams)
-        out = pd.DataFrame({id_col: ids, "__s": shs})
+            szs.extend([len(grams)] * len(grams))
+        out = pd.DataFrame({id_col: ids, "__s": shs, "sz": szs})
         out["sh"] = _hash_series(out["__s"])
-        return out[[id_col, "sh"]]
+        # rows are distinct per doc by construction (set), and carry the
+        # doc's shingle-set size — no distinct shuffle, no size broadcast
+        return out[[id_col, "sh", "sz"]]
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -107,9 +112,9 @@ def _pairs_from_index(
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         # block = all rows of some shingle-hash range (post-repartition)
         if not len(df):
-            return pd.DataFrame({"a": [], "b": [], "n": []}).astype(
-                {"a": "int64", "b": "int64", "n": "int64"}
-            )
+            return pd.DataFrame(
+                {"a": [], "b": [], "n": [], "sa": [], "sb": []}
+            ).astype("int64")
         if max_df is not None:
             dfreq = df.groupby("sh")["sh"].transform("size")
             df = df[dfreq <= max_df]
@@ -117,8 +122,7 @@ def _pairs_from_index(
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         g = (
             m.groupby([f"{id_col}_x", f"{id_col}_y"], sort=False)
-            .size()
-            .rename("n")
+            .agg(n=("sh", "size"), sa=("sz_x", "first"), sb=("sz_y", "first"))
             .reset_index()
         )
         return g.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})
@@ -128,9 +132,12 @@ def _pairs_from_index(
         sh_ds.repartition(num_partitions, keys=["sh"])
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
-    # a pair appears in ≤ num_partitions blocks: final grouped sum is small
+    # a pair appears in ≤ num_partitions blocks: final grouped sum is small;
+    # set sizes ride along (min = first, they are all equal per doc)
     return grouped_aggregate(
-        per_block, keys=["a", "b"], aggs={"inter": ("n", "sum")},
+        per_block,
+        keys=["a", "b"],
+        aggs={"inter": ("n", "sum"), "sa": ("sa", "min"), "sb": ("sb", "min")},
         num_partitions=num_partitions,
     )
 
@@ -144,45 +151,25 @@ def ngram_jaccard_pairs(
     num_partitions: int = 16,
     max_df: int | None = None,
 ) -> rd.Dataset:
-    """→ (doc_a, doc_b, jacc) for all pairs with shingle-Jaccard ≥ τ."""
-    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
-    sh = distinct_rows(sh, [id_col, "sh"], num_buckets=num_partitions)
-    sizes_ds = grouped_aggregate(
-        sh, keys=[id_col], aggs={"sz": ("sh", "count")},
-        num_partitions=num_partitions,
-    )
-    # doc-size lookup: broadcast once via the object store (id→size is tiny
-    # relative to the corpus; a 10^9-doc corpus would switch to a hash join)
-    sizes = {
-        r[id_col]: r["sz"] for r in sizes_ds.iter_rows()
-    }
-    sizes_ref = ray.put(sizes)
+    """→ (doc_a, doc_b, jacc) for all pairs with shingle-Jaccard ≥ τ.
 
+    One shuffle (by shingle hash) + one small grouped sum: the per-doc
+    shingle rows are distinct by construction and carry the doc's set
+    size, so there is no distinct pass and no size broadcast/join.
+    """
+    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
     pairs = _pairs_from_index(sh, id_col, num_partitions, max_df)
 
-    class Finalize:
-        def __init__(self, sizes_ref):
-            self.sizes = ray.get(sizes_ref)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "jacc": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "jacc": "float64"})
+        j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
+        out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
+        return out[out["jacc"] >= tau].reset_index(drop=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame(
-                    {"doc_a": [], "doc_b": [], "jacc": []}
-                ).astype({"doc_a": "int64", "doc_b": "int64", "jacc": "float64"})
-            sa = df["a"].map(self.sizes)
-            sb = df["b"].map(self.sizes)
-            j = df["inter"] / (sa + sb - df["inter"])
-            out = pd.DataFrame(
-                {"doc_a": df["a"], "doc_b": df["b"], "jacc": j}
-            )
-            return out[out["jacc"] >= tau].reset_index(drop=True)
-
-    return pairs.map_batches(
-        Finalize,
-        fn_constructor_kwargs={"sizes_ref": sizes_ref},
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return pairs.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
