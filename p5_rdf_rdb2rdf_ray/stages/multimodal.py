@@ -152,3 +152,65 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         "duration_ms": [1000] * n,
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageResizer:
+    """Actor-pool stage: resize image payloads to (out_w, out_h).
+
+    STUB decode/encode (no PIL in this container — a real implementation
+    replaces `_resize_stub` with PIL/opencv); the Ray-side contract is
+    real: payload-in/payload-out with updated width/height metadata,
+    non-image rows passed through untouched.
+    """
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, use_real_decoder: bool = False):
+        if use_real_decoder:
+            raise NotImplementedError("plug PIL/opencv in here")
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def _resize_stub(self, payload: bytes) -> bytes:
+        # deterministic fake: derives out_w*out_h "pixels" from the payload
+        h = hashlib.sha256(payload).digest()
+        need = self.out_w * self.out_h
+        return (h * (need // len(h) + 1))[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for k, p, w, hgt in zip(
+            kinds, payloads,
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if k == "image":
+                out_p.append(self._resize_stub(p or b""))
+                out_w.append(self.out_w)
+                out_h.append(self.out_h)
+            else:
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(hgt)
+        t = batch.drop_columns(["payload", "width", "height"])
+        return (
+            t.append_column("payload", pa.array(out_p, pa.binary()))
+            .append_column("width", pa.array(out_w, pa.int32()))
+            .append_column("height", pa.array(out_h, pa.int32()))
+        )
+
+
+def resize_images(
+    media: rd.Dataset,
+    out_w: int = 32,
+    out_h: int = 32,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

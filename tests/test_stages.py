@@ -263,3 +263,15 @@ def test_first_per_group(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "o", "v"]], want[["k", "o", "v"]], check_dtype=False)
+
+
+def test_multimodal_resize(ray_session):
+    from p5_rdf_rdb2rdf_ray.stages.multimodal import resize_images, synth_media_table
+
+    media = synth_media_table(12)
+    out = resize_images(rd.from_arrow(media), out_w=8, out_h=8).to_pandas()
+    imgs = out[out.kind == "image"]
+    others = out[out.kind != "image"]
+    assert (imgs.width == 8).all() and (imgs.height == 8).all()
+    assert imgs.payload.map(len).eq(64).all()
+    assert (others.width == 64).all()  # untouched
