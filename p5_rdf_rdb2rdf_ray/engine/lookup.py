@@ -51,6 +51,17 @@ def decode_predicate(iri: str, base: str) -> tuple[str, str] | None:
     return urllib.parse.unquote(table), urllib.parse.unquote(col)
 
 
+def decode_ref_predicate(iri: str, base: str) -> tuple[str, tuple[str, ...]] | None:
+    """``<base>T#ref-c1;c2`` → (table, (c1, c2)); None otherwise."""
+    if not iri.startswith(base) or "#" not in iri:
+        return None
+    table, _, col = iri[len(base):].partition("#")
+    if not col.startswith("ref-"):
+        return None
+    cols = tuple(urllib.parse.unquote(c) for c in col[4:].split(";"))
+    return urllib.parse.unquote(table), cols
+
+
 def _cast_value(schema: pa.Schema, col: str, raw: str):
     t = schema.field(col).type
     if pa.types.is_integer(t):
@@ -64,14 +75,25 @@ def get_statements(
     catalog: Catalog,
     subject: str | None = None,
     predicate: str | None = None,
+    obj: str | None = None,
+    obj_literal: str | None = None,
     base: str = "http://example.com/base/",
     distinct_buckets: int = 8,
 ) -> rd.Dataset:
     """Lazy Dataset of DM triples matching the bound terms.
 
-    Pushdown: bound subject → parquet row filter on the PK columns; bound
-    predicate → only that column's triples map is compiled (projection
-    pruning happens in the planner as usual).
+    Pushdown [R: DirectMapping/Store.pm :: get_statements — bound subject →
+    table+PK WHERE; bound predicate → table+column; bound object → value
+    WHERE]:
+
+    - bound ``subject`` → parquet row filter on the PK columns;
+    - bound ``predicate`` → only that column's triples map is compiled;
+    - bound object: ``obj_literal`` (lexical form) with a bound column
+      predicate → ``WHERE col = value`` pushed to the parquet read;
+      ``obj`` (an IRI) with a bound ``#ref-…`` predicate → decode the
+      parent row node → WHERE on the child FK columns. An object bound
+      WITHOUT a predicate falls back to a post-filter on the emitted term
+      (the reference scans every column in that case too).
     """
     from .runner import run_mapping
 
@@ -96,6 +118,32 @@ def get_statements(
             table, col = decp
             if tables is None:
                 tables = [table]
+            if obj_literal is not None:
+                # bound literal object + bound column predicate → value WHERE
+                schema = catalog.schema(table)
+                e = pc.field(col) == _cast_value(schema, col, obj_literal)
+                flt = e if flt is None else flt & e
+        decr = decode_ref_predicate(predicate, base)
+        if decr is not None:
+            table, fk_cols = decr
+            if tables is None:
+                tables = [table]
+            if obj is not None:
+                # bound IRI object on a ref predicate → decode the parent
+                # row node, constrain the child FK columns to its PK values
+                deco = decode_subject(obj, base)
+                if deco is None:
+                    return rd.from_arrow(_empty())
+                _ptable, pkv = deco
+                if len(pkv) != len(fk_cols):
+                    return rd.from_arrow(_empty())
+                schema = catalog.schema(table)
+                for c, v in zip(fk_cols, pkv.values()):
+                    e = pc.field(c) == _cast_value(schema, c, v)
+                    flt = e if flt is None else flt & e
+    # an object bound WITHOUT a predicate gets no column pushdown — the
+    # semantic gate below post-filters the emitted terms (the reference
+    # scans every column in that case too)
 
     # compile over ALL tables so FK parents resolve; execute only the bound
     # table's map (if any)
@@ -124,7 +172,10 @@ def get_statements(
         # filter pushdown: load the filtered slice into the catalog as an
         # in-memory table (point lookups are small by construction)
         table = tables[0]
-        dset = pads.dataset(catalog.files(table))
+        if table in catalog.tables:
+            dset = pads.dataset(catalog.tables[table])
+        else:
+            dset = pads.dataset(catalog.files(table))
         sliced = dset.to_table(filter=flt)
         catalog = Catalog(
             root=catalog.root,
@@ -132,9 +183,53 @@ def get_statements(
             tables={**catalog.tables, table: sliced},
         )
 
-    return run_mapping(
+    out = run_mapping(
         spec, catalog, distinct_buckets=distinct_buckets, only_maps=only_maps
     )
+
+    # exact semantic gate on a bound object: the parquet value-WHERE above
+    # is an optimization; the emitted term must still equal the bound term
+    # (lexical canon, term kind). Cheap — runs on the already-pruned slice.
+    if obj is not None or obj_literal is not None:
+        from ..terms import KIND_LITERAL
+
+        if obj is not None:
+            want, want_kind = obj, None  # IRI or bnode label
+        else:
+            want, want_kind = obj_literal, KIND_LITERAL
+
+        def keep(t: pa.Table, _w=want, _k=want_kind) -> pa.Table:
+            m = pc.equal(t.column("obj"), _w)
+            if _k is not None:
+                m = pc.and_(m, pc.equal(t.column("obj_kind"), _k))
+            else:
+                m = pc.and_(m, pc.not_equal(t.column("obj_kind"), KIND_LITERAL))
+            return t.filter(pc.fill_null(m, False))
+
+        out = out.map_batches(keep, batch_format="pyarrow")
+    return out
+
+
+def count_statements(
+    catalog: Catalog,
+    subject: str | None = None,
+    predicate: str | None = None,
+    obj: str | None = None,
+    obj_literal: str | None = None,
+    base: str = "http://example.com/base/",
+) -> int:
+    """Number of DM triples matching the bound terms
+    [R: DirectMapping/Store.pm :: count_statements] — a ``count()`` over
+    the lazy lookup Dataset (same pushdown, never materializes triples)."""
+    return get_statements(
+        catalog,
+        subject=subject,
+        predicate=predicate,
+        obj=obj,
+        obj_literal=obj_literal,
+        base=base,
+        distinct_buckets=2,
+    ).count()
 
 
 def _empty() -> pa.Table:

@@ -78,17 +78,18 @@ def _selective_apply(
 ) -> pa.Array:
     """Apply scalar ``fn`` only where ``safe_mask`` is false; keep the Arrow
     array untouched (zero-copy) when every valid value is safe."""
-    need = pc.and_kleene(pc.invert(safe_mask), pc.is_valid(arr))
+    need = pc.fill_null(
+        pc.and_kleene(pc.invert(safe_mask), pc.is_valid(arr)), False
+    )
     if pc.sum(pc.cast(need, pa.int64())).as_py() in (0, None):
         return arr
+    # encode ONLY the flagged slice and scatter it back with
+    # pc.replace_with_mask — one weird value in a batch no longer degrades
+    # the whole batch to a Python list round-trip
     idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
     py = arr.take(pa.array(idx)).to_pylist()
-    repl = pa.array([fn(v) for v in py], type=pa.string())
-    # scatter back: build full python list only for changed path
-    out = arr.to_pylist()
-    for i, v in zip(idx, repl.to_pylist()):
-        out[i] = v
-    return pa.array(out, type=pa.string())
+    repl = pa.array([fn(v) for v in py], type=arr.type)
+    return pc.replace_with_mask(arr, need, repl)
 
 
 def iri_safe_encode_array(arr: pa.Array) -> pa.Array:

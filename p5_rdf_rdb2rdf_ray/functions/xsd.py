@@ -193,3 +193,24 @@ def lexical_array(arr: pa.Array) -> tuple[pa.Array, str | None]:
     if pa.types.is_null(t):
         return pc.cast(arr, pa.string()), None
     raise TypeError(f"no natural RDF mapping for Arrow type {t}")
+
+
+def has_natural_mapping(t: pa.DataType) -> bool:
+    """True if :func:`lexical_array` can canonicalize this Arrow type —
+    i.e. the column exists in the reference's SQL-92 world (W3C-R2RML
+    §10.2 natural mappings). Nested types (list/struct/map) do not."""
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_decimal(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t)
+        or pa.types.is_null(t)
+    )

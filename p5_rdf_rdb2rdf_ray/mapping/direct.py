@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.scalars import iri_safe_encode
+from ..functions.xsd import has_natural_mapping
 from ..sources.catalog import Catalog
 from ..terms import KIND_IRI, KIND_LITERAL, RDF_TYPE, TRIPLE_SCHEMA
 from .spec import (
@@ -79,6 +80,11 @@ def direct_mapping(
 
         pos: list[PredObjSpec] = []
         for f in schema:
+            if not has_natural_mapping(f.type):
+                # nested Arrow types (list/struct/map) have no W3C natural
+                # datatype mapping — outside the reference's SQL-92 world;
+                # skip the column rather than fail the whole table
+                continue
             pos.append(
                 PredObjSpec(
                     pred=TermMapSpec(kind=IRI, constant=_col_pred(base, t, f.name)),
@@ -121,6 +127,8 @@ def rdfs_schema_triples(
         rows.append((cls, RDF_TYPE, RDFS + "Class", KIND_IRI, None, None))
         rows.append((cls, RDFS + "label", t, KIND_LITERAL, None, None))
         for f in catalog.schema(t):
+            if not has_natural_mapping(f.type):
+                continue
             p = _col_pred(base, t, f.name)
             rows.append(
                 (p, RDF_TYPE, "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",

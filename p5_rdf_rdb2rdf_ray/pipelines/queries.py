@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..engine.lookup import get_statements
+from ..engine.lookup import count_statements, get_statements
 from ..engine.runner import run_mapping
 from ..mapping.direct import direct_mapping
 from ..mapping.spec import (
@@ -254,6 +254,64 @@ def q_lookup_nation(sf_dir: str) -> rd.Dataset:
 SQL_LOOKUP_NATION = SQL_DM_NATION.rstrip().rstrip(
     ""
 ) + " WHERE subj = '<" + BASE + "nation/n_nationkey=3>'"
+
+
+def q_lookup_nation_by_value(sf_dir: str) -> rd.Dataset:
+    """Bound-OBJECT pushdown lookup (Store parity, [R: DirectMapping/
+    Store.pm :: get_statements with bound $o]): bound column predicate +
+    literal object → parquet value-WHERE; plus a bound ref predicate +
+    parent-node object → FK-column WHERE, unioned."""
+    cat = catalog_for(sf_dir)
+    by_val = get_statements(
+        cat, predicate=BASE + "nation#n_name", obj_literal="NATION_3",
+        base=BASE, distinct_buckets=2,
+    )
+    by_ref = get_statements(
+        cat, predicate=BASE + "nation#ref-n_regionkey",
+        obj=BASE + "region/r_regionkey=1", base=BASE, distinct_buckets=2,
+    )
+    return to_term_columns(by_val.union(by_ref))
+
+
+SQL_LOOKUP_NATION_BY_VALUE = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+       '<{BASE}nation#n_name>' AS pred, '"' || n_name || '"' AS obj
+FROM nation WHERE n_name = 'NATION_3'
+UNION ALL
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+       '<{BASE}nation#ref-n_regionkey>',
+       '<{BASE}region/r_regionkey=' || n_regionkey || '>'
+FROM nation WHERE n_regionkey = 1
+"""
+
+
+def q_count_statements(sf_dir: str):
+    """Store ``count_statements`` parity: per-pattern triple counts as a
+    small table (subject-bound, predicate-bound, unbound)."""
+    import pyarrow as pa
+
+    cat = catalog_for(sf_dir)
+    n_subj = count_statements(
+        cat, subject=BASE + "nation/n_nationkey=3", base=BASE
+    )
+    n_pred = count_statements(
+        cat, predicate=BASE + "nation#n_name", base=BASE
+    )
+    return pa.table(
+        {
+            "pattern": pa.array(["subject_bound", "predicate_bound"]),
+            "n": pa.array([n_subj, n_pred], pa.int64()),
+        }
+    )
+
+
+# a DM nation row emits 5 triples: rdf:type + 3 column literals + 1 FK ref
+SQL_COUNT_STATEMENTS = """
+SELECT 'subject_bound' AS pattern, CAST(count(*) * 5 AS BIGINT) AS n
+FROM nation WHERE n_nationkey = 3
+UNION ALL
+SELECT 'predicate_bound', CAST(count(*) AS BIGINT) FROM nation
+"""
 
 
 def q_r2rml_sqlquery(sf_dir: str) -> rd.Dataset:
@@ -627,6 +685,8 @@ QUERIES = {
     "r2rml_orders": q_r2rml_orders,
     "r2rml_sqlquery": q_r2rml_sqlquery,
     "lookup_nation": q_lookup_nation,
+    "lookup_nation_by_value": q_lookup_nation_by_value,
+    "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
     "top10_orders": q_top10_orders,
     "purchase_events": q_purchase_events,
@@ -654,6 +714,8 @@ ORACLES = {
     "r2rml_orders": SQL_R2RML_ORDERS,
     "r2rml_sqlquery": SQL_R2RML_SQLQUERY,
     "lookup_nation": SQL_LOOKUP_NATION,
+    "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
+    "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,
     "top10_orders": SQL_TOP10_ORDERS,
     "purchase_events": SQL_PURCHASE_EVENTS,

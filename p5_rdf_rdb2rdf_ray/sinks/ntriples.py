@@ -17,7 +17,7 @@ from ..functions.scalars import ntriples_escape_array
 from ..terms import KIND_LITERAL
 
 
-def _fmt_node(arr: pa.Array, kind: pa.Array | None = None) -> pa.Array:
+def _fmt_node(arr: pa.Array) -> pa.Array:
     """IRI → <iri>; blank node label (``_:…``) passes through."""
     is_bnode = pc.starts_with(arr, "_:")
     wrapped = pc.binary_join_element_wise(

@@ -36,6 +36,20 @@ ENGINE_VERSION = 1
 BUCKET_COL = "__bucket"
 
 
+def _hash_engine_version() -> str:
+    """Version of the row-hash engine the bucket layout depends on.
+
+    Bucketing keys on polars ``hash_rows``, which is stable only per polars
+    version — a polars upgrade between a run and its resume would silently
+    mix bucketing schemes (triples in wrong buckets, broken lookup pruning
+    and cross-bucket dedup). Manifests record this and ``completed_buckets``
+    treats a mismatch as not-done.
+    """
+    import polars
+
+    return f"polars-{polars.__version__}"
+
+
 def fingerprint_files(paths: list[str]) -> str:
     """Cheap, deterministic input fingerprint: (basename, size) of every
     input file. Content hashing would read 100 TB; size+name catches
@@ -82,7 +96,11 @@ def completed_buckets(out_dir: str, input_fp: str) -> set[int]:
                 m = json.load(open(mpath))
             except (json.JSONDecodeError, OSError):
                 continue
-            if m.get("input_fp") == input_fp and m.get("version") == ENGINE_VERSION:
+            if (
+                m.get("input_fp") == input_fp
+                and m.get("version") == ENGINE_VERSION
+                and m.get("hash_engine") == _hash_engine_version()
+            ):
                 done.add(int(name.split("=")[1]))
     return done
 
@@ -146,6 +164,7 @@ def write_triplestore(
             "num_buckets": num_buckets,
             "input_fp": input_fp,
             "version": ENGINE_VERSION,
+            "hash_engine": _hash_engine_version(),
         }
         with open(os.path.join(out_dir, "_METRICS.json"), "w") as f:
             json.dump(metrics, f, indent=1)
@@ -220,6 +239,7 @@ def write_triplestore(
             "parts": [p for p, _ in parts],
             "input_fp": input_fp,
             "version": ENGINE_VERSION,
+            "hash_engine": _hash_engine_version(),
         }
         tmp = os.path.join(d, "._MANIFEST.tmp")
         with open(tmp, "w") as f:
@@ -234,6 +254,7 @@ def write_triplestore(
         "num_buckets": num_buckets,
         "input_fp": input_fp,
         "version": ENGINE_VERSION,
+        "hash_engine": _hash_engine_version(),
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_METRICS.json"), "w") as f:
@@ -278,9 +299,22 @@ def lookup_store(
         )
     b = int(subject_bucket(pa.array([subject]), num_buckets)[0])
     d = os.path.join(out_dir, f"bucket={b:05d}")
+    if not os.path.isdir(d):
+        # empty bucket (routine on sparse stores): no dir was ever created
+        from ..terms import TRIPLE_SCHEMA
+
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
     parts = [
         os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
+    if not parts:
+        from ..terms import TRIPLE_SCHEMA
+
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
     flt = pc.field("subj") == subject
     if predicate is not None:
         flt = flt & (pc.field("pred") == predicate)

@@ -109,11 +109,10 @@ def connected_components(
     )
 
     def digest(lbl: rd.Dataset) -> int:
-        # order-insensitive fixpoint probe: sum of row hashes. One int64
-        # per block to the driver — no aggregate shuffle per round.
-        import numpy as np
-
-        total = np.uint64(0)
+        # order-insensitive fixpoint probe: sum of row hashes mod 2^64.
+        # One int64 per block to the driver — no aggregate shuffle per
+        # round. Python-int modular arithmetic: wraparound is intended.
+        total = 0
         for b in lbl.map_batches(
             lambda t: pa.table(
                 {"h": pa.array([int(row_hash(t, ["node", "label"]).sum())
@@ -122,9 +121,10 @@ def connected_components(
             batch_format="pyarrow",
         ).iter_batches(batch_format="pyarrow"):
             for v in b.column("h").to_pylist():
-                total += np.uint64(v)
-        return int(total)
+                total = (total + v) & 0xFFFF_FFFF_FFFF_FFFF
+        return total
 
+    converged = False
     prev = digest(labels)
     for _ in range(max_rounds):
         # neighbor messages: (src,dst) ⋈ labels(src) → (dst, label)
@@ -145,8 +145,20 @@ def connected_components(
         ).materialize()
         cur = digest(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # min-label propagation needs ~diameter rounds; returning here
+        # would silently yield wrong components for high-diameter graphs.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d rounds — labels may "
+            "be non-converged for high-diameter graphs; raise max_rounds "
+            "(or use a pointer-doubling variant for the scale path)",
+            max_rounds,
+        )
     return labels
 
 

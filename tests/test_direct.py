@@ -161,3 +161,67 @@ def test_rdfs_schema_triples(dm_catalog):
         f"<{B}dm_emp#ename> <http://www.w3.org/2000/01/rdf-schema#domain> <{B}dm_emp> ."
         in lines
     )
+
+
+# ---------------------------------------------------------------------------
+# Store parity: bound-object lookup + count_statements
+# [R: DirectMapping/Store.pm :: get_statements/count_statements]
+
+
+def test_lookup_bound_literal_object(ray_session, dm_catalog):
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_statements
+
+    rows = get_statements(
+        dm_catalog, predicate=B + "dm_dept#dname", obj_literal="ops",
+        base=B, distinct_buckets=2,
+    ).take_all()
+    assert len(rows) == 1
+    assert rows[0]["subj"] == B + "dm_dept/dept_id=2"
+    assert rows[0]["obj"] == "ops"
+
+
+def test_lookup_bound_ref_object(ray_session, dm_catalog):
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_statements
+
+    rows = get_statements(
+        dm_catalog, predicate=B + "dm_emp#ref-dept_id",
+        obj=B + "dm_dept/dept_id=1", base=B, distinct_buckets=2,
+    ).take_all()
+    assert sorted(r["subj"] for r in rows) == [
+        B + "dm_emp/emp_id=1",
+        B + "dm_emp/emp_id=2",
+    ]
+    assert all(r["obj"] == B + "dm_dept/dept_id=1" for r in rows)
+
+
+def test_lookup_object_without_predicate(ray_session, dm_catalog):
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_statements
+
+    # no pushdown column — post-filter on the emitted term (all columns)
+    rows = get_statements(
+        dm_catalog, obj_literal="eng", base=B, distinct_buckets=2
+    ).take_all()
+    assert len(rows) == 1
+    assert rows[0]["pred"] == B + "dm_dept#dname"
+    # an IRI object must not match equal-lexical literals
+    rows2 = get_statements(
+        dm_catalog, obj=B + "dm_dept/dept_id=1", base=B, distinct_buckets=2
+    ).take_all()
+    assert {r["pred"] for r in rows2} == {B + "dm_emp#ref-dept_id"}
+
+
+def test_count_statements(ray_session, dm_catalog):
+    from p5_rdf_rdb2rdf_ray.engine.lookup import count_statements
+
+    # dept 1: type + dept_id + dname + city = 4 triples
+    assert count_statements(dm_catalog, subject=B + "dm_dept/dept_id=1", base=B) == 4
+    # dept 2 has NULL city → 3
+    assert count_statements(dm_catalog, subject=B + "dm_dept/dept_id=2", base=B) == 3
+    assert count_statements(dm_catalog, predicate=B + "dm_emp#ename", base=B) == 5
+    assert (
+        count_statements(
+            dm_catalog, predicate=B + "dm_emp#ref-dept_id",
+            obj=B + "dm_dept/dept_id=2", base=B,
+        )
+        == 2
+    )

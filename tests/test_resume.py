@@ -111,3 +111,33 @@ def test_store_point_lookup_prunes(ray_session, tx, tmp_path):
     # predicate-bound lookup
     t2 = lookup_store(os.path.join(out, "store"), subj, BASE + "text")
     assert t2.num_rows == 1
+
+
+def test_store_lookup_absent_subject_and_empty_bucket(ray_session, tmp_path):
+    """A lookup of an absent subject must return the empty triple table —
+    including when the subject hashes to a bucket whose directory was
+    never created (sparse store: 1 subject, 64 buckets → 63 missing dirs,
+    the FileNotFoundError regression)."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import lookup_store, write_triplestore
+    from p5_rdf_rdb2rdf_ray.terms import TRIPLE_SCHEMA
+
+    one = pa.table(
+        {
+            "subj": [BASE + "conv/only/turn/0"],
+            "pred": [BASE + "text"],
+            "obj": ["hi"],
+            "obj_kind": pa.array([2], pa.uint8()),
+            "lang": pa.array([None], pa.string()),
+            "datatype": pa.array([None], pa.string()),
+            "graph": pa.array([None], pa.string()),
+        }
+    )
+    store = str(tmp_path / "sparse_store")
+    write_triplestore(rd.from_arrow(one), store, num_buckets=64, input_fp="x")
+    for i in range(24):
+        t = lookup_store(store, BASE + f"conv/absent{i}/turn/0")
+        assert t.num_rows == 0
+        assert t.schema.equals(TRIPLE_SCHEMA)
+    assert lookup_store(store, BASE + "conv/only/turn/0").num_rows == 1
