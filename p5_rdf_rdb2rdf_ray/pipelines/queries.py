@@ -335,6 +335,65 @@ def q_r2rml_sqlquery(sf_dir: str) -> rd.Dataset:
     return to_term_columns(run_mapping(spec, cat, distinct_buckets=4))
 
 
+# the reference's primary entry point is a Turtle mapping doc
+# [R: R2RML.pm :: new]; this entry drives compile_r2rml + rr:graphMap
+# end-to-end through the DuckDB gate (quads: subj/pred/obj/graph columns)
+_NATION_GRAPH_TTL = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <{BASE}> .
+
+<#NationMap>
+  rr:logicalTable [ rr:tableName "nation" ];
+  rr:subjectMap [
+      rr:template "{BASE}nation-g/{{n_nationkey}}";
+      rr:class ex:Nation;
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:name;
+      rr:objectMap [ rr:column "n_name"; rr:language "en" ];
+      rr:graphMap [ rr:constant ex:gNames ];
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:region;
+      rr:objectMap [ rr:template "{BASE}region-g/{{n_regionkey}}" ];
+      rr:graphMap [ rr:template "{BASE}graph/{{n_regionkey}}" ];
+  ] .
+"""
+
+
+def q_r2rml_turtle_graph(sf_dir: str) -> rd.Dataset:
+    """Turtle front-end end-to-end (SURVEY §3.1) with rr:graphMap quads:
+    parse an actual ``rr:`` mapping doc, run it, emit the graph column.
+    Class triples land in the default graph (null); each POM's graphMap
+    routes its triples (constant + template graphs exercised)."""
+    from ..mapping.r2rml import compile_r2rml
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
+    return to_term_columns(
+        run_mapping(spec, cat, distinct_buckets=4), with_graph=True
+    )
+
+
+SQL_R2RML_TURTLE_GRAPH = f"""
+SELECT subj, pred, obj, graph FROM (
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Nation>' AS obj,
+         CAST(NULL AS VARCHAR) AS graph
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}name>',
+         '"' || n_name || '"@en', '<{BASE}gNames>'
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         '<{BASE}graph/' || n_regionkey || '>'
+  FROM nation
+) t
+"""
+
+
 SQL_R2RML_SQLQUERY = f"""
 SELECT subj, pred, obj FROM (
   SELECT '<{BASE}bigcustomer/' || c_custkey || '>' AS subj,
@@ -684,6 +743,7 @@ QUERIES = {
     "dm_events": q_dm_events,
     "r2rml_orders": q_r2rml_orders,
     "r2rml_sqlquery": q_r2rml_sqlquery,
+    "r2rml_turtle_graph": q_r2rml_turtle_graph,
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
     "count_statements": q_count_statements,
@@ -713,6 +773,7 @@ ORACLES = {
     "dm_events": SQL_DM_EVENTS,
     "r2rml_orders": SQL_R2RML_ORDERS,
     "r2rml_sqlquery": SQL_R2RML_SQLQUERY,
+    "r2rml_turtle_graph": SQL_R2RML_TURTLE_GRAPH,
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
     "count_statements": SQL_COUNT_STATEMENTS,

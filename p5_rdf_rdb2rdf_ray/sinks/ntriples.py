@@ -75,13 +75,18 @@ def format_batch(t: pa.Table) -> pa.Table:
     return pa.table({"line": line})
 
 
-def format_terms_batch(t: pa.Table) -> pa.Table:
+def format_terms_batch(t: pa.Table, with_graph: bool = False) -> pa.Table:
     """Triple rows → 3 columns (subj, pred, obj) of N-Triples TERM strings
-    — the order-insensitive compare format for the DuckDB oracles."""
+    — the order-insensitive compare format for the DuckDB oracles.
+    ``with_graph=True`` adds a 4th ``graph`` column (``<iri>`` or null for
+    the default graph) for named-graph / quad oracles."""
     n = t.num_rows
     if n == 0:
         e = pa.array([], pa.string())
-        return pa.table({"subj": e, "pred": e, "obj": e})
+        cols = {"subj": e, "pred": e, "obj": e}
+        if with_graph:
+            cols["graph"] = e
+        return pa.table(cols)
     subj = _fmt_node(t.column("subj").combine_chunks())
     pred = pc.binary_join_element_wise(
         pa.scalar("<"), t.column("pred").combine_chunks(), pa.scalar(">"), pa.scalar("")
@@ -107,11 +112,20 @@ def format_terms_batch(t: pa.Table) -> pa.Table:
     )
     literal = pc.binary_join_element_wise(lit_body, lang_sfx, dt_sfx, pa.scalar(""))
     obj_s = pc.if_else(pc.equal(kind, KIND_LITERAL), literal, _fmt_node(obj))
-    return pa.table({"subj": subj, "pred": pred, "obj": obj_s})
+    cols = {"subj": subj, "pred": pred, "obj": obj_s}
+    if with_graph:
+        g = t.column("graph").combine_chunks()
+        cols["graph"] = pc.if_else(
+            pc.is_valid(g), _fmt_node(pc.fill_null(g, "")), pa.nulls(n, pa.string())
+        )
+    return pa.table(cols)
 
 
-def to_term_columns(ds: rd.Dataset) -> rd.Dataset:
-    return ds.map_batches(format_terms_batch, batch_format="pyarrow")
+def to_term_columns(ds: rd.Dataset, with_graph: bool = False) -> rd.Dataset:
+    def fmt(t: pa.Table) -> pa.Table:
+        return format_terms_batch(t, with_graph=with_graph)
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
 
 
 def to_ntriples_dataset(ds: rd.Dataset) -> rd.Dataset:

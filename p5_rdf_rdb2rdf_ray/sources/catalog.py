@@ -59,7 +59,7 @@ class Catalog:
     def schema(self, table: str) -> pa.Schema:
         if table in self.tables:
             return self.tables[table].schema
-        return pq.read_schema(self._path(table))
+        return pq.read_schema(self.files(table)[0])
 
     def layout(self, table: str) -> TableLayout:
         return self.layouts.get(table, TableLayout())
@@ -124,27 +124,42 @@ class Catalog:
     def _load_with_rowid(
         self, table: str, columns: list[str] | None
     ) -> rd.Dataset:
-        """Deterministic (file, offset)-derived row ids.
+        """Deterministic (file, row-group)-derived row ids, streamed.
 
-        Scale note: offsets come from parquet *metadata* (no data read);
-        each file is then read as its own fragment whose rowid base is the
-        cumulative row count — stable under retries and resume.
+        The DRIVER reads only parquet *metadata* (row-group row counts →
+        cumulative rowid bases); the row-group DATA is read inside Ray
+        tasks (one row group per task, ``batch_size=1`` over a Dataset of
+        fragment descriptors) — the driver never materializes the table,
+        so a no-PK Direct Mapping over a multi-TB table streams like any
+        other scan. Rowids are stable under retries/resume because they
+        are a pure function of (file order, row-group order).
         """
-        files = self.files(table)
-        offsets: list[int] = []
+        frags: list[dict] = []
         total = 0
-        for f in files:
-            offsets.append(total)
-            total += pq.ParquetFile(f).metadata.num_rows
+        for f in self.files(table):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                frags.append({"path": f, "rg": rg, "base": total})
+                total += md.row_group(rg).num_rows
 
-        parts: list[rd.Dataset] = []
-        for f, base in zip(files, offsets):
-            t = pq.read_table(f, columns=columns)
-            t = t.append_column(
-                ROWID_COL, pa.array(range(base, base + t.num_rows), pa.int64())
-            )
-            parts.append(rd.from_arrow(t))
-        ds = parts[0]
-        if len(parts) > 1:
-            ds = ds.union(*parts[1:])
-        return ds
+        cols = list(columns) if columns is not None else None
+
+        def read_frag(batch: pa.Table) -> pa.Table:
+            outs = []
+            for path, rg, base in zip(
+                batch.column("path").to_pylist(),
+                batch.column("rg").to_pylist(),
+                batch.column("base").to_pylist(),
+            ):
+                t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
+                outs.append(
+                    t.append_column(
+                        ROWID_COL,
+                        pa.array(range(base, base + t.num_rows), pa.int64()),
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        return rd.from_items(frags).map_batches(
+            read_frag, batch_format="pyarrow", batch_size=1
+        )
