@@ -139,8 +139,15 @@ def distinct_rows(
     return (
         ds.map_batches(combine, batch_format="pyarrow")
         .repartition(num_buckets, keys=cols)
-        # batch_size=None → whole blocks; a key never spans two blocks after
-        # the hash repartition, so per-block dedup is globally exact
+        # batch_size=None → whole blocks. EXACTNESS INVARIANT (verified for
+        # Ray 2.49, tests/test_stages.py::test_shuffle_partition_invariant):
+        # the HASH_SHUFFLE operator emits exactly ONE block per partition —
+        # it constructs itself with target_max_block_size=None, so even a
+        # 300 MB partition is not split — and this per-key stage is the
+        # FIRST map downstream of the shuffle. Only a SECOND map stage sees
+        # split blocks (map OUTPUTS are split at target_max_block_size),
+        # which is why the triplestore writer — a second-map stage — has a
+        # repair pass (sinks/triplestore.py).
         .map_batches(dedup_block, batch_format="pyarrow", batch_size=None)
     )
 

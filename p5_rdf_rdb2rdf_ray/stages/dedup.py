@@ -21,15 +21,18 @@
   distance.
 
 Scale notes: every stage is shuffle-by-key + per-block vectorized work; no
-driver-side loops over the corpus. The MinHash verify step broadcasts only
-the candidate docs' shingle sets (output-sized, not corpus-sized).
+driver-side loops over the corpus and no driver materialization anywhere.
+The MinHash verify is fully distributed: candidate docs' shingles are
+semi-joined down (output-sized shuffle), intersections computed by the
+same one-shuffle inverted index as the exact path, then an inner join
+keeps LSH-detected pairs. Shingling/minhashing build no n-gram strings:
+tokens are hashed in polars and combined by a rolling polynomial.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray
 import ray.data as rd
 
 from ..engine.distinct import distinct_rows, ensure_hash_shuffle
@@ -74,31 +77,123 @@ def exact_dedup(
 # shingles + exact n-gram Jaccard
 
 
+_SHINGLE_B = np.uint64(1000003)
+
+
+def _shingle_hashes(
+    df: pd.DataFrame, id_col: str, text_col: str, n: int
+) -> pd.DataFrame:
+    """Vectorized word-n-gram hashing → (id_col, sh:uint64), DISTINCT per
+    doc. No n-gram strings are ever built: tokens are hashed once (pandas
+    siphash) and n consecutive token hashes combine into the shingle hash
+    by a rolling polynomial (numpy, wraparound mod 2^64) — equivalent to
+    hashing the joined string for every observable purpose (set sizes,
+    intersections) at ~2^-64 collision odds."""
+    import polars as pl
+
+    # tokenize + explode + hash in polars (Rust, no Python token objects);
+    # \S+ matches Python str.split() and the DuckDB oracle's tokenizer
+    e = (
+        pl.DataFrame(
+            {
+                "__row": pl.Series(np.arange(len(df), dtype=np.int64)),
+                "__t": pl.from_pandas(
+                    df[text_col].fillna("").astype(str), include_index=False
+                ),
+            }
+        )
+        .with_columns(pl.col("__t").str.extract_all(r"\S+"))
+        .explode("__t")
+    )
+    h = e["__t"].hash(seed=0).to_numpy().astype(np.uint64)
+    valid = e["__t"].is_not_null().to_numpy()
+    codes = e["__row"].to_numpy()
+    m = len(e)
+    comb = np.zeros(m, np.uint64)
+    ok = valid.copy()
+    for k in range(n):
+        end = m - k
+        hk = np.zeros(m, np.uint64)
+        hk[:end] = h[k:]
+        comb = comb * _SHINGLE_B + hk
+        if k:
+            okk = np.zeros(m, bool)
+            okk[:end] = (codes[k:] == codes[:end]) & valid[k:]
+            ok &= okk
+    ids = df[id_col].to_numpy()
+    u = pl.DataFrame({id_col: ids[codes[ok]], "sh": comb[ok]}).unique()
+    return u.to_pandas()
+
+
 def doc_shingles(
     ds: rd.Dataset,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> rd.Dataset:
-    """→ (id_col, sh:uint64) — distinct word-n-gram hashes per doc."""
+    """→ (id_col, sh:uint64, sz) — distinct word-n-gram hashes per doc."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        shs: list[str] = []
-        szs: list[int] = []
-        for i, t in zip(df[id_col], df[text_col].fillna("")):
-            w = t.split()
-            grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
-            ids.extend([i] * len(grams))
-            shs.extend(grams)
-            szs.extend([len(grams)] * len(grams))
-        out = pd.DataFrame({id_col: ids, "__s": shs, "sz": szs})
-        out["sh"] = _hash_series(out["__s"])
-        # rows are distinct per doc by construction (set), and carry the
-        # doc's shingle-set size — no distinct shuffle, no size broadcast
+        out = _shingle_hashes(df, id_col, text_col, n)
+        # rows are distinct per doc by construction, and carry the doc's
+        # shingle-set size — no distinct shuffle, no size broadcast
+        out["sz"] = out.groupby(id_col, sort=False)["sh"].transform("size")
         return out[[id_col, "sh", "sz"]]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def _semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str],
+    payload: dict,
+    num_partitions: int,
+) -> rd.Dataset:
+    """``left ⋉ right`` on ``keys`` in ONE hash shuffle (union-tag semi
+    join). ``right`` supplies only its key columns (need not be distinct);
+    ``payload`` maps left's non-key columns to their Arrow types (used to
+    null-pad right rows so both sides share one schema). The per-key
+    filter is the FIRST map after the repartition, so it sees whole
+    partitions (see the invariant note in ``engine/distinct.py``).
+
+    Used instead of ``Dataset.join``: Ray 2.49's hash join crashes on
+    empty right partitions (schema-less empty blocks → Acero
+    "No match for key field" errors).
+    """
+    import pyarrow as pa
+
+    order = keys + sorted(payload)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = [
+                t.column(c).combine_chunks()
+                if c in t.column_names
+                else pa.nulls(t.num_rows, payload[c])
+                for c in order
+            ]
+            arrays.append(pa.repeat(pa.scalar(side, pa.int8()), t.num_rows))
+            return pa.Table.from_arrays(arrays, names=order + ["__side"])
+
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    ensure_hash_shuffle(u)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = order
+        if not len(df):
+            return df.reindex(columns=out_cols)
+        L = df[df["__side"] == 0]
+        R = df.loc[df["__side"] == 1, keys].drop_duplicates()
+        return L.merge(R, on=keys)[out_cols]
+
+    return u.repartition(num_partitions, keys=keys).map_batches(
+        filt, batch_format="pandas", batch_size=None
+    )
 
 
 def _pairs_from_index(
@@ -194,20 +289,29 @@ def minhash_signatures(
     a, b = _perm_params(num_perms)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        ids, sigs = [], []
-        for i, t in zip(df[id_col], df[text_col].fillna("")):
-            w = t.split()
-            grams = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
-            if not grams:
-                sig = np.full(num_perms, np.iinfo(np.uint64).max, np.uint64)
-            else:
-                h = _hash_series(pd.Series(sorted(grams)))
-                # (P, S) wraparound-mod-2^64 universal hash, min over shingles
-                sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-            ids.append(i)
-            sigs.append(sig)
-        out = pd.DataFrame({id_col: ids})
-        m = np.vstack(sigs) if sigs else np.empty((0, num_perms), np.uint64)
+        sh = _shingle_hashes(df, id_col, text_col, n)
+        # group-sort shingle rows by doc, then a segmented min per perm
+        # (np.minimum.reduceat) — no per-doc Python loop. Perms processed
+        # in chunks of 8 to bound the (S, chunk) temp at ~8 B × 8 × S.
+        codes, uniq = pd.factorize(sh[id_col])
+        order = np.argsort(codes, kind="stable")
+        hs = sh["sh"].to_numpy()[order]
+        oc = codes[order]
+        starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]]) if len(oc) else np.array([], np.int64)
+        sig = np.full((len(uniq), num_perms), np.iinfo(np.uint64).max, np.uint64)
+        for p0 in range(0, num_perms, 8):
+            p1 = min(p0 + 8, num_perms)
+            vals = a[None, p0:p1] * hs[:, None] + b[None, p0:p1]  # (S, c)
+            if len(starts):
+                sig[:, p0:p1] = np.minimum.reduceat(vals, starts, axis=0)
+        # docs with no grams keep the sentinel max signature
+        pos = pd.Series(np.arange(len(uniq)), index=uniq)
+        rows = df[id_col].map(pos)
+        mask = rows.notna().to_numpy()
+        m = np.full((len(df), num_perms), np.iinfo(np.uint64).max, np.uint64)
+        if mask.any():
+            m[mask] = sig[rows[mask].astype(int).to_numpy()]
+        out = pd.DataFrame({id_col: df[id_col]})
         for p in range(num_perms):
             out[f"s{p}"] = m[:, p].astype("int64")  # bit-cast for arrow
         return out
@@ -267,12 +371,30 @@ def minhash_pairs(
         bkt.repartition(num_partitions, keys=["bkt"])
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
-    cand = distinct_rows(cand, ["a", "b"], num_buckets=num_partitions)
-    cand_df = cand.to_pandas()
-    cand_pairs = list(zip(cand_df["a"], cand_df["b"]))
-    if not cand_pairs:
-        import pyarrow as pa
+    # ---- distributed exact-Jaccard verify ----
+    # (replaces a driver-side to_pandas + per-pair Python verify loop)
+    # 1. candidate pairs, materialized once (output-sized; reused twice).
+    #    No distinct shuffle needed: the per-block expand drop_duplicates,
+    #    and the pair semi-join below dedups its right side.
+    import numpy as np
+    import pyarrow as pa
+    import ray
 
+    cand = cand.materialize()
+    # 2. broadcast the candidate DOC-ID array (compact ints — 8 B per
+    #    candidate doc, the brief's broadcast-small-side pattern) and
+    #    filter the shingle stream MAP-SIDE: the corpus never shuffles;
+    #    only candidate docs' shingles enter the pair index. For a
+    #    pathological corpus where candidates ≈ corpus, swap this for
+    #    `_semi_join(sh, cand_ids_ds, …)` — same downstream code.
+    parts = [
+        np.concatenate(
+            [b.column("a").to_numpy(), b.column("b").to_numpy()]
+        )
+        for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
         return rd.from_arrow(
             pa.table(
                 {
@@ -282,40 +404,40 @@ def minhash_pairs(
                 }
             )
         )
-    cand_docs = {d for p in cand_pairs for d in p}
-    cand_docs_ref = ray.put(cand_docs)
+    cand_ids_ref = ray.put(np.unique(np.concatenate(parts)))
 
-    # gather shingle sets for candidate docs only (output-sized)
-    def keep_cands(df: pd.DataFrame, _docs=None) -> pd.DataFrame:
-        docs = ray.get(cand_docs_ref)
-        return df[df[id_col].isin(docs)]
+    class KeepCands:
+        def __init__(self):
+            self.ids = ray.get(cand_ids_ref)  # sorted unique int64
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(df[id_col].to_numpy(), self.ids, kind="sort")
+            return df[m]
 
     sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
-    kept = sh.map_batches(keep_cands, batch_format="pandas").to_pandas()
-    sets: dict = {
-        k: set(v) for k, v in kept.groupby(id_col)["sh"].apply(set).items()
-    }
-    out_a, out_b, out_j = [], [], []
-    for aa, bb in sorted(cand_pairs):
-        sa, sb = sets.get(aa, set()), sets.get(bb, set())
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 0.0
-        if j >= tau:
-            out_a.append(aa)
-            out_b.append(bb)
-            out_j.append(j)
-    import pyarrow as pa
-
-    return rd.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jacc": pa.array(out_j, pa.float64()),
-            }
-        )
+    kept = sh.map_batches(KeepCands, batch_format="pandas", concurrency=(1, 8))
+    # 3. exact intersections per co-occurring candidate-doc pair (the same
+    #    one-shuffle inverted-index machinery as ngram_jaccard_pairs)
+    pairs = _pairs_from_index(kept, id_col, num_partitions, None)
+    # 4. keep only LSH-DETECTED pairs (union-tag semi-join on both pair
+    #    columns — Ray's Dataset.join breaks on empty right partitions)
+    #    and apply the exact-Jaccard threshold per block
+    verified = _semi_join(
+        pairs, cand, ["a", "b"],
+        {"inter": pa.int64(), "sa": pa.int64(), "sb": pa.int64()},
+        num_partitions,
     )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jacc": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jacc": "float64"}
+            )
+        j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
+        out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
+        return out[out["jacc"] >= tau].reset_index(drop=True)
+
+    return verified.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,32 @@ def test_multimodal_resize(ray_session):
     assert (imgs.width == 8).all() and (imgs.height == 8).all()
     assert imgs.payload.map(len).eq(64).all()
     assert (others.width == 64).all()  # untouched
+
+
+def test_shuffle_partition_invariant(ray_session):
+    """EXACTNESS INVARIANT for every per-key stage (distinct, grouped
+    aggregate, first_per_group, sessionize, pair expansion, semi-joins):
+    the hash-shuffle operator emits exactly ONE block per partition even
+    when a partition far exceeds target_max_block_size, so the FIRST map
+    after a key-repartition sees whole partitions. If a Ray upgrade breaks
+    this, every such stage needs a re-merge guard — this test is the alarm."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.distinct import ensure_hash_shuffle
+
+    n = 2_000_000  # one hot key, ~300 MB >> 128 MB default block target
+    t = pa.table(
+        {"k": pa.array(np.zeros(n, np.int64)), "v": pa.array(["y" * 150] * n)}
+    )
+    ds = rd.from_arrow(t)
+    ensure_hash_shuffle(ds)
+    rep = ds.repartition(2, keys=["k"])
+    counts = rep.map_batches(
+        lambda b: pa.table({"rows": [b.num_rows]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    nonempty = [c["rows"] for c in counts if c["rows"]]
+    assert nonempty == [n], f"partition was split across blocks: {counts}"
