@@ -88,7 +88,8 @@ def run_flagship(num_cpus: int, tx: str | None = None) -> dict:
         scorer_batch_size=65536,
     )
     metrics = write_triplestore(
-        kg, out, num_buckets=int(nb), input_fp="bench", resume=False
+        kg, out, num_buckets=int(nb), input_fp="bench", resume=False,
+        encode_shuffle=os.environ.get("GRAFT_ENCODE_SHUFFLE") == "1",
     )
     dt = time.time() - t0
     import shutil
@@ -106,6 +107,7 @@ def run_flagship(num_cpus: int, tx: str | None = None) -> dict:
 BENCH_QUERIES = [
     "dm_events",
     "r2rml_orders",
+    "r2rml_turtle_graph",
     "q1_pricing",
     "brand_stats",
     "segment_orders",
@@ -129,7 +131,8 @@ def run_queries() -> dict[str, float]:
         t0 = time.time()
         ds = QUERIES[name](SF_DIR)
         # consume the stream (count() fully executes without materializing)
-        ds.count()
+        if hasattr(ds, "count"):
+            ds.count()
         out[name] = round(time.time() - t0, 3)
     return out
 
@@ -189,6 +192,16 @@ def main() -> None:
     qs = run_queries()
     total = round(fl["sec"] + sum(qs.values()), 3)
     qs["flagship_kg"] = round(fl["sec"], 3)
+
+    # corpus-skew telemetry: hot-shingle document frequency (a skewed
+    # corpus makes near-dup pair expansion O(df²) — surface it per run)
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.dedup import shingle_df_stats
+
+    df_stats = shingle_df_stats(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    )
     print(
         json.dumps(
             {
@@ -198,6 +211,7 @@ def main() -> None:
                 "queries": qs,
                 "turns_per_s": round(fl["turns_per_s"], 1),
                 "triples_per_s": round(fl["triples_per_s"], 1),
+                "shingle_max_df": df_stats["max_df"],
                 "sf": os.path.basename(SF_DIR.rstrip("/")),
                 "num_cpus": NUM_CPUS,
             }

@@ -140,6 +140,30 @@ class _BucketWriter:
                          "part": pa.array(out_p, pa.string())})
 
 
+# term columns worth dictionary-encoding for the shuffle: subjects repeat
+# ~degree× within a block, predicates/datatypes/langs/graphs are
+# low-cardinality; obj (unique literals) is left as plain strings
+_DICT_COLS = ("subj", "pred", "lang", "datatype", "graph")
+
+
+def _dict_encode(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    for c in _DICT_COLS:
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pc.dictionary_encode(t.column(c).combine_chunks()))
+    return t
+
+
+def _dict_decode(t: pa.Table) -> pa.Table:
+    for c in t.column_names:
+        col = t.column(c)
+        if pa.types.is_dictionary(col.type):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, col.cast(pa.string()))
+    return t
+
+
 def write_triplestore(
     triples: rd.Dataset,
     out_dir: str,
@@ -148,12 +172,19 @@ def write_triplestore(
     input_fp: str = "",
     resume: bool = True,
     distinct: bool = True,
+    encode_shuffle: bool = False,
 ) -> dict:
     """Triple stream → partitioned store; returns run metrics.
 
     With ``resume=True`` buckets already completed for this ``input_fp``
     are excluded from the shuffle (filtered right after bucketing — the
     skipped data never crosses the wire) and their parts left untouched.
+
+    ``encode_shuffle=True`` dictionary-encodes the repetitive term columns
+    (subj/pred/lang/datatype/graph) before the bucket shuffle and decodes
+    after — cuts shuffle bytes on repetitive graphs at the cost of an
+    encode pass (see BASELINE.md shuffle-bytes experiment for the
+    measured trade on one node).
     """
     done = completed_buckets(out_dir, input_fp) if resume else set()
     if len(done) == num_buckets:
@@ -180,6 +211,8 @@ def write_triplestore(
 
             keep = pc.invert(pc.is_in(t.column(BUCKET_COL), value_set=done_arr))
             t = t.filter(keep)
+        if encode_shuffle:
+            t = _dict_encode(t)
         return t
 
     # stale parts from a previous crashed attempt (bucket dirs WITHOUT a
@@ -200,9 +233,13 @@ def write_triplestore(
     ds = triples.map_batches(bucketer, batch_format="pyarrow")
     ensure_hash_shuffle(ds)
     ds = ds.repartition(num_buckets, keys=[BUCKET_COL])
-    if distinct:
+    if distinct or encode_shuffle:
         def dedup(t: pa.Table) -> pa.Table:
-            return _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
+            if encode_shuffle:
+                t = _dict_decode(t)
+            if distinct:
+                t = _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
+            return t
 
         ds = ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)
     results = ds.map_batches(

@@ -39,6 +39,10 @@ from ..engine.distinct import distinct_rows, ensure_hash_shuffle
 from .groupagg import grouped_aggregate
 
 _HASH_SEED_PERMS = 0x5EED_0001
+# warn when one shingle's in-block document frequency exceeds this
+# (pair expansion is O(df²) per shingle — skew becomes visible BEFORE it
+# kills a shuffle; exactness is unchanged, so max_df stays OFF by default)
+_HOT_SHINGLE_WARN_DF = 10_000
 
 
 def _hash_series(s: pd.Series) -> np.ndarray:
@@ -143,6 +147,41 @@ def doc_shingles(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def shingle_df_stats(
+    ds: rd.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> dict:
+    """Shingle document-frequency telemetry: {n_shingles, max_df}.
+
+    Surfaces corpus skew (one hot shingle ⇒ O(df²) pair expansion) before
+    it kills a near-dup shuffle; run it from bench/ops tooling, not on
+    the hot path. One shuffle over (sh, count) partials.
+    """
+    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
+    per_sh = grouped_aggregate(
+        sh, keys=["sh"], aggs={"df": ("sh", "count")},
+        num_partitions=num_partitions,
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_shingles": [0], "max_df": [0]})
+        return pd.DataFrame(
+            {"n_shingles": [len(df)], "max_df": [int(df["df"].max())]}
+        )
+
+    parts = per_sh.map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    ).take_all()
+    return {
+        "n_shingles": int(sum(p["n_shingles"] for p in parts)),
+        "max_df": int(max((p["max_df"] for p in parts), default=0)),
+    }
+
+
 def _semi_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -210,8 +249,17 @@ def _pairs_from_index(
             return pd.DataFrame(
                 {"a": [], "b": [], "n": [], "sa": [], "sb": []}
             ).astype("int64")
+        dfreq = df.groupby("sh")["sh"].transform("size")
+        blk_max = int(dfreq.max())
+        if blk_max > _HOT_SHINGLE_WARN_DF and max_df is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hot shingle: document frequency %d in one block — pair "
+                "expansion is O(df^2); consider max_df or check corpus "
+                "skew (shingle_df_stats)", blk_max,
+            )
         if max_df is not None:
-            dfreq = df.groupby("sh")["sh"].transform("size")
             df = df[dfreq <= max_df]
         m = df.merge(df, on="sh")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]

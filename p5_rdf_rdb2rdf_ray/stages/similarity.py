@@ -8,8 +8,9 @@
 - :func:`lsh_topk` — random-hyperplane LSH bucketing as the scale path:
   probe only buckets the query hashes into (multi-probe over all bands).
   Approximate; used when the corpus is too large for full scans.
-- :func:`embedding_neardup_pairs` — all-pairs cosine ≥ τ near-dup, blocked
-  matmul per batch against a broadcast (or chunked) corpus matrix.
+- :func:`embedding_neardup_pairs` — all-pairs cosine ≥ τ near-dup: the
+  corpus lives in the object store as block refs; each task streams the
+  other side block-by-block (no driver copy, per-task memory = one block).
 """
 
 from __future__ import annotations
@@ -203,24 +204,33 @@ def embedding_neardup_pairs(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    concurrency=(1, 8),
 ) -> rd.Dataset:
-    """→ (vec_a, vec_b) with cosine ≥ τ, vec_a < vec_b.
+    """→ (vec_a, vec_b) with cosine ≥ τ, vec_a < vec_b. Exact all-pairs.
 
-    The corpus matrix is broadcast once (``ray.put``); each batch runs one
-    blocked matmul against it. O(N²/B) work split across the cluster — the
-    exact method; LSH-bucket first (``lsh_topk`` machinery) when N² is too
-    large.
+    The corpus is materialized into the OBJECT STORE once and each task
+    streams the other side block-by-block (``ray.get`` of one block ref
+    at a time — zero-copy plasma reads, per-task memory bounded by one
+    block, the driver holds only refs). O(N²) work split across the
+    cluster as blocked matmuls; for corpora where N² is prohibitive,
+    LSH-bucket first (``lsh_topk`` machinery) and verify per bucket.
     """
-    full = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )
-    ids_all = np.asarray(full.column(id_col))
-    m_all = _normalize(_to_matrix(full, vec_col))
-    ref = ray.put((ids_all, m_all))
+    mat = ds.materialize()
+    block_refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        )
 
     class Pairs:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+        def __init__(self, refs):
+            self.refs = refs
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -232,16 +242,33 @@ def embedding_neardup_pairs(
                 )
             m = _normalize(_to_matrix(batch, vec_col))
             ids = np.asarray(batch.column(id_col))
-            s = m @ self.m.T  # (n, N)
-            bi, bj = np.nonzero(s >= tau)
-            a = ids[bi]
-            b = self.ids[bj]
-            keep = a < b
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for ref in self.refs:
+                other = ray.get(ref)  # one corpus block at a time
+                if other.num_rows == 0:
+                    continue
+                om = _normalize(_to_matrix(other, vec_col))
+                oids = np.asarray(other.column(id_col))
+                s = m @ om.T  # (n, block)
+                bi, bj = np.nonzero(s >= tau)
+                a = ids[bi]
+                b = oids[bj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+            a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+            b = np.concatenate(out_b) if out_b else np.array([], np.int64)
             return pa.table(
                 {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
+                    "vec_a": pa.array(a, pa.int64()),
+                    "vec_b": pa.array(b, pa.int64()),
                 }
             )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+    return mat.map_batches(
+        Pairs,
+        fn_constructor_kwargs={"refs": block_refs},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -101,33 +101,55 @@ _PROFILES: dict[str, set[str]] = {
 
 class LanguageID:
     """Actor-pool stage: profiles compiled once per actor in ``__init__``
-    (stands in for loading a fasttext-style model), batch scoring in
-    ``__call__``. Deterministic: ties broken by language code order."""
+    (stands in for loading a fasttext-style model), vectorized batch
+    scoring in ``__call__`` (polars tokenize/explode + per-language
+    stopword hits; CJK by codepoint-range regex — no per-row Python).
+    Deterministic: ties broken by language code order; no signal → the
+    first language alphabetically among the zero-score ties ('de')."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.profiles = sorted(_PROFILES.items())  # deterministic order
+        self.profiles = sorted(
+            (lang, prof) for lang, prof in _PROFILES.items() if prof
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        preds: list[str] = []
-        for t in texts:
-            t = t or ""
-            if any("一" <= ch <= "鿿" for ch in t[:200]):
-                preds.append("zh")
-                continue
-            words = set(t.lower().split())
-            best, best_n = "en", -1
-            for lang, prof in self.profiles:
-                n = len(words & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        import polars as pl
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_col: batch.column(self.id_col),
+                    "pred_lang": pa.array([], pa.string()),
+                }
+            )
+        texts = pl.Series("t", batch.column(self.text_col)).fill_null("")
+        is_cjk = texts.str.contains(r"[一-鿿]").to_numpy()
+        # distinct lowercase tokens per row → per-language hit counts
+        e = (
+            pl.DataFrame(
+                {"r": pl.int_range(0, n, eager=True), "t": texts.str.to_lowercase()}
+            )
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls()
+            .unique()
+        )
+        scores = np.zeros((n, len(self.profiles)), np.int64)
+        rows = e["r"].to_numpy()
+        for li, (_lang, prof) in enumerate(self.profiles):
+            hit = e["t"].is_in(list(prof)).to_numpy()
+            np.add.at(scores[:, li], rows[hit], 1)
+        best = np.argmin(-scores, axis=1)  # argmax, first (alphabetical) tie
+        langs = np.array([l for l, _ in self.profiles])
+        preds = langs[best]
+        preds[is_cjk] = "zh"
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "pred_lang": pa.array(preds, pa.string()),
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
             }
         )
 

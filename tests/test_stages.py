@@ -304,3 +304,65 @@ def test_shuffle_partition_invariant(ray_session):
     ).take_all()
     nonempty = [c["rows"] for c in counts if c["rows"]]
     assert nonempty == [n], f"partition was split across blocks: {counts}"
+
+
+def test_language_id(ray_session):
+    """LanguageID actor stage: en/fr/es/de stopword profiles + CJK range."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.textstats import language_id
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                "the cat sat on the mat and it is that good for you",
+                "le chat est dans la maison et il est pour vous",
+                "el gato es un animal y la casa es de madera",
+                "der hund ist ein tier und das haus ist nicht klein",
+                "这是一个中文句子",
+                "",  # no signal → deterministic first-alphabetical tie
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r["pred_lang"]
+        for r in language_id(rd.from_arrow(docs)).take_all()
+    }
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "zh"
+    assert out[5] == "de"
+
+
+def test_shingle_skew_telemetry_and_max_df(ray_session):
+    """One shingle shared by EVERY doc (hot-key skew fixture): telemetry
+    reports max_df == n_docs; exact jaccard still correct with the hot
+    shingle; max_df cap drops it (changed metric, documented)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        shingle_df_stats,
+    )
+
+    n_docs = 30
+    rows = []
+    for i in range(n_docs):
+        # every doc starts with the same 3-gram; docs 0/1 are near-dups
+        body = "alpha beta gamma " + (
+            "x y z w v u" if i < 2 else f"uniq{i} uu{i} vv{i} ww{i} xx{i} yy{i}"
+        )
+        rows.append({"doc_id": i, "text": body})
+    ds = rd.from_items(rows)
+    stats = shingle_df_stats(ds)
+    assert stats["max_df"] == n_docs  # the hot shingle is visible
+    pairs = ngram_jaccard_pairs(ds, tau=0.5).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 1)}
+    # capping df excludes the hot shingle from the metric entirely
+    pairs_capped = ngram_jaccard_pairs(ds, tau=0.5, max_df=5).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs_capped} == {(0, 1)}
