@@ -59,6 +59,23 @@ def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 
 
+def to_clean_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow with no pandas metadata. Stages that FEED a shuffle
+    should return this instead of a DataFrame: pandas blocks carry an
+    unhashable ``PandasBlockSchema`` that defeats Ray's schema
+    deduplication in the hash-shuffle aggregators (the 'Failed to hash
+    the schemas' warning) and force an extra conversion on the wire."""
+    t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+    # empty object columns land as null-typed — cast to string so empty
+    # blocks unify with their non-empty siblings
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(i, f.name, t.column(f.name).cast(pa.string()))
+    return t
+
+
 def row_hash(t: pa.Table, cols: list[str]) -> np.ndarray:
     """Deterministic uint64 row hash over ``cols``.
 
@@ -169,9 +186,11 @@ def first_per_group(
 
     ensure_hash_shuffle(ds)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_col, kind="mergesort").drop_duplicates(
-            subset=key_cols, keep="first"
+    def combine(df: pd.DataFrame):
+        return to_clean_arrow(
+            df.sort_values(order_col, kind="mergesort").drop_duplicates(
+                subset=key_cols, keep="first"
+            )
         )
 
     return (

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import distinct_rows, ensure_hash_shuffle
+from ..engine.distinct import distinct_rows, ensure_hash_shuffle, to_clean_arrow
 from .groupagg import grouped_aggregate
 
 _HASH_SEED_PERMS = 0x5EED_0001
@@ -404,7 +404,7 @@ def minhash_pairs(
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True)
+        return to_clean_arrow(pd.concat(outs, ignore_index=True))
 
     bkt = sigs.map_batches(buckets, batch_format="pandas")
     ensure_hash_shuffle(bkt)
@@ -458,9 +458,9 @@ def minhash_pairs(
         def __init__(self):
             self.ids = ray.get(cand_ids_ref)  # sorted unique int64
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, df: pd.DataFrame):
             m = np.isin(df[id_col].to_numpy(), self.ids, kind="sort")
-            return df[m]
+            return to_clean_arrow(df[m])
 
     sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
     kept = sh.map_batches(KeepCands, batch_format="pandas", concurrency=(1, 8))
@@ -559,9 +559,8 @@ def simhash_pairs(
             )
         x = m["simhash_x"].to_numpy().astype(np.uint64)
         y = m["simhash_y"].to_numpy().astype(np.uint64)
-        ham = np.array(
-            [bin(int(a ^ b)).count("1") for a, b in zip(x, y)], dtype=np.int64
-        )
+        xor = (x ^ y).view(np.uint8)  # vectorized popcount via unpackbits
+        ham = np.unpackbits(xor).reshape(-1, 64).sum(axis=1).astype(np.int64)
         out = pd.DataFrame(
             {"doc_a": m[f"{id_col}_x"], "doc_b": m[f"{id_col}_y"], "hamming": ham}
         )

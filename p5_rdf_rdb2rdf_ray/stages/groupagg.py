@@ -25,7 +25,7 @@ from typing import Mapping, Sequence
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle
+from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
 
 # fn name -> (partial fn, merge fn)
 _MERGES = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -55,14 +55,14 @@ def grouped_aggregate(
         else:
             raise ValueError(f"unsupported agg fn {fn!r}")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(columns=keys + [o for o, _, _ in plan])
+    def partial(df: pd.DataFrame):
+        # works for empty frames too: pandas groupby of an empty frame
+        # yields a typed empty result (keeps dtypes for schema unification)
         g = df.groupby(keys, dropna=False, sort=False)
         out = {}
         for o, c, fn in plan:
             out[o] = getattr(g[c], fn)()
-        return pd.DataFrame(out).reset_index()
+        return to_clean_arrow(pd.DataFrame(out).reset_index())
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
