@@ -199,31 +199,44 @@ class CompiledMap:
         subj_b, subj_kind = make_term_builder(tmap.subject)
         self.patterns: list[_Pattern] = []
 
-        graph_default: TermBuilder | None = None
-        if tmap.graph is not None:
-            graph_default, _ = make_term_builder(tmap.graph)
+        def graph_builders(pom_graphs) -> list[TermBuilder | None]:
+            """Target-graph set (W3C-R2RML §11.1): UNION of the subject
+            map's graph maps and the POM's; empty → [default graph].
+            A ``None`` member is an explicit rr:defaultGraph."""
+            out: list[TermBuilder | None] = []
+            seen: set = set()
+            for g in tuple(tmap.graphs) + tuple(pom_graphs):
+                key = (
+                    None if g is None
+                    else (g.template, g.column, g.constant, id(g.udf) if g.udf else None)
+                )
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(None if g is None else make_term_builder(g)[0])
+            return out or [None]
+
+        subj_graphs = graph_builders(())
 
         for cls in tmap.classes:
-            self.patterns.append(
-                _Pattern(
-                    subj=subj_b,
-                    subj_kind=subj_kind,
-                    pred=_const_builder(RDF_TYPE),
-                    obj=_const_builder(cls),
-                    obj_kind=KIND_IRI,
-                    lang=None,
-                    datatype_fixed=None,
-                    datatype_from_col=None,
-                    graph=graph_default,
+            for graph_b in subj_graphs:
+                self.patterns.append(
+                    _Pattern(
+                        subj=subj_b,
+                        subj_kind=subj_kind,
+                        pred=_const_builder(RDF_TYPE),
+                        obj=_const_builder(cls),
+                        obj_kind=KIND_IRI,
+                        lang=None,
+                        datatype_fixed=None,
+                        datatype_from_col=None,
+                        graph=graph_b,
+                    )
                 )
-            )
 
         for po in tmap.pos:
             pred_b, _ = make_term_builder(po.pred)
             obj_b, obj_kind = make_term_builder(po.obj)
-            graph_b = graph_default
-            if po.graph is not None:
-                graph_b, _ = make_term_builder(po.graph)
             dt_col = None
             if (
                 obj_kind == KIND_LITERAL
@@ -232,36 +245,37 @@ class CompiledMap:
                 and po.obj.column is not None
             ):
                 dt_col = po.obj.column   # natural datatype resolved per batch
-            if po.rev:
-                # reversed triple [R: Simple.pm 'rev']: object term becomes
-                # the subject; the row subject becomes the object.
-                self.patterns.append(
-                    _Pattern(
-                        subj=obj_b,
-                        subj_kind=obj_kind,
-                        pred=pred_b,
-                        obj=subj_b,
-                        obj_kind=subj_kind,
-                        lang=None,
-                        datatype_fixed=None,
-                        datatype_from_col=None,
-                        graph=graph_b,
+            for graph_b in graph_builders(po.graphs):
+                if po.rev:
+                    # reversed triple [R: Simple.pm 'rev']: object term
+                    # becomes the subject; the row subject the object.
+                    self.patterns.append(
+                        _Pattern(
+                            subj=obj_b,
+                            subj_kind=obj_kind,
+                            pred=pred_b,
+                            obj=subj_b,
+                            obj_kind=subj_kind,
+                            lang=None,
+                            datatype_fixed=None,
+                            datatype_from_col=None,
+                            graph=graph_b,
+                        )
                     )
-                )
-            else:
-                self.patterns.append(
-                    _Pattern(
-                        subj=subj_b,
-                        subj_kind=subj_kind,
-                        pred=pred_b,
-                        obj=obj_b,
-                        obj_kind=obj_kind,
-                        lang=po.obj.lang,
-                        datatype_fixed=po.obj.datatype,
-                        datatype_from_col=dt_col,
-                        graph=graph_b,
+                else:
+                    self.patterns.append(
+                        _Pattern(
+                            subj=subj_b,
+                            subj_kind=subj_kind,
+                            pred=pred_b,
+                            obj=obj_b,
+                            obj_kind=obj_kind,
+                            lang=po.obj.lang,
+                            datatype_fixed=po.obj.datatype,
+                            datatype_from_col=dt_col,
+                            graph=graph_b,
+                        )
                     )
-                )
 
     # -- execution ---------------------------------------------------------
 

@@ -100,7 +100,7 @@ def plan_triples_map(
                 (parent_map, psub_cols, ref.join, parent_needs_rowid)
             )
         extra_pos.append(
-            PredObjSpec(pred=ref.pred, obj=obj, rev=ref.rev, graph=ref.graph)
+            PredObjSpec(pred=ref.pred, obj=obj, rev=ref.rev, graphs=ref.graphs)
         )
 
     tmap = replace(tmap, pos=tuple(tmap.pos) + tuple(extra_pos), refs=())

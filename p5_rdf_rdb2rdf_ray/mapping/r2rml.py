@@ -122,20 +122,20 @@ def _is_absolute(s: str) -> bool:
     return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", s))
 
 
-def _graph_map(g: Graph, node: Term, base: str) -> TermMapSpec | None:
-    """rr:graphMap / rr:graph on a subject or predicate-object map."""
-    gm = g.obj(node, _r("graphMap"))
-    if gm is not None:
+def _graph_maps(g: Graph, node: Term, base: str) -> tuple:
+    """ALL rr:graphMap / rr:graph maps on a subject or predicate-object
+    map (W3C-R2RML §11.1 allows several; target graphs are a union).
+    rr:defaultGraph compiles to a ``None`` member (explicit default)."""
+    out: list = []
+    for gm in g.objects(node, _r("graphMap")):
         tm = _term_map(g, gm, "graph", base)
-        if tm.constant == _r("defaultGraph"):
-            return None
-        return tm
-    gshort = g.obj(node, _r("graph"))
-    if gshort is not None:
+        out.append(None if tm.constant == _r("defaultGraph") else tm)
+    for gshort in g.objects(node, _r("graph")):
         if gshort == ("iri", _r("defaultGraph")):
-            return None
-        return TermMapSpec(kind=IRI, constant=_name_of(gshort))
-    return None
+            out.append(None)
+        else:
+            out.append(TermMapSpec(kind=IRI, constant=_name_of(gshort)))
+    return tuple(out)
 
 
 def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> MappingSpec:
@@ -164,14 +164,14 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
         if sm is not None:
             subject = _term_map(g, sm, "subject", base)
             classes = tuple(_name_of(c) for c in g.objects(sm, _r("class")))
-            graph = _graph_map(g, sm, base)
+            graphs = _graph_maps(g, sm, base)
         else:
             s_short = g.obj(node, _r("subject"))
             if s_short is None:
                 raise R2RMLError(f"{name}: no subjectMap/subject")
             subject = TermMapSpec(kind=IRI, constant=_name_of(s_short))
             classes = ()
-            graph = None
+            graphs = ()
 
         pos: list[PredObjSpec] = []
         refs: list[RefObjectSpec] = []
@@ -181,7 +181,7 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
                 preds.append(_term_map(g, pm, "predicate", base))
             for p_short in g.objects(pom, _r("predicate")):
                 preds.append(TermMapSpec(kind=IRI, constant=_name_of(p_short)))
-            pom_graph = _graph_map(g, pom, base)
+            pom_graphs = _graph_maps(g, pom, base)
 
             objs: list[TermMapSpec] = []
             ref_parents: list[tuple[str, tuple[tuple[str, str], ...]]] = []
@@ -214,11 +214,12 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
 
             for pred in preds:
                 for obj in objs:
-                    pos.append(PredObjSpec(pred=pred, obj=obj, graph=pom_graph))
+                    pos.append(PredObjSpec(pred=pred, obj=obj, graphs=pom_graphs))
                 for parent_name, join in ref_parents:
                     refs.append(
                         RefObjectSpec(
-                            pred=pred, parent=parent_name, join=join, graph=pom_graph
+                            pred=pred, parent=parent_name, join=join,
+                            graphs=pom_graphs
                         )
                     )
 
@@ -228,7 +229,7 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
             sql=sql,
             subject=subject,
             classes=classes,
-            graph=graph,
+            graphs=graphs,
             pos=tuple(pos),
             refs=tuple(refs),
         )

@@ -100,6 +100,14 @@ class TermMapSpec:
         return tm
 
 
+# Target-graph sets (W3C-R2RML §11.1): a triple's target graphs are the
+# UNION of the subject map's graph maps and the POM's graph maps; the
+# empty set means the default graph. ``None`` inside a ``graphs`` tuple
+# is the explicit rr:defaultGraph member (so {rr:defaultGraph, ex:g1}
+# puts the triple in BOTH the default graph and g1).
+GraphMaps = tuple  # tuple[TermMapSpec | None, ...]
+
+
 @dataclass
 class PredObjSpec:
     """predicate-object map; ``rev`` swaps subject/object (Simple 'rev')."""
@@ -107,7 +115,7 @@ class PredObjSpec:
     pred: TermMapSpec
     obj: TermMapSpec
     rev: bool = False
-    graph: TermMapSpec | None = None
+    graphs: GraphMaps = ()
 
 
 @dataclass
@@ -120,7 +128,7 @@ class RefObjectSpec:
     parent: str                        # key of the parent triples map
     join: tuple[tuple[str, str], ...] = ()   # (child_col, parent_col), ANDed
     rev: bool = False
-    graph: TermMapSpec | None = None
+    graphs: GraphMaps = ()
 
 
 @dataclass
@@ -130,23 +138,25 @@ class TriplesMapSpec:
     sql: str | None = None             # rr:sqlQuery (see sources.load_logical_table)
     subject: TermMapSpec = field(default_factory=TermMapSpec)
     classes: tuple[str, ...] = ()      # rr:class / Simple 'typeof'
-    graph: TermMapSpec | None = None   # subject-level graph map
+    graphs: GraphMaps = ()             # subject-level graph maps
     pos: tuple[PredObjSpec, ...] = ()
     refs: tuple[RefObjectSpec, ...] = ()
 
     def referenced_columns(self) -> list[str]:
         cols: list[str] = list(self.subject.referenced_columns())
         for p in self.pos:
-            for tm in (p.pred, p.obj, p.graph):
+            for tm in (p.pred, p.obj, *p.graphs):
                 if tm is not None:
                     cols.extend(tm.referenced_columns())
         for r in self.refs:
             cols.extend(r.pred.referenced_columns())
             cols.extend(c for c, _ in r.join)
-            if r.graph is not None:
-                cols.extend(r.graph.referenced_columns())
-        if self.graph is not None:
-            cols.extend(self.graph.referenced_columns())
+            for g in r.graphs:
+                if g is not None:
+                    cols.extend(g.referenced_columns())
+        for g in self.graphs:
+            if g is not None:
+                cols.extend(g.referenced_columns())
         seen: dict[str, None] = {}
         for c in cols:
             seen.setdefault(c)
@@ -219,9 +229,11 @@ def compile_simple(
         if isinstance(typeof, str):
             typeof = (typeof,)
         classes = tuple(_expand(c, ns, base) for c in typeof)
-        graph = None
+        graphs: tuple = ()
         if m.get("graph"):
-            graph = TermMapSpec(kind=IRI, constant=_expand(m["graph"], ns, base))
+            graphs = (
+                TermMapSpec(kind=IRI, constant=_expand(m["graph"], ns, base)),
+            )
         pos: list[PredObjSpec] = []
         refs: list[RefObjectSpec] = []
         for col, cmaps in (m.get("columns") or {}).items():
@@ -230,10 +242,12 @@ def compile_simple(
             for cm in cmaps:
                 if isinstance(cm, str):
                     cm = {"property": cm}
-                pos_graph = None
+                pos_graphs: tuple = ()
                 if cm.get("graph"):
-                    pos_graph = TermMapSpec(
-                        kind=IRI, constant=_expand(cm["graph"], ns, base)
+                    pos_graphs = (
+                        TermMapSpec(
+                            kind=IRI, constant=_expand(cm["graph"], ns, base)
+                        ),
                     )
                 if "property" in cm:
                     pred = _termmap_pred(cm["property"], ns, base)
@@ -246,7 +260,7 @@ def compile_simple(
                         else None,
                         udf=cm.get("udf"),
                     )
-                    pos.append(PredObjSpec(pred=pred, obj=obj, graph=pos_graph))
+                    pos.append(PredObjSpec(pred=pred, obj=obj, graphs=pos_graphs))
                 elif "rel" in cm or "rev" in cm:
                     key = "rel" if "rel" in cm else "rev"
                     pred = _termmap_pred(cm[key], ns, base)
@@ -261,7 +275,8 @@ def compile_simple(
                         )
                     pos.append(
                         PredObjSpec(
-                            pred=pred, obj=obj, rev=(key == "rev"), graph=pos_graph
+                            pred=pred, obj=obj, rev=(key == "rev"),
+                            graphs=pos_graphs,
                         )
                     )
                 else:
@@ -272,7 +287,7 @@ def compile_simple(
             sql=m.get("sql"),
             subject=subject,
             classes=classes,
-            graph=graph,
+            graphs=graphs,
             pos=tuple(pos),
             refs=tuple(refs),
         )

@@ -347,6 +347,7 @@ _NATION_GRAPH_TTL = f"""
   rr:subjectMap [
       rr:template "{BASE}nation-g/{{n_nationkey}}";
       rr:class ex:Nation;
+      rr:graphMap [ rr:constant ex:gMeta ];
   ];
   rr:predicateObjectMap [
       rr:predicate ex:name;
@@ -357,6 +358,7 @@ _NATION_GRAPH_TTL = f"""
       rr:predicate ex:region;
       rr:objectMap [ rr:template "{BASE}region-g/{{n_regionkey}}" ];
       rr:graphMap [ rr:template "{BASE}graph/{{n_regionkey}}" ];
+      rr:graphMap [ rr:constant rr:defaultGraph ];
   ] .
 """
 
@@ -364,8 +366,9 @@ _NATION_GRAPH_TTL = f"""
 def q_r2rml_turtle_graph(sf_dir: str) -> rd.Dataset:
     """Turtle front-end end-to-end (SURVEY §3.1) with rr:graphMap quads:
     parse an actual ``rr:`` mapping doc, run it, emit the graph column.
-    Class triples land in the default graph (null); each POM's graphMap
-    routes its triples (constant + template graphs exercised)."""
+    W3C §11.1 UNION semantics exercised: class triples → subject graph
+    (gMeta); name POM → {gMeta, gNames}; region POM → {gMeta,
+    graph/{{rk}}, explicit rr:defaultGraph} — 1+2+3 = 6 quads per row."""
     from ..mapping.r2rml import compile_r2rml
 
     cat = catalog_for(sf_dir)
@@ -379,16 +382,26 @@ SQL_R2RML_TURTLE_GRAPH = f"""
 SELECT subj, pred, obj, graph FROM (
   SELECT '<{BASE}nation-g/' || n_nationkey || '>' AS subj,
          '<{RDF_TYPE}>' AS pred, '<{BASE}Nation>' AS obj,
-         CAST(NULL AS VARCHAR) AS graph
+         '<{BASE}gMeta>' AS graph
   FROM nation
   UNION ALL
   SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}name>',
-         '"' || n_name || '"@en', '<{BASE}gNames>'
+         '"' || n_name || '"@en', g
+  FROM nation, (VALUES ('<{BASE}gMeta>'), ('<{BASE}gNames>')) AS gs(g)
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         '<{BASE}gMeta>'
   FROM nation
   UNION ALL
   SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
          '<{BASE}region-g/' || n_regionkey || '>',
          '<{BASE}graph/' || n_regionkey || '>'
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         CAST(NULL AS VARCHAR)
   FROM nation
 ) t
 """

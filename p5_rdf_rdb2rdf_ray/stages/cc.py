@@ -51,13 +51,18 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 12,
     num_partitions: int = 16,
+    shortcut: bool = True,
 ) -> rd.Dataset:
     """→ Dataset(node:string, label:string) with label = min node id of the
-    component. Min-label propagation: converges in ≤ diameter rounds and
-    stops early on a fixpoint (cheap convergence probe: the global sum of
-    label hashes, an order-insensitive digest — no join needed). Scale
-    path for high-diameter graphs would switch to pointer doubling /
-    large-star-small-star (O(log n) rounds)."""
+    component. Min-label propagation + POINTER JUMPING (``shortcut``): each
+    round first takes the grouped min over neighbor labels, then rewrites
+    every node's label to its label's label (one labels⋈labels hash join —
+    labels only ever decrease, so label(label(n)) ≤ label(n)). Jumping
+    roughly doubles the propagation distance per round → O(log diameter)
+    rounds instead of O(diameter); the default 12 rounds covers diameters
+    in the thousands. Stops early on a fixpoint (cheap convergence probe:
+    the global sum of label hashes, an order-insensitive digest — no join
+    needed)."""
     from ..engine.distinct import distinct_rows, ensure_hash_shuffle, row_hash
     from ..engine.joins import hash_join
     from .groupagg import grouped_aggregate
@@ -143,6 +148,29 @@ def connected_components(
             combined, keys=["node"], aggs={"label": ("label", "min")},
             num_partitions=num_partitions,
         ).materialize()
+        if shortcut:
+            # pointer jump: node's label ← label(label(node)). The label
+            # is itself a node id, so self-join labels on label==node.
+            as_parent = labels.map_batches(
+                lambda t: pa.table(
+                    {"pnode": t.column("node"), "plabel": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            jumped = hash_join(
+                labels, as_parent, ["label"], ["pnode"],
+                num_partitions=num_partitions,
+            )
+
+            def jump(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                lbl = pc.coalesce(t.column("plabel"), t.column("label"))
+                return pa.table({"node": t.column("node"), "label": lbl})
+
+            labels = jumped.map_batches(
+                jump, batch_format="pyarrow"
+            ).materialize()
         cur = digest(labels)
         if cur == prev:
             converged = True

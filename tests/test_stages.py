@@ -366,3 +366,30 @@ def test_shingle_skew_telemetry_and_max_df(ray_session):
     # capping df excludes the hot shingle from the metric entirely
     pairs_capped = ngram_jaccard_pairs(ds, tau=0.5, max_df=5).take_all()
     assert {(p["doc_a"], p["doc_b"]) for p in pairs_capped} == {(0, 1)}
+
+
+def test_connected_components_high_diameter(ray_session, caplog):
+    """A 300-node path (diameter 300 >> 12 rounds): plain min-label
+    propagation cannot converge in 12 rounds (and must WARN); pointer
+    jumping converges and labels the whole path with node 0."""
+    import logging
+
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.cc import connected_components
+
+    edges = rd.from_items(
+        [{"src": f"n{i:04d}", "dst": f"n{i + 1:04d}"} for i in range(300)]
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, num_partitions=4).take_all()
+    }
+    assert len(labels) == 301
+    assert set(labels.values()) == {"n0000"}
+
+    with caplog.at_level(logging.WARNING):
+        connected_components(
+            edges, num_partitions=4, shortcut=False, max_rounds=4
+        ).take_all()
+    assert any("no fixpoint" in r.message for r in caplog.records)
