@@ -89,8 +89,11 @@ def row_hash(t: pa.Table, cols: list[str]) -> np.ndarray:
 
 
 def _unique_batch(
-    t: pa.Table, cols: list[str], hashes: np.ndarray | None = None
-) -> pa.Table:
+    t: pa.Table,
+    cols: list[str],
+    hashes: np.ndarray | None = None,
+    return_hashes: bool = False,
+):
     """Vectorized within-batch distinct over ``cols`` (drops other cols).
 
     Strategy: sort by a single uint64 row-hash column (identical rows hash
@@ -104,7 +107,11 @@ def _unique_batch(
     a 20k-row 3-chunk block), silently breaking set semantics.
     """
     if t.num_rows <= 1:
-        return t.select(cols)
+        out = t.select(cols)
+        if return_hashes:
+            h = row_hash(out, cols) if hashes is None else hashes
+            return out, h
+        return out
     k = t.select(cols).combine_chunks()
     h = row_hash(k, cols) if hashes is None else hashes
     idx = np.argsort(h, kind="stable")
@@ -128,7 +135,13 @@ def _unique_batch(
     keep = np.empty(n, dtype=bool)
     keep[0] = True
     np.logical_not(eq_all, out=keep[1:])
-    return s.filter(pa.array(keep))
+    res = s.filter(pa.array(keep))
+    if return_hashes:
+        # the kept rows' hashes, aligned with res — callers can ship them
+        # through a shuffle and hand them back (hashes=...) to skip the
+        # string re-hash in the post-shuffle dedup
+        return res, hs[keep]
+    return res
 
 
 def distinct_rows(

@@ -34,6 +34,7 @@ from ..terms import TRIPLE_COLUMNS
 
 ENGINE_VERSION = 1
 BUCKET_COL = "__bucket"
+ROWH_COL = "__rowh"  # combine-phase row hash, shipped to skip re-hashing
 
 
 def _hash_engine_version() -> str:
@@ -204,7 +205,11 @@ def write_triplestore(
     done_arr = pa.array(sorted(done), pa.int64())
 
     def bucketer(t: pa.Table) -> pa.Table:
-        t = _unique_batch(t, list(TRIPLE_COLUMNS)) if distinct else t
+        if distinct:
+            # ship the combine-phase row hash through the shuffle (8 B/row)
+            # so the per-bucket dedup skips re-hashing 4 string columns
+            t, h = _unique_batch(t, list(TRIPLE_COLUMNS), return_hashes=True)
+            t = t.append_column(ROWH_COL, pa.array(h))
         t = add_bucket_column(t, num_buckets)
         if len(done_arr):
             import pyarrow.compute as pc
@@ -238,7 +243,10 @@ def write_triplestore(
             if encode_shuffle:
                 t = _dict_decode(t)
             if distinct:
-                t = _unique_batch(t, list(TRIPLE_COLUMNS) + [BUCKET_COL])
+                h = t.column(ROWH_COL).to_numpy().astype(np.uint64)
+                t = _unique_batch(
+                    t, list(TRIPLE_COLUMNS) + [BUCKET_COL], hashes=h
+                )
             return t
 
         ds = ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)

@@ -290,7 +290,7 @@ def test_shuffle_partition_invariant(ray_session):
 
     from p5_rdf_rdb2rdf_ray.engine.distinct import ensure_hash_shuffle
 
-    n = 2_000_000  # one hot key, ~300 MB >> 128 MB default block target
+    n = 1_200_000  # one hot key, ~180 MB > 128 MB default block target
     t = pa.table(
         {"k": pa.array(np.zeros(n, np.int64)), "v": pa.array(["y" * 150] * n)}
     )
@@ -369,9 +369,10 @@ def test_shingle_skew_telemetry_and_max_df(ray_session):
 
 
 def test_connected_components_high_diameter(ray_session, caplog):
-    """A 300-node path (diameter 300 >> 12 rounds): plain min-label
+    """A 120-node path (diameter 120 >> 12 rounds): plain min-label
     propagation cannot converge in 12 rounds (and must WARN); pointer
-    jumping converges and labels the whole path with node 0."""
+    jumping converges (~log2(120) ≈ 7 rounds) and labels the whole path
+    with node 0."""
     import logging
 
     import ray.data as rd
@@ -379,13 +380,13 @@ def test_connected_components_high_diameter(ray_session, caplog):
     from p5_rdf_rdb2rdf_ray.stages.cc import connected_components
 
     edges = rd.from_items(
-        [{"src": f"n{i:04d}", "dst": f"n{i + 1:04d}"} for i in range(300)]
+        [{"src": f"n{i:04d}", "dst": f"n{i + 1:04d}"} for i in range(120)]
     )
     labels = {
         r["node"]: r["label"]
         for r in connected_components(edges, num_partitions=4).take_all()
     }
-    assert len(labels) == 301
+    assert len(labels) == 121
     assert set(labels.values()) == {"n0000"}
 
     with caplog.at_level(logging.WARNING):
