@@ -159,12 +159,17 @@ def distinct_rows(
     """
 
     ensure_hash_shuffle(ds)
+    ROWH = "__rowh"
 
     def combine(t: pa.Table) -> pa.Table:
-        return _unique_batch(t, cols)
+        # ship the combine-phase row hash (8 B/row) so the post-shuffle
+        # dedup skips re-hashing the key columns
+        out, h = _unique_batch(t, cols, return_hashes=True)
+        return out.append_column(ROWH, pa.array(h))
 
     def dedup_block(t: pa.Table) -> pa.Table:
-        return _unique_batch(t, cols)
+        h = t.column(ROWH).to_numpy().astype(np.uint64)
+        return _unique_batch(t, cols, hashes=h)
 
     return (
         ds.map_batches(combine, batch_format="pyarrow")

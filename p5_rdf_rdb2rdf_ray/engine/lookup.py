@@ -232,6 +232,143 @@ def count_statements(
     ).count()
 
 
+def _is_var(t) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+class _BroadcastInner:
+    """Inner-join each bindings batch against a small broadcast table on
+    the shared variable columns (Acero). Used by :func:`get_pattern` —
+    BGP intermediate results are pushdown-pruned and small by the Store's
+    usage profile; Ray's Dataset.join is avoided (it breaks on empty
+    right partitions)."""
+
+    def __init__(self, right_ref, keys):
+        import ray
+
+        self.right = ray.get(right_ref)
+        self.keys = list(keys)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            for name in self.right.column_names:
+                if name not in t.column_names:
+                    t = t.append_column(
+                        name, pa.array([], self.right.schema.field(name).type)
+                    )
+            return t
+        return t.join(self.right, keys=self.keys, join_type="inner")
+
+
+def get_pattern(
+    catalog: Catalog,
+    patterns: list[tuple],
+    base: str = "http://example.com/base/",
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """Basic-graph-pattern matching over the Direct Mapping — the
+    reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
+    :: get_pattern]: a list of (s, p, o) triple patterns where each term
+    is a bound IRI string, ``("lit", value)`` for a bound literal object,
+    or a ``"?var"``. Returns a Dataset of DISTINCT variable bindings (one
+    column per variable, ``?`` stripped; subject/predicate vars bind
+    IRIs, object vars bind the term lexical form).
+
+    Execution: each pattern runs through :func:`get_statements` (so every
+    bound term gets its parquet pushdown), then patterns join on shared
+    variables via broadcast inner joins (intermediates are
+    pushdown-pruned; for analytics-sized BGPs use the engine's hash
+    joins instead).
+    """
+    import ray
+
+    from .distinct import distinct_rows
+
+    acc: rd.Dataset | None = None
+    acc_vars: list[str] = []
+    for s, p, o in patterns:
+        kwargs: dict = {}
+        slots: dict[str, str] = {}  # triple column -> var name
+        if _is_var(s):
+            slots["subj"] = s[1:]
+        else:
+            kwargs["subject"] = s
+        if _is_var(p):
+            slots["pred"] = p[1:]
+        else:
+            kwargs["predicate"] = p
+        if _is_var(o):
+            slots["obj"] = o[1:]
+        elif isinstance(o, tuple) and o and o[0] == "lit":
+            kwargs["obj_literal"] = o[1]
+        else:
+            kwargs["obj"] = o
+        ds = get_statements(
+            catalog, base=base, distinct_buckets=num_partitions, **kwargs
+        )
+
+        if not slots:
+            # fully bound pattern = existence filter
+            if ds.count() == 0:
+                return rd.from_arrow(pa.table({}))
+            continue
+
+        def proj(t: pa.Table, _slots=dict(slots)) -> pa.Table:
+            cols, names = [], []
+            seen: dict[str, pa.Array] = {}
+            mask = None
+            for c, v in _slots.items():
+                arr = t.column(c).combine_chunks() if t.num_rows else pa.array([], pa.string())
+                if v in seen:  # repeated var within one pattern: must match
+                    eq = pc.equal(seen[v], arr)
+                    mask = eq if mask is None else pc.and_(mask, eq)
+                    continue
+                seen[v] = arr
+                cols.append(arr)
+                names.append(v)
+            out = pa.Table.from_arrays(cols, names=names)
+            if mask is not None:
+                out = out.filter(pc.fill_null(mask, False))
+            return out
+
+        bnd = ds.map_batches(proj, batch_format="pyarrow")
+        new_vars = list(dict.fromkeys(slots.values()))
+        if acc is None:
+            acc, acc_vars = bnd, new_vars
+            continue
+        shared = [v for v in new_vars if v in acc_vars]
+        right = pa.concat_tables(
+            list(bnd.iter_batches(batch_format="pyarrow", batch_size=None))
+            or [pa.Table.from_arrays([pa.array([], pa.string()) for _ in new_vars], names=new_vars)]
+        )
+        if not shared:
+            # cross product via a constant join key
+            k = "__cross"
+            right = right.append_column(k, pa.nulls(right.num_rows, pa.int8()).fill_null(0))
+            acc = acc.map_batches(
+                lambda t, _k=k: t.append_column(
+                    _k, pa.repeat(pa.scalar(0, pa.int8()), t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+            shared = [k]
+        rref = ray.put(right)
+        acc = acc.map_batches(
+            _BroadcastInner,
+            fn_constructor_kwargs={"right_ref": rref, "keys": shared},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        if shared == ["__cross"]:
+            acc = acc.map_batches(
+                lambda t: t.drop_columns(["__cross"]), batch_format="pyarrow"
+            )
+        acc_vars = list(dict.fromkeys(acc_vars + new_vars))
+    if acc is None:
+        return rd.from_arrow(pa.table({}))
+    return distinct_rows(acc, acc_vars, num_buckets=num_partitions)
+
+
 def _empty() -> pa.Table:
     from ..terms import TRIPLE_SCHEMA
 

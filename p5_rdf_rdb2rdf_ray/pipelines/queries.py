@@ -285,6 +285,34 @@ FROM nation WHERE n_regionkey = 1
 """
 
 
+def q_bgp_nation_region(sf_dir: str) -> rd.Dataset:
+    """Store get_pattern parity [R: DirectMapping/Store.pm :: get_pattern]:
+    a 3-pattern BGP with shared variables — nations joined to their
+    regions (IRI bindings) plus the region name (literal binding),
+    restricted to region 1 by a bound literal."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+        ],
+        base=BASE,
+    )
+
+
+SQL_BGP_NATION_REGION = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       '{BASE}region/r_regionkey=' || r_regionkey AS r,
+       r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_regionkey = 1
+"""
+
+
 def q_count_statements(sf_dir: str):
     """Store ``count_statements`` parity: per-pattern triple counts as a
     small table (subject-bound, predicate-bound, unbound)."""
@@ -759,6 +787,7 @@ QUERIES = {
     "r2rml_turtle_graph": q_r2rml_turtle_graph,
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
+    "bgp_nation_region": q_bgp_nation_region,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
     "top10_orders": q_top10_orders,
@@ -789,6 +818,7 @@ ORACLES = {
     "r2rml_turtle_graph": SQL_R2RML_TURTLE_GRAPH,
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
+    "bgp_nation_region": SQL_BGP_NATION_REGION,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,
     "top10_orders": SQL_TOP10_ORDERS,

@@ -250,3 +250,58 @@ def test_dm_nopk_multifile_streams(ray_session, tmp_path):
     # deterministic across runs (retry/resume safety)
     got2 = set(collect_ntriples(run_mapping(spec, cat)))
     assert got1 == got2
+
+
+def test_get_pattern_bgp(ray_session, dm_catalog):
+    """Store get_pattern parity: multi-pattern BGP with shared vars,
+    bound-literal constraint, fully-bound existence filter."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+    # employees → dept → dept name
+    rows = get_pattern(
+        dm_catalog,
+        [
+            ("?e", B + "dm_emp#ref-dept_id", "?d"),
+            ("?d", B + "dm_dept#dname", "?dn"),
+        ],
+        base=B,
+    ).take_all()
+    got = {(r["e"], r["dn"]) for r in rows}
+    assert got == {
+        (B + "dm_emp/emp_id=1", "eng"),
+        (B + "dm_emp/emp_id=2", "eng"),
+        (B + "dm_emp/emp_id=3", "ops"),
+        (B + "dm_emp/emp_id=4", "ops"),
+    }
+    # bound literal narrows to one dept
+    rows2 = get_pattern(
+        dm_catalog,
+        [
+            ("?e", B + "dm_emp#ref-dept_id", "?d"),
+            ("?d", B + "dm_dept#dname", ("lit", "eng")),
+        ],
+        base=B,
+    ).take_all()
+    assert sorted(r["e"] for r in rows2) == [
+        B + "dm_emp/emp_id=1",
+        B + "dm_emp/emp_id=2",
+    ]
+    # fully-bound pattern: true → no effect, false → empty
+    rows3 = get_pattern(
+        dm_catalog,
+        [
+            (B + "dm_dept/dept_id=1", B + "dm_dept#dname", ("lit", "eng")),
+            ("?e", B + "dm_emp#ref-dept_id", B + "dm_dept/dept_id=1"),
+        ],
+        base=B,
+    ).take_all()
+    assert len(rows3) == 2
+    rows4 = get_pattern(
+        dm_catalog,
+        [
+            (B + "dm_dept/dept_id=1", B + "dm_dept#dname", ("lit", "nope")),
+            ("?e", B + "dm_emp#ref-dept_id", B + "dm_dept/dept_id=1"),
+        ],
+        base=B,
+    ).take_all()
+    assert rows4 == []
