@@ -73,6 +73,21 @@ class RDB2RDF:
         return ds
 
     def process_ntriples(self, catalog: Catalog, **run_kwargs: Any) -> list[str]:
-        """Materialized N-Triples lines — small graphs / tests only
-        (the analogue of the reference's process_turtle)."""
+        """Materialized N-Triples lines — small graphs / tests only."""
         return collect_ntriples(self.process(catalog, **run_kwargs))
+
+    def process_turtle(
+        self,
+        catalog: Catalog,
+        prefixes: dict[str, str] | None = None,
+        **run_kwargs: Any,
+    ) -> str:
+        """Materialized Turtle document (prefixed, subject-grouped) —
+        the reference's primary output [R: RDB2RDF.pm :: process_turtle];
+        small graphs / tests. At scale use ``sinks.turtle.write_turtle``
+        over the subject-bucketed store instead."""
+        from .sinks.turtle import collect_turtle
+
+        if prefixes is None:
+            prefixes = dict(self.spec(catalog).namespaces or {})
+        return collect_turtle(self.process(catalog, **run_kwargs), prefixes)

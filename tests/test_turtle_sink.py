@@ -1,0 +1,66 @@
+"""Turtle serializer sink: round-trip through our own Turtle parser
+(serialize → parse → identical triple set as the N-Triples sink)."""
+
+import glob
+import os
+
+import ray.data as rd
+
+from p5_rdf_rdb2rdf_ray.mapping.turtle import parse_turtle
+from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+from p5_rdf_rdb2rdf_ray.pipelines.transcripts import write_transcripts
+from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples
+from p5_rdf_rdb2rdf_ray.sinks.turtle import collect_turtle, write_turtle
+
+from p5_rdf_rdb2rdf_ray.functions.scalars import ntriples_escape
+
+
+def _parsed_to_ntriples(graph) -> set[str]:
+    out = set()
+    for s, p, o in graph.triples:
+        def term(t):
+            if t[0] == "iri":
+                return f"<{t[1]}>"
+            if t[0] == "bnode":
+                return f"_:{t[1]}"
+            v = f'"{ntriples_escape(t[1])}"'
+            if t[2]:
+                v += f"@{t[2]}"
+            elif t[3]:
+                v += f"^^<{t[3]}>"
+            return v
+
+        out.add(f"{term(s)} {term(p)} {term(o)} .")
+    return out
+
+
+def test_turtle_roundtrip_flagship(ray_session, tmp_path):
+    tx = str(tmp_path / "tx")
+    write_transcripts(tx, n_convs=12, num_files=2, seed=7)
+    kg = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    want = set(collect_ntriples(kg))
+
+    kg2 = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    ttl = collect_turtle(kg2, prefixes={"ex": "http://ex.org/"})
+    g, _ = parse_turtle(ttl)
+    got = _parsed_to_ntriples(g)
+    assert got == want, (
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+    )
+
+
+def test_write_turtle_parts_parse(ray_session, tmp_path):
+    tx = str(tmp_path / "tx")
+    write_transcripts(tx, n_convs=8, num_files=2, seed=9)
+    kg = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    want = set(collect_ntriples(kg))
+
+    out = str(tmp_path / "ttl")
+    kg2 = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    nblocks = write_turtle(kg2, out, prefixes={"ex": "http://ex.org/"})
+    assert nblocks > 0
+    got: set[str] = set()
+    for f in glob.glob(os.path.join(out, "part-*.ttl")):
+        g, _ = parse_turtle(open(f, encoding="utf-8").read())
+        got |= _parsed_to_ntriples(g)
+    assert got == want
