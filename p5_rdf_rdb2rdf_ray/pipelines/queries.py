@@ -762,6 +762,19 @@ def q_lsh_topk(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_ivf_topk(sf_dir: str) -> rd.Dataset:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path beside lsh_topk; rows-only check (k-means buckets are not
+    SQL-expressible)."""
+    from ..stages.similarity import ivf_topk
+
+    qs = _query_vectors(sf_dir, 5)
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs,
+        k=10, nlist=16, nprobe=8,
+    )
+
+
 def q_neardup_embeddings(sf_dir: str) -> rd.Dataset:
     return embedding_neardup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46
@@ -807,6 +820,7 @@ QUERIES = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "neardup_embeddings": q_neardup_embeddings,
 }
 

@@ -199,6 +199,118 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    ds: rd.Dataset,
+    nlist: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 0x5EED_0003,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer for IVF: seeded
+    sample (first ``sample`` rows — cheap and reproducible), numpy Lloyd
+    iterations on the driver (the quantizer is tiny; assignment is the
+    distributed part). → (nlist, D) L2-normalized centroids."""
+    t = pa.concat_tables(
+        [
+            b
+            for b in ds.limit(sample).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    m = _normalize(_to_matrix(t, vec_col))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(m), size=min(nlist, len(m)), replace=False)
+    c = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """IVF approximate top-k — the inverted-file scale path next to
+    :func:`lsh_topk`: vectors are assigned to their nearest coarse
+    centroid per batch (one matmul); each query scores only vectors
+    whose centroid is among its ``nprobe`` nearest lists. Same output
+    schema as :func:`ann_topk` (+score). ``nprobe == nlist`` degrades
+    gracefully to the exact brute-force scan."""
+    qids = np.asarray(queries[0], np.int64)
+    qm = _normalize(np.asarray(queries[1], np.float64))
+    c = centroids if centroids is not None else ivf_centroids(
+        ds, nlist=nlist, vec_col=vec_col
+    )
+    nprobe = min(nprobe, len(c))
+    # per query: the nprobe nearest centroid ids
+    qsim = qm @ c.T  # (Q, L)
+    probes = np.argpartition(-qsim, nprobe - 1, axis=1)[:, :nprobe]
+    ref = ray.put((qids, qm, c, probes))
+
+    class Scorer:
+        def __init__(self):
+            self.qids, self.qm, self.c, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            m = _normalize(_to_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col))
+            assign = np.argmax(m @ self.c.T, axis=1)  # (N,) list id
+            rows_q, rows_i, rows_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(assign, self.probes[qi])
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qm[qi]
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                rows_q.extend([self.qids[qi]] * kk)
+                rows_i.extend(ids[mask][idx].tolist())
+                rows_s.extend(s[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    id_col: pa.array(rows_i, pa.int64()),
+                    "score": pa.array(rows_s, pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df[df["rank"] <= k].reset_index(drop=True)
+
+    return local.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
 def embedding_neardup_pairs(
     ds: rd.Dataset,
     tau: float = 0.95,

@@ -394,3 +394,44 @@ def test_connected_components_high_diameter(ray_session, caplog):
             edges, num_partitions=4, shortcut=False, max_rounds=4
         ).take_all()
     assert any("no fixpoint" in r.message for r in caplog.records)
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF vs brute force on clustered vectors: full-probe (nprobe=nlist)
+    is EXACT; partial probe keeps high recall on clustered data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.similarity import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 32)) * 4
+    m = np.vstack([c + rng.standard_normal((250, 32)) for c in centers])
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel()), 32
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    qs = (ids[:4], m[:4])
+    ds = rd.from_arrow(t)
+
+    def ranks(res):
+        return {
+            (r["query_id"], r["rank"]): r["vec_id"] for r in res.take_all()
+        }
+
+    exact = ranks(ann_topk(rd.from_arrow(t), qs, k=10))
+    full = ranks(
+        ivf_topk(rd.from_arrow(t), qs, k=10, nlist=8, nprobe=8)
+    )
+    assert full == exact  # full probe == brute force
+    part = ivf_topk(ds, qs, k=10, nlist=8, nprobe=2)
+    got = {(r["query_id"], r["vec_id"]) for r in part.take_all()}
+    want = {(q, v) for (q, _rk), v in exact.items()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
