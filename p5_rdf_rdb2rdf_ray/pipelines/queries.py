@@ -649,6 +649,25 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_window_events(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window aggregate per user (windowed custom op —
+    combiner + one grouped shuffle; window id is row-local)."""
+    from ..stages.sessions import tumbling_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return tumbling_window(ev, window_s=3600, num_partitions=8)
+
+
+SQL_WINDOW_EVENTS = """
+SELECT user_id,
+       to_timestamp((epoch_us(ts) // 3600000000) * 3600) AT TIME ZONE 'UTC'
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
     """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
     from ..stages.textstats import winnow_fingerprints
@@ -814,6 +833,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "winnow_fp_docs": q_winnow_fp_docs,
     "user_sessions": q_user_sessions,
+    "window_events": q_window_events,
     "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -845,6 +865,7 @@ ORACLES = {
     "quality_docs": SQL_QUALITY_DOCS,
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "user_sessions": SQL_USER_SESSIONS,
+    "window_events": SQL_WINDOW_EVENTS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "ann_topk": SQL_ANN_TOPK,

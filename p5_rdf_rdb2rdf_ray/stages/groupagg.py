@@ -42,6 +42,10 @@ def grouped_aggregate(
     Output columns: ``keys`` + the out_cols, exact global aggregates.
     """
     keys = list(keys)
+    if any(k.startswith("__") for k in keys):
+        # "__" prefixes are reserved for the hidden mean partials, which
+        # the finalizer drops — a "__" key column would vanish silently
+        raise ValueError(f"group keys must not start with '__': {keys}")
     # expand mean into hidden sum/count partials
     plan: list[tuple[str, str, str]] = []  # (out, in, fn) non-mean
     means: list[tuple[str, str]] = []  # (out, in)

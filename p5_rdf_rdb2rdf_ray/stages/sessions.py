@@ -20,6 +20,58 @@ import ray.data as rd
 from ..engine.distinct import ensure_hash_shuffle
 
 
+def tumbling_window(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Fixed (tumbling) time-window aggregate per key — the windowed
+    aggregate Ray Data lacks natively, as a pure combiner + grouped
+    merge: the window id is a ROW-LOCAL function of the timestamp
+    (epoch // window), so this is just a grouped aggregate on
+    (key, window) — partial per batch, one hash shuffle, exact merge.
+    → (key_col, window_start:timestamp, n_events, sum_value?).
+    """
+    from .groupagg import grouped_aggregate
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype("int64")
+        win = (us // (window_s * 1_000_000)) * (window_s * 1_000_000)
+        out = {key_col: df[key_col], "wstart_us": win}
+        if value_col is not None:
+            out["wval"] = df[value_col]
+        return pd.DataFrame(out)
+
+    aggs = {"n_events": ("wstart_us", "count")}
+    if value_col is not None:
+        aggs["sum_value"] = ("wval", "sum")
+    agg = grouped_aggregate(
+        events.map_batches(assign, batch_format="pandas"),
+        keys=[key_col, "wstart_us"],
+        aggs=aggs,
+        num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {
+                key_col: pd.Series([], dtype="int64"),
+                "window_start": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+            if value_col is not None:
+                cols["sum_value"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        df = df.rename(columns={"wstart_us": "window_start"})
+        df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def sessionize(
     events: rd.Dataset,
     gap_s: float = 1800.0,

@@ -435,3 +435,27 @@ def test_ivf_topk_recall(ray_session):
     want = {(q, v) for (q, _rk), v in exact.items()}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_tumbling_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.sessions import tumbling_window
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 01:10",
+         "2026-01-01 00:20", "2026-01-01 02:59"]
+    )
+    df = pd.DataFrame(
+        {"user_id": [1, 1, 1, 2, 2], "ts": ts, "value": [1.0, 2.0, 4.0, 8.0, 16.0]}
+    )
+    got = (
+        tumbling_window(rd.from_pandas(df), window_s=3600, num_partitions=2)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert got.n_events.tolist() == [2, 1, 1, 1]
+    assert got.sum_value.tolist() == [3.0, 4.0, 8.0, 16.0]
+    assert got.window_start.dt.hour.tolist() == [0, 1, 0, 2]
