@@ -651,11 +651,28 @@ FROM s GROUP BY user_id, session_idx
 
 def q_window_events(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window aggregate per user (windowed custom op —
-    combiner + one grouped shuffle; window id is row-local)."""
+    combiner + one grouped shuffle; window id is row-local). The value
+    sum runs over integer cents so the result is order-independent
+    (float sums are not associative — the hash gate needs exactness)."""
+    import numpy as np
+    import pandas as pd
+
     from ..stages.sessions import tumbling_window
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
-    return tumbling_window(ev, window_s=3600, num_partitions=8)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.floor(
+            df["value"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return df[["user_id", "ts", "value_cents"]]
+
+    return tumbling_window(
+        ev.map_batches(cents, batch_format="pandas"),
+        window_s=3600, value_col="value_cents", value_dtype="int64",
+        num_partitions=8,
+    )
 
 
 SQL_WINDOW_EVENTS = """
@@ -663,7 +680,7 @@ SELECT user_id,
        to_timestamp((epoch_us(ts) // 3600000000) * 3600) AT TIME ZONE 'UTC'
          AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       sum(value) AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value
 FROM events GROUP BY 1, 2
 """
 

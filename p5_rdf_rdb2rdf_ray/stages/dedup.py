@@ -65,12 +65,12 @@ def exact_dedup(
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"__fp": _hash_series(df[text_col].fillna("")), id_col: df[id_col]}
+            {"fp_h": _hash_series(df[text_col].fillna("")), id_col: df[id_col]}
         )
 
     agg = grouped_aggregate(
         ds.map_batches(fp, batch_format="pandas"),
-        keys=["__fp"],
+        keys=["fp_h"],
         aggs={id_col: (id_col, "min"), "n_copies": (id_col, "count")},
         num_partitions=num_partitions,
     )

@@ -26,6 +26,7 @@ def tumbling_window(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str | None = "value",
+    value_dtype: str = "float64",
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Fixed (tumbling) time-window aggregate per key — the windowed
@@ -63,7 +64,7 @@ def tumbling_window(
                 "n_events": pd.Series([], dtype="int64"),
             }
             if value_col is not None:
-                cols["sum_value"] = pd.Series([], dtype="float64")
+                cols["sum_value"] = pd.Series([], dtype=value_dtype)
             return pd.DataFrame(cols)
         df = df.rename(columns={"wstart_us": "window_start"})
         df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
