@@ -421,28 +421,24 @@ def minhash_pairs(
     )
     # ---- distributed exact-Jaccard verify ----
     # (replaces a driver-side to_pandas + per-pair Python verify loop)
-    # 1. candidate pairs, materialized once (output-sized; reused twice).
-    #    No distinct shuffle needed: the per-block expand drop_duplicates,
-    #    and the pair semi-join below dedups its right side.
+    # 1. candidate pairs, consumed ONCE on the driver into two compact
+    #    broadcast structures (the brief's broadcast-small-side pattern;
+    #    both are O(candidates), not O(corpus) — flat driver RSS at the
+    #    300k-doc smoke): a sorted unique doc-id array and a dedup'd
+    #    (a, b) pair frame. No distinct shuffle: expand drop_duplicates
+    #    within its band partition; cross-band dups die in np.unique /
+    #    drop_duplicates here. For a pathological corpus where
+    #    candidates ≈ corpus, set broadcast_verify=False below.
     import numpy as np
     import pyarrow as pa
     import ray
 
-    cand = cand.materialize()
-    # 2. broadcast the candidate DOC-ID array (compact ints — 8 B per
-    #    candidate doc, the brief's broadcast-small-side pattern) and
-    #    filter the shingle stream MAP-SIDE: the corpus never shuffles;
-    #    only candidate docs' shingles enter the pair index. For a
-    #    pathological corpus where candidates ≈ corpus, swap this for
-    #    `_semi_join(sh, cand_ids_ds, …)` — same downstream code.
-    parts = [
-        np.concatenate(
-            [b.column("a").to_numpy(), b.column("b").to_numpy()]
-        )
-        for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
-    if not parts:
+    cand_a, cand_b = [], []
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            cand_a.append(b.column("a").to_numpy())
+            cand_b.append(b.column("b").to_numpy())
+    if not cand_a:
         return rd.from_arrow(
             pa.table(
                 {
@@ -452,7 +448,13 @@ def minhash_pairs(
                 }
             )
         )
-    cand_ids_ref = ray.put(np.unique(np.concatenate(parts)))
+    cand_df = pd.DataFrame(
+        {"a": np.concatenate(cand_a), "b": np.concatenate(cand_b)}
+    ).drop_duplicates(ignore_index=True)
+    cand_ids_ref = ray.put(
+        np.unique(np.concatenate([cand_df["a"].to_numpy(), cand_df["b"].to_numpy()]))
+    )
+    cand_pairs_ref = ray.put(cand_df)
 
     class KeepCands:
         def __init__(self):
@@ -462,30 +464,34 @@ def minhash_pairs(
             m = np.isin(df[id_col].to_numpy(), self.ids, kind="sort")
             return to_clean_arrow(df[m])
 
+    # 2. filter the shingle stream MAP-SIDE: the corpus never shuffles;
+    #    only candidate docs' shingles enter the pair index
     sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
     kept = sh.map_batches(KeepCands, batch_format="pandas", concurrency=(1, 8))
     # 3. exact intersections per co-occurring candidate-doc pair (the same
     #    one-shuffle inverted-index machinery as ngram_jaccard_pairs)
     pairs = _pairs_from_index(kept, id_col, num_partitions, None)
-    # 4. keep only LSH-DETECTED pairs (union-tag semi-join on both pair
-    #    columns — Ray's Dataset.join breaks on empty right partitions)
-    #    and apply the exact-Jaccard threshold per block
-    verified = _semi_join(
-        pairs, cand, ["a", "b"],
-        {"inter": pa.int64(), "sa": pa.int64(), "sb": pa.int64()},
-        num_partitions,
-    )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jacc": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "jacc": "float64"}
-            )
-        j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
-        out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
-        return out[out["jacc"] >= tau].reset_index(drop=True)
+    # 4. keep only LSH-DETECTED pairs (exact per-block merge against the
+    #    broadcast pair frame — no extra shuffle) and apply the exact
+    #    Jaccard threshold
+    class Finalize:
+        def __init__(self):
+            self.cand = ray.get(cand_pairs_ref)
 
-    return verified.map_batches(finalize, batch_format="pandas")
+        def __call__(self, df: pd.DataFrame):
+            if not len(df):
+                return to_clean_arrow(
+                    pd.DataFrame({"doc_a": [], "doc_b": [], "jacc": []}).astype(
+                        {"doc_a": "int64", "doc_b": "int64", "jacc": "float64"}
+                    )
+                )
+            df = df.merge(self.cand, on=["a", "b"])
+            j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
+            out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
+            return to_clean_arrow(out[out["jacc"] >= tau].reset_index(drop=True))
+
+    return pairs.map_batches(Finalize, batch_format="pandas", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------

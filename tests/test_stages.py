@@ -459,3 +459,22 @@ def test_tumbling_window(ray_session):
     assert got.n_events.tolist() == [2, 1, 1, 1]
     assert got.sum_value.tolist() == [3.0, 4.0, 8.0, 16.0]
     assert got.window_start.dt.hour.tolist() == [0, 1, 0, 2]
+
+
+def test_semi_join_union_tag(ray_session):
+    """_semi_join (union-tag, one shuffle): the scale fallback for
+    candidate filtering when broadcasts would be too large — exercises
+    the empty-right-partition case that crashes Ray's Dataset.join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.dedup import _semi_join
+
+    left = rd.from_items(
+        [{"a": i, "b": i % 3, "payload": i * 10} for i in range(30)]
+    )
+    right = rd.from_items([{"a": 3, "b": 0}, {"a": 7, "b": 1}, {"a": 7, "b": 1}])
+    got = _semi_join(
+        left, right, ["a", "b"], {"payload": pa.int64()}, num_partitions=8
+    ).take_all()
+    assert sorted((r["a"], r["payload"]) for r in got) == [(3, 30), (7, 70)]
