@@ -309,16 +309,52 @@ def write_triplestore(
 
 def lookup_store(
     out_dir: str,
-    subject: str,
+    subject: str | None = None,
     predicate: str | None = None,
 ) -> pa.Table:
-    """Point lookup over a written store with partition pruning: the
+    """Point lookup over a written store with partition pruning: a bound
     subject hashes to exactly one ``bucket=`` directory; only that
     bucket's parts are read, with a parquet row filter on (subj[, pred]).
-    The analogue of the reference Store's ``get_statements`` serving reads
-    from the MATERIALIZED graph (SURVEY 21c)."""
+    A predicate-only lookup scans every bucket with the parquet filter
+    pushed down (no pruning — the store partitions by subject; the
+    reference Store does the same full-column scan for that shape).
+    The analogue of the reference Store's ``get_statements`` serving
+    reads from the MATERIALIZED graph (SURVEY 21c)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+
+    if subject is None:
+        from ..terms import TRIPLE_SCHEMA
+
+        ds = read_triplestore(out_dir)
+        if predicate is None:
+            parts = []
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+                parts.append(b)
+            return (
+                pa.concat_tables(parts)
+                if parts
+                else pa.Table.from_arrays(
+                    [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                    schema=TRIPLE_SCHEMA,
+                )
+            )
+        flt = pc.field("pred") == predicate
+        all_parts = []
+        for name in sorted(os.listdir(out_dir)):
+            d = os.path.join(out_dir, name)
+            if name.startswith("bucket=") and os.path.isdir(d):
+                all_parts.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        if not all_parts:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        return pads.dataset(all_parts).to_table(filter=flt)
 
     num_buckets = 0
     mpath = os.path.join(out_dir, "_METRICS.json")

@@ -141,3 +141,15 @@ def test_store_lookup_absent_subject_and_empty_bucket(ray_session, tmp_path):
         assert t.num_rows == 0
         assert t.schema.equals(TRIPLE_SCHEMA)
     assert lookup_store(store, BASE + "conv/only/turn/0").num_rows == 1
+
+
+def test_store_lookup_predicate_only(ray_session, tx, tmp_path):
+    """Predicate-only store lookup: full-bucket scan with parquet filter
+    pushdown (no subject pruning — documented)."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import lookup_store
+
+    out = str(tmp_path / "out")
+    run_flagship_resumable(tx, out, num_buckets=8)
+    t = lookup_store(os.path.join(out, "store"), predicate=BASE + "role")
+    assert t.num_rows > 0
+    assert set(t.column("pred").to_pylist()) == {BASE + "role"}
