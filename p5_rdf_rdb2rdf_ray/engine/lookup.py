@@ -175,7 +175,9 @@ def get_statements(
         if table in catalog.tables:
             dset = pads.dataset(catalog.tables[table])
         else:
-            dset = pads.dataset(catalog.files(table))
+            files = catalog.files(table)
+            fmt = "csv" if files[0].endswith(".csv") else "parquet"
+            dset = pads.dataset(files, format=fmt)
         sliced = dset.to_table(filter=flt)
         catalog = Catalog(
             root=catalog.root,

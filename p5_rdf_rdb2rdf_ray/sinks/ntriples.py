@@ -9,6 +9,7 @@ actually need escaping).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -168,3 +169,78 @@ def write_ntriples(ds: rd.Dataset, path: str) -> int:
 def table_to_ntriples(t: pa.Table) -> list[str]:
     """Driver-side helper for an in-memory triple table."""
     return format_batch(t).column("line").to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# N-Triples READER (source symmetry: .nt written by this sink — or any
+# conformant tool — parses back into the engine's triple Dataset)
+
+_NT_LINE = (
+    r'^\s*(?:(<(?P<siri>[^>]*)>)|(?P<sbn>_:\S+))\s+'
+    r'<(?P<pred>[^>]*)>\s+'
+    r'(?:(<(?P<oiri>[^>]*)>)|(?P<obn>_:[^\s]+)|'
+    r'"(?P<olit>(?:[^"\\]|\\.)*)"'
+    r'(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)'
+    r'\s*\.\s*$'
+)
+
+
+def _unescape_nt(s: str) -> str:
+    from ..mapping.turtle import _unescape
+
+    return _unescape(s)
+
+
+def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
+    """Vectorized-ish N-Triples line parse → TRIPLE_SCHEMA rows.
+
+    Structure extraction is one compiled-regex pass (pandas
+    ``str.extract``); only literal values containing escapes take the
+    Python unescape path. Lines that are blank/comments are skipped;
+    malformed lines raise (garbage in a triple dump is a data bug)."""
+    import pandas as pd
+
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+
+    s = pd.Series(t.column(line_col).to_pylist(), dtype="object").fillna("")
+    keep = ~(s.str.match(r"^\s*(#.*)?$"))
+    s = s[keep]
+    if not len(s):
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
+    m = s.str.extract(_NT_LINE)
+    bad = m["pred"].isna()
+    if bad.any():
+        raise ValueError(f"malformed N-Triples line: {s[bad].iloc[0]!r}")
+    subj = m["siri"].fillna(m["sbn"])
+    is_lit = m["olit"].notna()
+    obj = m["oiri"].fillna(m["obn"]).fillna(m["olit"])
+    kind = np.where(
+        is_lit, KIND_LITERAL, np.where(m["obn"].notna(), KIND_BNODE, KIND_IRI)
+    ).astype("uint8")
+    # unescape only literals that contain a backslash
+    esc = is_lit & obj.str.contains("\\\\", regex=False)
+    if esc.any():
+        obj = obj.copy()
+        obj[esc] = obj[esc].map(_unescape_nt)
+    return pa.Table.from_arrays(
+        [
+            pa.array(subj, pa.string()),
+            pa.array(m["pred"], pa.string()),
+            pa.array(obj, pa.string()),
+            pa.array(kind),
+            pa.array(m["lang"], pa.string()),
+            pa.array(m["dt"], pa.string()),
+            pa.nulls(len(s), pa.string()),
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def read_ntriples(path: str) -> rd.Dataset:
+    """Distributed N-Triples source: line-oriented text → triple Dataset
+    (the inverse of :func:`write_ntriples`; lines parallelize for free)."""
+    return rd.read_text(path).map_batches(
+        parse_ntriples_batch, batch_format="pyarrow"
+    )

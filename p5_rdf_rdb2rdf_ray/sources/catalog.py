@@ -49,23 +49,42 @@ class Catalog:
 
     # -- catalog introspection (operator #3) -------------------------------
 
+    _EXTS = (".parquet", ".csv", ".json")
+
     def table_names(self) -> list[str]:
         names = set(self.tables)
         if self.root:
-            for p in glob.glob(os.path.join(self.root, "*.parquet")):
-                names.add(os.path.splitext(os.path.basename(p))[0])
+            for ext in self._EXTS:
+                for p in glob.glob(os.path.join(self.root, f"*{ext}")):
+                    names.add(os.path.splitext(os.path.basename(p))[0])
         return sorted(names)
 
     def schema(self, table: str) -> pa.Schema:
         if table in self.tables:
             return self.tables[table].schema
+        p = self._path(table)
+        if p.endswith(".csv"):
+            import pyarrow.csv as pacsv
+
+            with pacsv.open_csv(p) as r:  # streaming: header + first block
+                return r.schema
+        if p.endswith(".json"):
+            import pyarrow.json as pajson
+
+            return pajson.read_json(p).schema
         return pq.read_schema(self.files(table)[0])
 
     def layout(self, table: str) -> TableLayout:
         return self.layouts.get(table, TableLayout())
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.parquet")
+        """Resolve a logical table to a file/dir path: .parquet preferred,
+        then .csv / .json (the DBI-ish 'any table the catalog can see')."""
+        base = os.path.join(self.root, table)
+        for ext in self._EXTS:
+            if os.path.exists(base + ext):
+                return base + ext
+        return base + ".parquet"
 
     def files(self, table: str) -> list[str]:
         p = self._path(table)
@@ -96,9 +115,23 @@ class Catalog:
                     keep.append(ROWID_COL)
                 t = t.select(keep)
             return rd.from_arrow(t)
+        p = self._path(table)
+        if p.endswith(".csv") or p.endswith(".json"):
+            if rowid:
+                raise NotImplementedError(
+                    "deterministic rowids (no-PK Direct Mapping) need "
+                    "parquet row-group metadata; declare a primary key or "
+                    "convert the table to parquet"
+                )
+            ds = rd.read_csv(p) if p.endswith(".csv") else rd.read_json(p)
+            if columns is not None:
+                ds = ds.select_columns(
+                    [c for c in columns if c in self.schema(table).names]
+                )
+            return ds
         if rowid:
             return self._load_with_rowid(table, columns)
-        return rd.read_parquet(self._path(table), columns=columns)
+        return rd.read_parquet(p, columns=columns)
 
     def _load_sql(self, sql: str, columns: list[str] | None) -> rd.Dataset:
         """rr:sqlQuery logical table via DuckDB views over the catalog."""
@@ -110,9 +143,14 @@ class Catalog:
                 if name in self.tables:
                     con.register(name, self.tables[name])
                 else:
+                    p = self._path(table=name)
+                    fn = (
+                        "read_csv_auto" if p.endswith(".csv")
+                        else "read_json_auto" if p.endswith(".json")
+                        else "read_parquet"
+                    )
                     con.execute(
-                        f"CREATE VIEW {name} AS SELECT * FROM "
-                        f"read_parquet('{self._path(table=name)}')"
+                        f"CREATE VIEW {name} AS SELECT * FROM {fn}('{p}')"
                     )
             out = con.execute(sql).arrow()
         finally:

@@ -305,3 +305,29 @@ def test_get_pattern_bgp(ray_session, dm_catalog):
         base=B,
     ).take_all()
     assert rows4 == []
+
+
+def test_dm_over_csv_table(ray_session, tmp_path):
+    """Direct Mapping over a CSV logical table (DBI-ish: any table the
+    catalog resolves — .parquet preferred, then .csv/.json)."""
+    d = str(tmp_path / "csvcat")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "dm_pets.csv"), "w") as f:
+        f.write("pet_id,name,legs\n1,rex,4\n2,tweety,2\n")
+    cat = Catalog(root=d, layouts={"dm_pets": TableLayout(pkey=("pet_id",))})
+    spec = direct_mapping(cat, base=B)
+    got = set(collect_ntriples(run_mapping(spec, cat, distinct_buckets=2)))
+    xint = "http://www.w3.org/2001/XMLSchema#integer"
+    assert f'<{B}dm_pets/pet_id=1> <{B}dm_pets#name> "rex" .' in got
+    assert f'<{B}dm_pets/pet_id=2> <{B}dm_pets#legs> "2"^^<{xint}> .' in got
+    assert len(got) == 8  # 2 rows x (type + 3 cols)
+    # bound-value lookup pushdown over the csv table
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_statements
+
+    rows = get_statements(
+        cat, predicate=B + "dm_pets#name", obj_literal="rex", base=B,
+        distinct_buckets=2,
+    ).take_all()
+    assert len(rows) == 1 and rows[0]["subj"] == B + "dm_pets/pet_id=1"

@@ -64,3 +64,22 @@ def test_write_turtle_parts_parse(ray_session, tmp_path):
         g, _ = parse_turtle(open(f, encoding="utf-8").read())
         got |= _parsed_to_ntriples(g)
     assert got == want
+
+
+def test_ntriples_reader_roundtrip(ray_session, tmp_path):
+    """write_ntriples → read_ntriples: the re-parsed triples re-serialize
+    to the identical line set (source/sink symmetry)."""
+    from p5_rdf_rdb2rdf_ray.sinks.ntriples import read_ntriples, write_ntriples
+
+    tx = str(tmp_path / "tx")
+    write_transcripts(tx, n_convs=10, num_files=2, seed=5)
+    kg = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    want = set(collect_ntriples(kg))
+
+    out = str(tmp_path / "nt")
+    kg2 = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    n = write_ntriples(kg2, out)
+    assert n == len(want)
+    back = read_ntriples(out)
+    got = set(collect_ntriples(back))
+    assert got == want
