@@ -117,9 +117,11 @@ BENCH_QUERIES = [
     "minhash_pairs_docs",
     "simhash_pairs_docs",
     "ann_topk",
+    "ivf_topk",
     "neardup_embeddings",
     "token_counts_docs",
     "langid_docs",
+    "window_events",
 ]
 
 
