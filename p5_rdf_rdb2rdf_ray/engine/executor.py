@@ -28,8 +28,6 @@ from ..mapping.spec import (
     BNODE,
     IRI,
     LITERAL,
-    MappingSpec,
-    PredObjSpec,
     TermMapSpec,
     TriplesMapSpec,
 )

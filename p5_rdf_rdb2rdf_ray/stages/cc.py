@@ -19,7 +19,6 @@ distributed path for document-scale dedup graphs.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
