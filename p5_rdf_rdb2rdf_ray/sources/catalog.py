@@ -134,7 +134,38 @@ class Catalog:
         return rd.read_parquet(p, columns=columns)
 
     def _load_sql(self, sql: str, columns: list[str] | None) -> rd.Dataset:
-        """rr:sqlQuery logical table via DuckDB views over the catalog."""
+        """rr:sqlQuery logical table.
+
+        STREAMING path first: the simple-SQL subset (single-table
+        SELECT/WHERE) compiles to a column-pruned, filter-pushed
+        ``read_parquet`` — no driver materialization (see
+        ``sources/sqlview.py``). Anything richer falls back to DuckDB
+        views materialized to Arrow — the fixture/small-view path.
+        """
+        from .sqlview import parse_simple_select, to_arrow_filter
+
+        plan = parse_simple_select(sql)
+        if plan is not None and plan.table not in self.tables:
+            p = self._path(plan.table)
+            if p.endswith(".parquet") and os.path.exists(p):
+                flt = to_arrow_filter(plan.conds)
+                need = plan.columns
+                if need is not None:
+                    # read SELECT ∪ WHERE columns, project to SELECT
+                    read_cols = list(
+                        dict.fromkeys(need + [c for c, _, _ in plan.conds])
+                    )
+                else:
+                    read_cols = None
+                ds = rd.read_parquet(p, columns=read_cols, filter=flt)
+                if need is not None and read_cols != need:
+                    ds = ds.select_columns(need)
+                if columns is not None:
+                    keep = [c for c in columns if need is None or c in need]
+                    if keep:
+                        ds = ds.select_columns(keep)
+                return ds
+
         import duckdb
 
         con = duckdb.connect()

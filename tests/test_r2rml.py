@@ -216,3 +216,32 @@ def test_c08_constant_shortcuts(cat, ray_session):
     )
     # constant subject/pred/object: one triple after dedup (2 rows collapse)
     assert got == {f"<{EX}TheBook> <{EX}p> <{EX}o> ."}
+
+
+def test_sqlquery_streaming_vs_duckdb(ray_session, tmp_path):
+    """The simple-SQL subset streams (read_parquet + pushdown) and must
+    produce exactly the DuckDB-materialized rows; richer SQL falls back."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from p5_rdf_rdb2rdf_ray.sources.catalog import Catalog
+    from p5_rdf_rdb2rdf_ray.sources.sqlview import parse_simple_select
+
+    d = str(tmp_path / "cat")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"k": list(range(100)), "v": [f"s{i}" for i in range(100)],
+                  "w": [i * 1.5 for i in range(100)]}),
+        os.path.join(d, "tbl.parquet"),
+    )
+    cat = Catalog(root=d)
+    sql = "SELECT k, v FROM tbl WHERE k >= 90 AND w < 145.0"
+    assert parse_simple_select(sql) is not None
+    got = sorted(r["k"] for r in cat.load("tbl", sql=sql).take_all())
+    # duckdb fallback (force it with a shape outside the subset)
+    sql2 = "SELECT k, v FROM tbl WHERE k >= 90 AND w < 145.0 ORDER BY k"
+    assert parse_simple_select(sql2) is None
+    want = sorted(r["k"] for r in cat.load("tbl", sql=sql2).take_all())
+    assert got == want == list(range(90, 97))
