@@ -48,7 +48,7 @@ def connected_components(
     edges: rd.Dataset,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 12,
+    max_rounds: int = 26,
     num_partitions: int = 16,
     shortcut: bool = True,
 ) -> rd.Dataset:
@@ -58,10 +58,11 @@ def connected_components(
     every node's label to its label's label (one labels⋈labels hash join —
     labels only ever decrease, so label(label(n)) ≤ label(n)). Jumping
     roughly doubles the propagation distance per round → O(log diameter)
-    rounds instead of O(diameter); the default 12 rounds covers diameters
-    in the thousands. Stops early on a fixpoint (cheap convergence probe:
-    the global sum of label hashes, an order-insensitive digest — no join
-    needed)."""
+    rounds instead of O(diameter). ``max_rounds`` is a SAFETY CAP, not the
+    expected count: the loop stops early on a fixpoint (cheap convergence
+    probe: the global sum of label hashes, an order-insensitive digest —
+    no join needed), so the default 26 (reach ≈ 2^26 diameter) costs
+    nothing on ordinary graphs."""
     from ..engine.distinct import distinct_rows, ensure_hash_shuffle, row_hash
     from ..engine.joins import hash_join
     from .groupagg import grouped_aggregate

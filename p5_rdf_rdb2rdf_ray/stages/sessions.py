@@ -5,11 +5,13 @@ Semantics: per user, order events by ts; a new session starts when the gap
 to the previous event exceeds ``gap``. Output: one row per session with
 (user_id, session_idx, n_events, t_start, t_end).
 
-Partitioning assumption (documented per the brief): ONE USER'S EVENTS FIT
-IN ONE BLOCK — we hash-repartition by user and window inside each block
-vectorized (cumsum over a boolean gap mask). A user whose history exceeds
-a block would need range-partitioning by (user, time) with boundary-session
-merging; not needed at this data shape (≤ thousands of events/user).
+Partitioning guarantee: we hash-repartition by user and window inside
+each block (vectorized cumsum over a boolean gap mask). One user's
+events ALWAYS share a block — Ray 2.49's hash-shuffle emits exactly one
+block per partition regardless of size (invariant pinned by
+tests/test_stages.py::test_shuffle_partition_invariant), so the only
+real limit is a single partition exceeding worker memory; size
+``num_partitions`` to the input for that.
 """
 
 from __future__ import annotations
