@@ -161,7 +161,12 @@ class _PartWriter:
 
 
 def write_ntriples(ds: rd.Dataset, path: str) -> int:
-    """Distributed N-Triples text sink; returns the number of lines."""
+    """Distributed N-Triples text sink; returns the number of lines.
+
+    Parts are uniquely named, so a re-run APPENDS — text sinks are
+    export formats, not the resumable system of record; for
+    checkpoint/resume semantics write the partitioned triple store
+    (``sinks/triplestore.py``) and export from it."""
     counts = ds.map_batches(_PartWriter(path), batch_format="pyarrow")
     return sum(r["rows"] for r in counts.take_all())
 
