@@ -680,7 +680,8 @@ SELECT user_id,
        to_timestamp((epoch_us(ts) // 3600000000) * 3600) AT TIME ZONE 'UTC'
          AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value
 FROM events GROUP BY 1, 2
 """
 

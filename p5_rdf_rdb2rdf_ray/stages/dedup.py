@@ -376,8 +376,17 @@ def minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    broadcast_verify: bool = True,
 ) -> rd.Dataset:
-    """LSH candidates → exact-Jaccard verified pairs (doc_a, doc_b, jacc)."""
+    """LSH candidates → exact-Jaccard verified pairs (doc_a, doc_b, jacc).
+
+    ``broadcast_verify=True`` (default): candidate ids/pairs are collected
+    once on the driver and broadcast (``ray.put``) — O(candidates) driver
+    RAM, zero extra shuffles. For a pathological corpus where candidates ≈
+    corpus, ``broadcast_verify=False`` keeps everything distributed: the
+    candidate filter and the pair filter each run as a union-tag semi join
+    (one hash shuffle apiece, O(1) driver RAM).
+    """
     assert num_perms % bands == 0
     rows = num_perms // bands
     sigs = minhash_signatures(
@@ -420,17 +429,56 @@ def minhash_pairs(
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
     # ---- distributed exact-Jaccard verify ----
-    # (replaces a driver-side to_pandas + per-pair Python verify loop)
-    # 1. candidate pairs, consumed ONCE on the driver into two compact
-    #    broadcast structures (the brief's broadcast-small-side pattern;
-    #    both are O(candidates), not O(corpus) — flat driver RSS at the
-    #    300k-doc smoke): a sorted unique doc-id array and a dedup'd
-    #    (a, b) pair frame. No distinct shuffle: expand drop_duplicates
-    #    within its band partition; cross-band dups die in np.unique /
-    #    drop_duplicates here. For a pathological corpus where
-    #    candidates ≈ corpus, set broadcast_verify=False below.
-    import numpy as np
+    # The corpus text is shingled exactly once at corpus scale: candidate
+    # DOCS (not the shingle stream) are filtered first, so the verify's
+    # second shingling pass touches only O(candidate docs) of text — at
+    # 100 TB that is one full pass plus a sliver, not two full passes.
     import pyarrow as pa
+
+    def _finalize_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return to_clean_arrow(
+                pd.DataFrame({"doc_a": [], "doc_b": [], "jacc": []}).astype(
+                    {"doc_a": "int64", "doc_b": "int64", "jacc": "float64"}
+                )
+            )
+        j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
+        out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
+        return to_clean_arrow(out[out["jacc"] >= tau].reset_index(drop=True))
+
+    if not broadcast_verify:
+        # Fully distributed verify: O(1) driver RAM, two extra semi-join
+        # shuffles. For candidates ≈ corpus (pathological LSH params).
+        docs = ds.map_batches(
+            lambda df: df[[id_col, text_col]], batch_format="pandas"
+        )
+        cand_ids = cand.map_batches(
+            lambda df: pd.DataFrame(
+                {id_col: pd.concat([df["a"], df["b"]], ignore_index=True)}
+            ),
+            batch_format="pandas",
+        )
+        kept_docs = _semi_join(
+            docs, cand_ids, keys=[id_col],
+            payload={text_col: pa.string()},
+            num_partitions=num_partitions,
+        )
+        sh = doc_shingles(kept_docs, n=n, text_col=text_col, id_col=id_col)
+        pairs = _pairs_from_index(sh, id_col, num_partitions, None)
+        verified = _semi_join(
+            pairs, cand, keys=["a", "b"],
+            payload={"inter": pa.int64(), "sa": pa.int64(), "sb": pa.int64()},
+            num_partitions=num_partitions,
+        )
+        return verified.map_batches(_finalize_pairs, batch_format="pandas")
+
+    # Broadcast verify (default): candidate pairs, consumed ONCE on the
+    # driver into two compact broadcast structures (the brief's
+    # broadcast-small-side pattern; both are O(candidates), not O(corpus)
+    # — flat driver RSS at the 10⁶-doc smoke): a sorted unique doc-id
+    # array and a dedup'd (a, b) pair frame. No distinct shuffle: expand
+    # drop_duplicates within its band partition; cross-band dups die in
+    # np.unique / drop_duplicates here.
     import ray
 
     cand_a, cand_b = [], []
@@ -456,21 +504,23 @@ def minhash_pairs(
     )
     cand_pairs_ref = ray.put(cand_df)
 
-    class KeepCands:
+    class KeepCandDocs:
         def __init__(self):
             self.ids = ray.get(cand_ids_ref)  # sorted unique int64
 
         def __call__(self, df: pd.DataFrame):
             m = np.isin(df[id_col].to_numpy(), self.ids, kind="sort")
-            return to_clean_arrow(df[m])
+            return to_clean_arrow(df.loc[m, [id_col, text_col]])
 
-    # 2. filter the shingle stream MAP-SIDE: the corpus never shuffles;
-    #    only candidate docs' shingles enter the pair index
-    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
-    kept = sh.map_batches(KeepCands, batch_format="pandas", concurrency=(1, 8))
+    # 2. filter the RAW DOCS map-side: only candidate docs are shingled a
+    #    second time, and the corpus never shuffles
+    kept_docs = ds.map_batches(
+        KeepCandDocs, batch_format="pandas", concurrency=(1, 8)
+    )
+    sh = doc_shingles(kept_docs, n=n, text_col=text_col, id_col=id_col)
     # 3. exact intersections per co-occurring candidate-doc pair (the same
     #    one-shuffle inverted-index machinery as ngram_jaccard_pairs)
-    pairs = _pairs_from_index(kept, id_col, num_partitions, None)
+    pairs = _pairs_from_index(sh, id_col, num_partitions, None)
 
     # 4. keep only LSH-DETECTED pairs (exact per-block merge against the
     #    broadcast pair frame — no extra shuffle) and apply the exact
@@ -481,15 +531,8 @@ def minhash_pairs(
 
         def __call__(self, df: pd.DataFrame):
             if not len(df):
-                return to_clean_arrow(
-                    pd.DataFrame({"doc_a": [], "doc_b": [], "jacc": []}).astype(
-                        {"doc_a": "int64", "doc_b": "int64", "jacc": "float64"}
-                    )
-                )
-            df = df.merge(self.cand, on=["a", "b"])
-            j = df["inter"] / (df["sa"] + df["sb"] - df["inter"])
-            out = pd.DataFrame({"doc_a": df["a"], "doc_b": df["b"], "jacc": j})
-            return to_clean_arrow(out[out["jacc"] >= tau].reset_index(drop=True))
+                return _finalize_pairs(df)
+            return _finalize_pairs(df.merge(self.cand, on=["a", "b"]))
 
     return pairs.map_batches(Finalize, batch_format="pandas", concurrency=(1, 8))
 
@@ -501,27 +544,50 @@ def minhash_pairs(
 def simhash_signatures(
     ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:
-    """→ (id_col, simhash:int64) — 64-bit SimHash over word hashes."""
+    """→ (id_col, simhash:int64) — 64-bit SimHash over word hashes.
+
+    Fully vectorized per batch: polars tokenize/explode/hash (Rust, no
+    Python token objects), bit expansion by ``np.unpackbits``, and one
+    segmented ``np.add.reduceat`` over the whole batch's (token, bit)
+    matrix — no per-doc Python loop. Empty docs get signature 0.
+    """
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        ids, out = [], []
-        for i, t in zip(df[id_col], df[text_col].fillna("")):
-            w = t.split()
-            if not w:
-                ids.append(i)
-                out.append(0)
-                continue
-            h = _hash_series(pd.Series(w))
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+        import polars as pl
+
+        e = (
+            pl.DataFrame(
+                {
+                    "__row": pl.Series(np.arange(len(df), dtype=np.int64)),
+                    "__t": pl.from_pandas(
+                        df[text_col].fillna("").astype(str), include_index=False
+                    ),
+                }
             )
-            v = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for k in np.nonzero(v > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(k)
-            ids.append(i)
-            out.append(np.int64(sig.astype(np.int64)))
-        return pd.DataFrame({id_col: ids, "simhash": pd.array(out, "int64")})
+            .with_columns(pl.col("__t").str.extract_all(r"\S+"))
+            .explode("__t")
+        )
+        valid = e["__t"].is_not_null().to_numpy()
+        rows = e["__row"].to_numpy()[valid]  # sorted ascending (explode order)
+        h = e["__t"].hash(seed=0).to_numpy().astype(np.uint64)[valid]
+        sig = np.zeros(len(df), np.uint64)
+        if len(rows):
+            # (T, 64) bit matrix, column k = bit k (little-endian uint64)
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+            s = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            cnt = np.diff(np.r_[starts, len(rows)])
+            maj = (2 * s - cnt[:, None]) > 0  # majority vote per bit
+            packed = (
+                maj.astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            sig[rows[starts]] = packed
+        return pd.DataFrame(
+            {id_col: df[id_col], "simhash": sig.astype(np.int64)}
+        )
 
     return ds.map_batches(f, batch_format="pandas")
 

@@ -69,7 +69,11 @@ def tumbling_window(
                 cols["sum_value"] = pd.Series([], dtype=value_dtype)
             return pd.DataFrame(cols)
         df = df.rename(columns={"wstart_us": "window_start"})
-        df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
+        # datetime64[us] (not ns): the DuckDB oracle returns TIMESTAMP as
+        # [us] and the driver's value hash is dtype-sensitive.
+        df["window_start"] = pd.to_datetime(
+            df["window_start"], unit="us"
+        ).astype("datetime64[us]")
         return df
 
     return agg.map_batches(finish, batch_format="pandas")

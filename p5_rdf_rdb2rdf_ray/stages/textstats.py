@@ -47,14 +47,27 @@ def quality_features(
     Ratios are exact rational divisions of int counts — deterministic and
     reproducible in SQL for the oracle compare.
     """
-    stop = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    stop = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
         s = df[text_col].fillna("")
-        words = s.str.findall(TOKEN_RX)
-        n_words = words.str.len().astype("int64")
-        n_uniq = words.map(lambda w: len(set(w))).astype("int64")
-        n_stop = words.map(lambda w: sum(1 for x in w if x in stop)).astype("int64")
+        # token stats fully in polars (Rust list kernels, no per-row Python)
+        tok = pl.col("t").str.extract_all(TOKEN_RX)
+        st = (
+            pl.DataFrame({"t": pl.from_pandas(s, include_index=False)})
+            .select(
+                n_words=tok.list.len().cast(pl.Int64),
+                n_uniq=tok.list.n_unique().cast(pl.Int64),
+                n_stop=tok.list.eval(
+                    pl.element().is_in(stop).cast(pl.Int64)
+                ).list.sum().fill_null(0).cast(pl.Int64),
+            )
+        )
+        n_words = pd.Series(st["n_words"].to_numpy(), index=df.index)
+        n_uniq = pd.Series(st["n_uniq"].to_numpy(), index=df.index)
+        n_stop = pd.Series(st["n_stop"].to_numpy(), index=df.index)
         n_chars = s.str.len().astype("int64")
         n_punct = s.str.count(r"[^\w\s]").astype("int64")
         nz = n_words.replace(0, 1)
@@ -182,29 +195,60 @@ def winnow_fingerprints(
     classic near-dup/plagiarism sketch. → (id_col, n_fp, fp_xor) summary
     (fp_xor = order-insensitive digest of the selected fingerprints)."""
     B = np.uint64(1000003)
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    swv = np.lib.stride_tricks.sliding_window_view
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        ids, n_fp, fp_xor = [], [], []
-        for i, t in zip(df[id_col], df[text_col].fillna("")):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if len(b) < k:
-                ids.append(i); n_fp.append(0); fp_xor.append(0)
-                continue
-            # vectorized rolling polynomial hash over all k-grams
-            powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-            h = (win * powers).sum(axis=1)  # wraparound mod 2^64
+        """One vectorized pass over the WHOLE batch (no per-doc loop):
+        all docs' bytes are concatenated, the rolling k-gram hash runs
+        once over the buffer, and windows that cross a doc boundary are
+        masked out (any such window contains an invalid k-gram position —
+        there are k-1 of them between consecutive docs)."""
+        n = len(df)
+        ids = df[id_col].to_numpy()
+        n_fp = np.zeros(n, np.int64)
+        fp_xor = np.zeros(n, np.int64)
+        enc = [t.encode("utf-8") for t in df[text_col].fillna("")]
+        lens = np.array([len(b) for b in enc], np.int64)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        M = len(buf)
+        if M >= k:
+            ends = lens.cumsum()
+            h = (swv(buf, k).astype(np.uint64) * powers).sum(axis=1)
+            pos = np.arange(M - k + 1)
+            doc_of = np.searchsorted(ends, pos, side="right")
+            valid = (pos + k) <= ends[doc_of]
+            # full windows of w consecutive valid positions (⇒ same doc)
             if len(h) >= w:
-                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                wins_ok = swv(valid, w).all(axis=1)
+                sel_doc = doc_of[: len(h) - w + 1][wins_ok]
+                sel_min = swv(h, w).min(axis=1)[wins_ok]
             else:
-                mins = np.array([h.min()], np.uint64)
-            sel = np.unique(mins)
-            ids.append(i)
-            n_fp.append(len(sel))
-            fp_xor.append(int(np.bitwise_xor.reduce(sel)) - 2**63)
+                sel_doc = np.array([], np.int64)
+                sel_min = np.array([], np.uint64)
+            # docs with 0 < #positions < w: single min over their k-grams
+            vd, vh = doc_of[valid], h[valid]
+            if len(vd):
+                st = np.flatnonzero(np.r_[True, vd[1:] != vd[:-1]])
+                cnt = np.diff(np.r_[st, len(vd)])
+                small = cnt < w
+                if small.any():
+                    sel_doc = np.r_[sel_doc, vd[st][small]]
+                    sel_min = np.r_[sel_min, np.minimum.reduceat(vh, st)[small]]
+            if len(sel_doc):
+                # unique mins per doc, then segmented count + xor digest
+                order = np.lexsort((sel_min, sel_doc))
+                d2, m2 = sel_doc[order], sel_min[order]
+                keep = np.r_[True, (d2[1:] != d2[:-1]) | (m2[1:] != m2[:-1])]
+                d3, m3 = d2[keep], m2[keep]
+                seg = np.flatnonzero(np.r_[True, d3[1:] != d3[:-1]])
+                n_fp[d3[seg]] = np.diff(np.r_[seg, len(d3)])
+                # x - 2**63 (the signed bit-flip) vectorized
+                fp_xor[d3[seg]] = (
+                    np.bitwise_xor.reduceat(m3, seg) ^ np.uint64(1 << 63)
+                ).view(np.int64)
         return pd.DataFrame(
-            {id_col: ids, "n_fp": pd.array(n_fp, "int64"),
-             "fp_xor": pd.array(fp_xor, "int64")}
+            {id_col: ids, "n_fp": n_fp, "fp_xor": fp_xor}
         )
 
     return ds.map_batches(f, batch_format="pandas")

@@ -83,6 +83,16 @@ def test_minhash_pairs_match_exact(ray_session, docs):
     assert gp == _true_pairs(texts, 0.5)
 
 
+def test_minhash_pairs_distributed_verify(ray_session, docs):
+    """broadcast_verify=False (semi-join verify) finds the same pairs."""
+    texts = docs.column("text").to_pylist()
+    got = minhash_pairs(
+        rd.from_arrow(docs), tau=0.5, num_partitions=4, broadcast_verify=False
+    )
+    gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
+    assert gp == _true_pairs(texts, 0.5)
+
+
 def test_simhash_pairs_finds_exact_dup(ray_session, docs):
     got = simhash_pairs(rd.from_arrow(docs), max_hamming=3, num_partitions=4)
     gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
