@@ -30,7 +30,16 @@ from ..terms import TRIPLE_COLUMNS
 def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
     """Key-based ``repartition``/``join`` need the hash-shuffle strategy.
     Set it on the current DataContext AND on the context snapshot a Dataset
-    captured at creation (plan build reads the latter)."""
+    captured at creation (plan build reads the latter).
+
+    Log-noise note: when a shuffle's output partitions are mostly empty
+    (toy inputs, many partitions) Ray 2.49 logs ``Operator produced a
+    RefBundle with a different schema … new schema: .`` — the empty
+    aggregator partitions carry no schema. Reproduced with a bare 4-row
+    Arrow dataset; harmless and not stage-induced (the related
+    'Failed to hash the schemas' warning IS stage-induced — pandas
+    blocks entering a shuffle — and every shuffle-feeding stage here
+    returns :func:`to_clean_arrow` for that reason)."""
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 

@@ -62,12 +62,20 @@ def decode_ref_predicate(iri: str, base: str) -> tuple[str, tuple[str, ...]] | N
     return urllib.parse.unquote(table), cols
 
 
+class _Uncastable(Exception):
+    """A bound term's lexical form cannot be cast to the column type —
+    Store semantics: such a pattern simply matches nothing."""
+
+
 def _cast_value(schema: pa.Schema, col: str, raw: str):
     t = schema.field(col).type
-    if pa.types.is_integer(t):
-        return int(raw)
-    if pa.types.is_floating(t):
-        return float(raw)
+    try:
+        if pa.types.is_integer(t):
+            return int(raw)
+        if pa.types.is_floating(t):
+            return float(raw)
+    except (ValueError, TypeError) as e:
+        raise _Uncastable(f"{col}={raw!r}") from e
     return raw
 
 
@@ -106,9 +114,12 @@ def get_statements(
         table, kv = dec
         tables = [table]
         schema = catalog.schema(table)
-        exprs = [
-            pc.field(c) == _cast_value(schema, c, v) for c, v in kv.items()
-        ]
+        try:
+            exprs = [
+                pc.field(c) == _cast_value(schema, c, v) for c, v in kv.items()
+            ]
+        except _Uncastable:
+            return rd.from_arrow(_empty())
         flt = exprs[0]
         for e in exprs[1:]:
             flt = flt & e
@@ -121,7 +132,10 @@ def get_statements(
             if obj_literal is not None:
                 # bound literal object + bound column predicate → value WHERE
                 schema = catalog.schema(table)
-                e = pc.field(col) == _cast_value(schema, col, obj_literal)
+                try:
+                    e = pc.field(col) == _cast_value(schema, col, obj_literal)
+                except _Uncastable:
+                    return rd.from_arrow(_empty())
                 flt = e if flt is None else flt & e
         decr = decode_ref_predicate(predicate, base)
         if decr is not None:
@@ -138,9 +152,12 @@ def get_statements(
                 if len(pkv) != len(fk_cols):
                     return rd.from_arrow(_empty())
                 schema = catalog.schema(table)
-                for c, v in zip(fk_cols, pkv.values()):
-                    e = pc.field(c) == _cast_value(schema, c, v)
-                    flt = e if flt is None else flt & e
+                try:
+                    for c, v in zip(fk_cols, pkv.values()):
+                        e = pc.field(c) == _cast_value(schema, c, v)
+                        flt = e if flt is None else flt & e
+                except _Uncastable:
+                    return rd.from_arrow(_empty())
     # an object bound WITHOUT a predicate gets no column pushdown — the
     # semantic gate below post-filters the emitted terms (the reference
     # scans every column in that case too)
@@ -281,13 +298,55 @@ def get_pattern(
     variables via broadcast inner joins (intermediates are
     pushdown-pruned; for analytics-sized BGPs use the engine's hash
     joins instead).
+
+    Joins are on RDF TERMS, not bare lexical strings: an object-variable
+    binding carries its ``obj_kind`` in a hidden ``__k_<var>`` column, so
+    a literal whose lexical form happens to spell an IRI (e.g. a string
+    column holding a DM row-node URL) never joins an IRI binding. Subject/
+    predicate bindings are implicitly non-literal; joining one against an
+    object binding filters the object side to non-literals first (IRI vs
+    bnode then disambiguate by the ``_:`` prefix, which no IRI can carry).
     """
+
+    def stmt_fn(**kwargs):
+        return get_statements(
+            catalog, base=base, distinct_buckets=num_partitions, **kwargs
+        )
+
+    return _bgp_join(stmt_fn, patterns, num_partitions)
+
+
+def get_pattern_store(
+    store_dir: str,
+    patterns: list[tuple],
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """:func:`get_pattern` served from a MATERIALIZED triple store
+    (``sinks/triplestore.py``) instead of the source tables: each
+    pattern's bound terms become bucket pruning (bound subject → one
+    ``bucket=`` dir) + parquet row filters via ``store_statements``; the
+    BGP join machinery (term-kind-aware broadcast joins + distinct) is
+    shared."""
+    from ..sinks.triplestore import store_statements
+
+    def stmt_fn(**kwargs):
+        return store_statements(store_dir, **kwargs)
+
+    return _bgp_join(stmt_fn, patterns, num_partitions)
+
+
+def _bgp_join(stmt_fn, patterns: list[tuple], num_partitions: int) -> rd.Dataset:
+    """Shared BGP core: per-pattern statement Datasets (``stmt_fn`` maps
+    bound-term kwargs → triples) joined on shared variables. See
+    :func:`get_pattern` for the binding/term-kind semantics."""
     import ray
 
+    from ..terms import KIND_LITERAL
     from .distinct import distinct_rows
 
     acc: rd.Dataset | None = None
     acc_vars: list[str] = []
+    acc_kinds: set[str] = set()  # vars with a __k_<var> column in acc
     for s, p, o in patterns:
         kwargs: dict = {}
         slots: dict[str, str] = {}  # triple column -> var name
@@ -305,9 +364,7 @@ def get_pattern(
             kwargs["obj_literal"] = o[1]
         else:
             kwargs["obj"] = o
-        ds = get_statements(
-            catalog, base=base, distinct_buckets=num_partitions, **kwargs
-        )
+        ds = stmt_fn(**kwargs)
 
         if not slots:
             # fully bound pattern = existence filter
@@ -315,7 +372,18 @@ def get_pattern(
                 return rd.from_arrow(pa.table({}))
             continue
 
-        def proj(t: pa.Table, _slots=dict(slots)) -> pa.Table:
+        # does any var repeat across subj/pred AND obj within this pattern?
+        # then the obj occurrence must be non-literal (term equality with
+        # an implicitly non-literal position) and needs no kind column
+        np_vars = {v for c, v in slots.items() if c != "obj"}
+        obj_var = slots.get("obj")
+        obj_kind_var = (
+            obj_var if obj_var is not None and obj_var not in np_vars else None
+        )
+
+        def proj(
+            t: pa.Table, _slots=dict(slots), _kv=obj_kind_var
+        ) -> pa.Table:
             cols, names = [], []
             seen: dict[str, pa.Array] = {}
             mask = None
@@ -324,10 +392,26 @@ def get_pattern(
                 if v in seen:  # repeated var within one pattern: must match
                     eq = pc.equal(seen[v], arr)
                     mask = eq if mask is None else pc.and_(mask, eq)
+                    if c == "obj":
+                        # term equality with a non-literal position
+                        nl = pc.not_equal(
+                            t.column("obj_kind").combine_chunks()
+                            if t.num_rows
+                            else pa.array([], pa.uint8()),
+                            KIND_LITERAL,
+                        )
+                        mask = pc.and_(mask, nl)
                     continue
                 seen[v] = arr
                 cols.append(arr)
                 names.append(v)
+            if _kv is not None:
+                cols.append(
+                    t.column("obj_kind").combine_chunks()
+                    if t.num_rows
+                    else pa.array([], pa.uint8())
+                )
+                names.append(f"__k_{_kv}")
             out = pa.Table.from_arrays(cols, names=names)
             if mask is not None:
                 out = out.filter(pc.fill_null(mask, False))
@@ -335,14 +419,43 @@ def get_pattern(
 
         bnd = ds.map_batches(proj, batch_format="pyarrow")
         new_vars = list(dict.fromkeys(slots.values()))
+        new_kinds = {obj_kind_var} if obj_kind_var is not None else set()
         if acc is None:
-            acc, acc_vars = bnd, new_vars
+            acc, acc_vars, acc_kinds = bnd, new_vars, new_kinds
             continue
         shared = [v for v in new_vars if v in acc_vars]
         right = pa.concat_tables(
             list(bnd.iter_batches(batch_format="pyarrow", batch_size=None))
-            or [pa.Table.from_arrays([pa.array([], pa.string()) for _ in new_vars], names=new_vars)]
+            or [
+                pa.Table.from_arrays(
+                    [pa.array([], pa.string()) for _ in new_vars]
+                    + [pa.array([], pa.uint8()) for _ in sorted(new_kinds)],
+                    names=new_vars + [f"__k_{v}" for v in sorted(new_kinds)],
+                )
+            ]
         )
+        # reconcile term kinds on shared vars BEFORE the lexical join
+        join_keys = list(shared)
+        for v in shared:
+            a_has, n_has = v in acc_kinds, v in new_kinds
+            if a_has and n_has:
+                join_keys.append(f"__k_{v}")
+            elif a_has:
+                # new side binds v in a non-literal position: drop acc's
+                # literal bindings, then the kind column is redundant
+                acc = acc.map_batches(
+                    lambda t, _c=f"__k_{v}": t.filter(
+                        pc.not_equal(t.column(_c), KIND_LITERAL)
+                    ).drop_columns([_c]),
+                    batch_format="pyarrow",
+                )
+                acc_kinds.discard(v)
+            elif n_has:
+                c = f"__k_{v}"
+                right = right.filter(
+                    pc.not_equal(right.column(c), KIND_LITERAL)
+                ).drop_columns([c])
+                new_kinds.discard(v)
         if not shared:
             # cross product via a constant join key
             k = "__cross"
@@ -353,22 +466,32 @@ def get_pattern(
                 ),
                 batch_format="pyarrow",
             )
-            shared = [k]
+            join_keys = [k]
         rref = ray.put(right)
         acc = acc.map_batches(
             _BroadcastInner,
-            fn_constructor_kwargs={"right_ref": rref, "keys": shared},
+            fn_constructor_kwargs={"right_ref": rref, "keys": join_keys},
             batch_format="pyarrow",
             concurrency=(1, 4),
         )
-        if shared == ["__cross"]:
+        if join_keys == ["__cross"]:
             acc = acc.map_batches(
                 lambda t: t.drop_columns(["__cross"]), batch_format="pyarrow"
             )
         acc_vars = list(dict.fromkeys(acc_vars + new_vars))
+        acc_kinds |= new_kinds
     if acc is None:
         return rd.from_arrow(pa.table({}))
-    return distinct_rows(acc, acc_vars, num_buckets=num_partitions)
+    kind_cols = sorted(f"__k_{v}" for v in acc_kinds)
+    out = distinct_rows(acc, acc_vars + kind_cols, num_buckets=num_partitions)
+    if kind_cols:
+        # kinds joined on above distinguish literal-vs-IRI solutions in the
+        # distinct; the public binding surface stays lexical-only
+        out = out.map_batches(
+            lambda t, _k=tuple(kind_cols): t.drop_columns(list(_k)),
+            batch_format="pyarrow",
+        )
+    return out
 
 
 def _empty() -> pa.Table:

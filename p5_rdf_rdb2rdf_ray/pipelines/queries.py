@@ -313,6 +313,46 @@ WHERE n_regionkey = 1
 """
 
 
+def q_bgp_store(sf_dir: str) -> rd.Dataset:
+    """The same BGP as bgp_nation_region, but served from the
+    MATERIALIZED triple store: DM triples for nation+region are written
+    to a bucket-partitioned store first (resumable — a repeat run with
+    the same input fingerprint skips the write), then
+    :func:`get_pattern_store` plans each pattern with bucket pruning +
+    parquet filter pushdown. Same oracle as bgp_nation_region."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..engine.lookup import get_pattern_store
+    from ..sinks.triplestore import fingerprint_files, write_triplestore
+
+    cat = catalog_for(sf_dir)
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    fp = fingerprint_files(cat.files("nation") + cat.files("region"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_bgp_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_triplestore(
+        run_mapping(
+            spec, cat, distinct_buckets=8, only_maps=["nation", "region"]
+        ),
+        out,
+        num_buckets=8,
+        input_fp=fp,
+    )
+    return get_pattern_store(
+        out,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+        ],
+    )
+
+
 def q_count_statements(sf_dir: str):
     """Store ``count_statements`` parity: per-pattern triple counts as a
     small table (subject-bound, predicate-bound, unbound)."""
@@ -826,6 +866,19 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
+    """IVF bucket-and-verify approximate near-dup pairs — the
+    sub-quadratic scale path of neardup_embeddings; rows-only check
+    (k-means buckets are not SQL-expressible; recall vs the exact pairs
+    is pinned by tests/test_stages.py::test_neardup_approx_recall)."""
+    from ..stages.similarity import embedding_neardup_pairs_approx
+
+    return embedding_neardup_pairs_approx(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46,
+        nlist=16, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -838,6 +891,7 @@ QUERIES = {
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
     "bgp_nation_region": q_bgp_nation_region,
+    "bgp_store": q_bgp_store,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
     "top10_orders": q_top10_orders,
@@ -860,6 +914,7 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "neardup_embeddings": q_neardup_embeddings,
+    "neardup_embeddings_approx": q_neardup_embeddings_approx,
 }
 
 ORACLES = {
@@ -871,6 +926,7 @@ ORACLES = {
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
     "bgp_nation_region": SQL_BGP_NATION_REGION,
+    "bgp_store": SQL_BGP_NATION_REGION,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,
     "top10_orders": SQL_TOP10_ORDERS,

@@ -177,8 +177,9 @@ def table_to_ntriples(t: pa.Table) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# N-Triples READER (source symmetry: .nt written by this sink — or any
-# conformant tool — parses back into the engine's triple Dataset)
+# N-Triples / N-Quads READER (source symmetry: .nt written by this sink —
+# or any conformant tool — parses back into the engine's triple Dataset;
+# an optional 4th graph term makes quad lines round-trip too)
 
 _NT_LINE = (
     r'^\s*(?:(<(?P<siri>[^>]*)>)|(?P<sbn>_:\S+))\s+'
@@ -186,6 +187,7 @@ _NT_LINE = (
     r'(?:(<(?P<oiri>[^>]*)>)|(?P<obn>_:[^\s]+)|'
     r'"(?P<olit>(?:[^"\\]|\\.)*)"'
     r'(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)'
+    r'(?:\s+(?:<(?P<giri>[^>]*)>|(?P<gbn>_:\S+)))?'
     r'\s*\.\s*$'
 )
 
@@ -224,11 +226,13 @@ def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
     kind = np.where(
         is_lit, KIND_LITERAL, np.where(m["obn"].notna(), KIND_BNODE, KIND_IRI)
     ).astype("uint8")
-    # unescape only literals that contain a backslash
-    esc = is_lit & obj.str.contains("\\\\", regex=False)
+    # unescape only literals that contain a backslash (the single escape
+    # character — NOT the two-char sequence r"\\")
+    esc = is_lit & obj.str.contains("\\", regex=False)
     if esc.any():
         obj = obj.copy()
         obj[esc] = obj[esc].map(_unescape_nt)
+    graph = m["giri"].fillna(m["gbn"])
     return pa.Table.from_arrays(
         [
             pa.array(subj, pa.string()),
@@ -237,7 +241,7 @@ def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
             pa.array(kind),
             pa.array(m["lang"], pa.string()),
             pa.array(m["dt"], pa.string()),
-            pa.nulls(len(s), pa.string()),
+            pa.array(graph, pa.string()),
         ],
         schema=TRIPLE_SCHEMA,
     )

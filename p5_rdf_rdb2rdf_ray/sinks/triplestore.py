@@ -413,3 +413,92 @@ def read_triplestore(out_dir: str) -> rd.Dataset:
                 if f.endswith(".parquet")
             )
     return rd.read_parquet(parts)
+
+
+def _store_num_buckets(out_dir: str) -> int:
+    mpath = os.path.join(out_dir, "_METRICS.json")
+    if os.path.exists(mpath):
+        try:
+            return int(json.load(open(mpath)).get("num_buckets", 0))
+        except (json.JSONDecodeError, OSError, ValueError):
+            pass
+    # fallback: count of bucket dirs (empty buckets have no dir, so this
+    # is only exact when the store is dense)
+    return len(
+        [
+            n
+            for n in os.listdir(out_dir)
+            if n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
+        ]
+    )
+
+
+def _store_parts(out_dir: str, subject: str | None = None) -> list[str]:
+    """Part files to scan — pruned to the subject's single hash bucket
+    when the subject is bound."""
+    if subject is not None:
+        num_buckets = _store_num_buckets(out_dir)
+        if num_buckets == 0:
+            return []
+        b = int(subject_bucket(pa.array([subject]), num_buckets)[0])
+        dirs = [os.path.join(out_dir, f"bucket={b:05d}")]
+    else:
+        dirs = [
+            os.path.join(out_dir, n)
+            for n in sorted(os.listdir(out_dir))
+            if n.startswith("bucket=")
+        ]
+    parts: list[str] = []
+    for d in dirs:
+        if os.path.isdir(d):
+            parts.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return parts
+
+
+def store_statements(
+    out_dir: str,
+    subject: str | None = None,
+    predicate: str | None = None,
+    obj: str | None = None,
+    obj_literal: str | None = None,
+) -> rd.Dataset:
+    """Lazy Dataset of store triples matching the bound terms — the
+    Store ``get_statements`` surface served from the MATERIALIZED graph
+    (the source-table variant lives in ``engine/lookup.py``). A bound
+    subject prunes to one bucket directory; every bound term becomes a
+    parquet row filter pushed into the distributed read (term semantics:
+    ``obj`` matches IRIs/bnodes only, ``obj_literal`` literals only)."""
+    import pyarrow.compute as pc
+
+    from ..terms import KIND_LITERAL, TRIPLE_SCHEMA
+
+    parts = _store_parts(out_dir, subject)
+    if not parts:
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        )
+    flt = None
+
+    def conj(e):
+        nonlocal flt
+        flt = e if flt is None else flt & e
+
+    if subject is not None:
+        conj(pc.field("subj") == subject)
+    if predicate is not None:
+        conj(pc.field("pred") == predicate)
+    if obj is not None:
+        conj((pc.field("obj") == obj) & (pc.field("obj_kind") != KIND_LITERAL))
+    if obj_literal is not None:
+        conj(
+            (pc.field("obj") == obj_literal)
+            & (pc.field("obj_kind") == KIND_LITERAL)
+        )
+    return rd.read_parquet(parts, filter=flt)

@@ -16,10 +16,12 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.scalars import ntriples_escape
+from ..functions.scalars import ntriples_escape_array
 from ..terms import KIND_LITERAL, RDF_TYPE
+from .ntriples import _fmt_node
 
 DEFAULT_PREFIXES = {
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
@@ -45,29 +47,64 @@ def _abbreviator(prefixes: dict[str, str]):
     return abbrev
 
 
+def _abbrev_array(arr: pa.Array, abbrev, rdf_type_as_a: bool = False) -> pa.Array:
+    """Apply the (Python) prefix abbreviator to an IRI column via its
+    dictionary encoding — O(distinct IRIs) Python calls, everything else
+    Arrow take. Predicates/datatypes have few distinct values per batch."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = pc.dictionary_encode(arr)
+    vals = pa.array(
+        [
+            None
+            if v is None
+            else ("a" if rdf_type_as_a and v == RDF_TYPE else abbrev(v))
+            for v in d.dictionary.to_pylist()
+        ],
+        pa.string(),
+    )
+    return pc.take(vals, d.indices)
+
+
 def _term_strings(t: pa.Table, abbrev) -> pd.DataFrame:
-    """Triple rows → pandas frame of Turtle-formatted subj/pred/obj."""
-    df = t.to_pandas()
-    subj = df["subj"].map(
-        lambda s: s if s.startswith("_:") else f"<{s}>"
+    """Triple rows → pandas frame of Turtle-formatted subj/pred/obj.
+    Vectorized with the same Arrow kernels as the N-Triples sink; the
+    Python ``abbrev`` runs only per distinct predicate/datatype."""
+    subj = _fmt_node(t.column("subj").combine_chunks())
+    pred = _abbrev_array(t.column("pred"), abbrev, rdf_type_as_a=True)
+    obj = t.column("obj").combine_chunks()
+    kind = t.column("obj_kind").combine_chunks()
+    lang = t.column("lang").combine_chunks()
+    dt = t.column("datatype").combine_chunks()
+    lit_body = pc.binary_join_element_wise(
+        pa.scalar('"'), ntriples_escape_array(obj), pa.scalar('"'), pa.scalar("")
     )
-    pred = df["pred"].map(
-        lambda p: "a" if p == RDF_TYPE else abbrev(p)
+    lang_sfx = pc.if_else(
+        pc.is_valid(lang),
+        pc.binary_join_element_wise(
+            pa.scalar("@"), pc.fill_null(lang, ""), pa.scalar("")
+        ),
+        pa.scalar(""),
     )
-
-    def fmt_obj(row) -> str:
-        if row["obj_kind"] == KIND_LITERAL:
-            out = f'"{ntriples_escape(row["obj"])}"'
-            if row["lang"] is not None and not pd.isna(row["lang"]):
-                out += f"@{row['lang']}"
-            elif row["datatype"] is not None and not pd.isna(row["datatype"]):
-                out += f"^^{abbrev(row['datatype'])}"
-            return out
-        o = row["obj"]
-        return o if o.startswith("_:") else f"<{o}>"
-
-    obj = df.apply(fmt_obj, axis=1) if len(df) else pd.Series([], dtype=object)
-    return pd.DataFrame({"subj": subj, "pred": pred, "obj": obj})
+    # datatype abbreviates like any IRI (xsd: usually); lang wins if both
+    dt_sfx = pc.if_else(
+        pc.and_(pc.is_null(lang), pc.is_valid(dt)),
+        pc.binary_join_element_wise(
+            pa.scalar("^^"),
+            _abbrev_array(pc.fill_null(dt, ""), abbrev),
+            pa.scalar(""),
+        ),
+        pa.scalar(""),
+    )
+    literal = pc.binary_join_element_wise(lit_body, lang_sfx, dt_sfx, pa.scalar(""))
+    obj_s = pc.if_else(pc.equal(kind, KIND_LITERAL), literal, _fmt_node(obj))
+    return pd.DataFrame(
+        {
+            "subj": subj.to_pandas(),
+            "pred": pred.to_pandas(),
+            "obj": obj_s.to_pandas(),
+        }
+    )
 
 
 def turtle_blocks_batch(

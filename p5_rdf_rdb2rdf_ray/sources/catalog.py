@@ -142,12 +142,32 @@ class Catalog:
         ``sources/sqlview.py``). Anything richer falls back to DuckDB
         views materialized to Arrow — the fixture/small-view path.
         """
-        from .sqlview import parse_simple_select, to_arrow_filter
+        from .sqlview import parse_simple_select, resolve_plan, to_arrow_filter
 
         plan = parse_simple_select(sql)
         if plan is not None and plan.table not in self.tables:
-            p = self._path(plan.table)
-            if p.endswith(".parquet") and os.path.exists(p):
+            # SQL identifiers are case-insensitive: resolve the table name
+            table = plan.table
+            if not os.path.exists(self._path(table)):
+                table = next(
+                    (
+                        n
+                        for n in self.table_names()
+                        if n.lower() == plan.table.lower()
+                    ),
+                    table,
+                )
+            p = self._path(table)
+            if (
+                p.endswith(".parquet")
+                and os.path.exists(p)
+                and table not in self.tables
+            ):
+                # schema-validate + coerce literals; None → DuckDB fallback
+                plan = resolve_plan(plan, self.schema(table))
+            else:
+                plan = None
+            if plan is not None:
                 flt = to_arrow_filter(plan.conds)
                 need = plan.columns
                 if need is not None:

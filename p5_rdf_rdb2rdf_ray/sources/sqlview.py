@@ -70,6 +70,65 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
     )
 
 
+def resolve_plan(plan: SimpleSelect, schema) -> SimpleSelect | None:
+    """Validate a parsed plan against the table's Arrow ``schema`` before
+    the streaming read — SQL semantics DuckDB would coerce silently must
+    not become pyarrow scan-time type errors (or silent misses):
+
+    - identifiers resolve case-insensitively (exact match wins);
+    - comparison literals are cast to the column type (``intcol = '5'``,
+      integral floats on int columns, ints on float columns);
+    - anything that doesn't line up (non-integral float on an int
+      column, unparseable string on a numeric column, non-scalar column
+      types) returns None → the caller falls back to DuckDB, which keeps
+      the always-DuckDB semantics of earlier releases.
+    """
+    import pyarrow as pa
+
+    by_lower: dict[str, str | None] = {}
+    for name in schema.names:
+        low = name.lower()
+        # two columns differing only in case → ambiguous, exact-only
+        by_lower[low] = None if low in by_lower else name
+
+    def resolve(ident: str) -> str | None:
+        if ident in schema.names:
+            return ident
+        return by_lower.get(ident.lower())
+
+    columns = None
+    if plan.columns is not None:
+        columns = [resolve(c) for c in plan.columns]
+        if any(c is None for c in columns):
+            return None
+    conds: list[tuple[str, str, object]] = []
+    for col, op, val in plan.conds:
+        rcol = resolve(col)
+        if rcol is None:
+            return None
+        t = schema.field(rcol).type
+        if pa.types.is_integer(t):
+            try:
+                f = float(val)
+            except (TypeError, ValueError):
+                return None
+            if not f.is_integer():
+                return None  # DuckDB compares numerically; don't guess
+            val = int(f)
+        elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+            try:
+                val = float(val)
+            except (TypeError, ValueError):
+                return None
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            if not isinstance(val, str):
+                val = str(val)
+        else:
+            return None  # bool/temporal/nested: DuckDB path
+        conds.append((rcol, op, val))
+    return SimpleSelect(table=plan.table, columns=columns, conds=conds)
+
+
 def to_arrow_filter(conds: list[tuple[str, str, object]]):
     """Conjunctive comparisons → one pyarrow dataset expression (row-group
     predicate pushdown at the read), or None when unfiltered."""

@@ -137,12 +137,14 @@ def doc_shingles(
 ) -> rd.Dataset:
     """→ (id_col, sh:uint64, sz) — distinct word-n-gram hashes per doc."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(df: pd.DataFrame):
         out = _shingle_hashes(df, id_col, text_col, n)
         # rows are distinct per doc by construction, and carry the doc's
         # shingle-set size — no distinct shuffle, no size broadcast
         out["sz"] = out.groupby(id_col, sort=False)["sh"].transform("size")
-        return out[[id_col, "sh", "sz"]]
+        # clean arrow out: this stage feeds hash shuffles (pandas block
+        # schemas are unhashable → aggregator-side warnings + conversions)
+        return to_clean_arrow(out[[id_col, "sh", "sz"]])
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -603,7 +605,7 @@ def simhash_pairs(
     pigeonhole (k ≤ 3 ⇒ one of 4 chunks equal) + exact popcount verify."""
     sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
 
-    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+    def chunks(df: pd.DataFrame):
         s = df["simhash"].to_numpy().astype(np.uint64)
         outs = []
         for c in range(4):
@@ -617,17 +619,19 @@ def simhash_pairs(
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True)
+        return to_clean_arrow(pd.concat(outs, ignore_index=True))
 
     ck = sigs.map_batches(chunks, batch_format="pandas")
     ensure_hash_shuffle(ck)
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
+    def expand(df: pd.DataFrame):
         m = df.merge(df, on="ck")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if not len(m):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+            return to_clean_arrow(
+                pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                    {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+                )
             )
         x = m["simhash_x"].to_numpy().astype(np.uint64)
         y = m["simhash_y"].to_numpy().astype(np.uint64)
@@ -636,8 +640,10 @@ def simhash_pairs(
         out = pd.DataFrame(
             {"doc_a": m[f"{id_col}_x"], "doc_b": m[f"{id_col}_y"], "hamming": ham}
         )
-        return out[out["hamming"] <= max_hamming].drop_duplicates(
-            subset=["doc_a", "doc_b"]
+        return to_clean_arrow(
+            out[out["hamming"] <= max_hamming].drop_duplicates(
+                subset=["doc_a", "doc_b"]
+            )
         )
 
     pairs = (

@@ -45,23 +45,60 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+def _try_pil():
+    """PIL.Image if importable, else None (this container has no decoder
+    libraries; a real deployment picks the real path up automatically)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: "model" initialised once per actor, batched
     feature extraction per ``__call__``. Output: (media_id, kind,
-    feature: list<float32>)."""
+    feature: list<float32>).
 
-    def __init__(self, out_dim: int = 32, use_real_decoder: bool = False):
+    Decoder selection (once, in ``__init__``): ``use_real_decoder=None``
+    (auto) uses PIL when importable for image payloads that actually
+    decode, and the deterministic fake otherwise — undecodable payloads
+    (e.g. synthetic bytes) fall back per row, so determinism tests hold
+    on any machine. ``True`` requires PIL (raises if absent); ``False``
+    forces the fake."""
+
+    def __init__(self, out_dim: int = 32, use_real_decoder: bool | None = None):
         self.out_dim = out_dim
-        if use_real_decoder:
-            raise NotImplementedError(
-                "no image/audio decode libraries in this environment; "
-                "plug a real decoder in here (PIL / torchaudio / decord)"
-            )
-        self.decode = _fake_decode  # "model load" happens once, here
+        self.Image = None
+        if use_real_decoder is not False:
+            self.Image = _try_pil()
+            if use_real_decoder and self.Image is None:
+                raise NotImplementedError(
+                    "use_real_decoder=True but PIL is not importable; "
+                    "install Pillow (or use torchaudio/decord for a/v)"
+                )
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.Image is not None and kind == "image":
+            import io
+
+            try:
+                im = self.Image.open(io.BytesIO(payload))
+                im = im.convert("L").resize((8, 8))
+                px = np.asarray(im, np.float32).ravel() / 255.0
+                reps = -(-self.out_dim // px.size)  # ceil
+                return np.tile(px, reps)[: self.out_dim]
+            except Exception:
+                pass  # not a decodable image → deterministic fake
+        return _fake_decode(payload, self.out_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self.decode(p or b"", self.out_dim) for p in payloads]
+        kinds = batch.column("kind").to_pylist()
+        feats = [
+            self._decode(p or b"", k) for p, k in zip(payloads, kinds)
+        ]
         m = np.vstack(feats) if feats else np.empty((0, self.out_dim), np.float32)
         return pa.table(
             {
@@ -157,23 +194,48 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 class ImageResizer:
     """Actor-pool stage: resize image payloads to (out_w, out_h).
 
-    STUB decode/encode (no PIL in this container — a real implementation
-    replaces `_resize_stub` with PIL/opencv); the Ray-side contract is
-    real: payload-in/payload-out with updated width/height metadata,
+    Decoder selection as in :class:`MediaFeatureExtractor`: auto-uses PIL
+    when importable and the payload decodes (re-encoded as PNG),
+    deterministic stub otherwise; the Ray-side contract is real either
+    way: payload-in/payload-out with updated width/height metadata,
     non-image rows passed through untouched.
     """
 
-    def __init__(self, out_w: int = 32, out_h: int = 32, use_real_decoder: bool = False):
-        if use_real_decoder:
-            raise NotImplementedError("plug PIL/opencv in here")
+    def __init__(
+        self,
+        out_w: int = 32,
+        out_h: int = 32,
+        use_real_decoder: bool | None = None,
+    ):
         self.out_w = out_w
         self.out_h = out_h
+        self.Image = None
+        if use_real_decoder is not False:
+            self.Image = _try_pil()
+            if use_real_decoder and self.Image is None:
+                raise NotImplementedError(
+                    "use_real_decoder=True but PIL is not importable"
+                )
 
     def _resize_stub(self, payload: bytes) -> bytes:
         # deterministic fake: derives out_w*out_h "pixels" from the payload
         h = hashlib.sha256(payload).digest()
         need = self.out_w * self.out_h
         return (h * (need // len(h) + 1))[:need]
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.Image is not None:
+            import io
+
+            try:
+                im = self.Image.open(io.BytesIO(payload))
+                im = im.resize((self.out_w, self.out_h))
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                pass  # undecodable payload → deterministic stub
+        return self._resize_stub(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -185,7 +247,7 @@ class ImageResizer:
             batch.column("height").to_pylist(),
         ):
             if k == "image":
-                out_p.append(self._resize_stub(p or b""))
+                out_p.append(self._resize(p or b""))
                 out_w.append(self.out_w)
                 out_h.append(self.out_h)
             else:

@@ -211,14 +211,16 @@ def ivf_centroids(
     sample (first ``sample`` rows — cheap and reproducible), numpy Lloyd
     iterations on the driver (the quantizer is tiny; assignment is the
     distributed part). → (nlist, D) L2-normalized centroids."""
-    t = pa.concat_tables(
-        [
-            b
-            for b in ds.limit(sample).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        ]
-    )
+    batches = [
+        b
+        for b in ds.limit(sample).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if b.num_rows
+    ]
+    if not batches:
+        return np.zeros((0, 0), np.float64)  # empty corpus → no centroids
+    t = pa.concat_tables(batches)
     m = _normalize(_to_matrix(t, vec_col))
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(m), size=min(nlist, len(m)), replace=False)
@@ -255,7 +257,18 @@ def ivf_topk(
     c = centroids if centroids is not None else ivf_centroids(
         ds, nlist=nlist, vec_col=vec_col
     )
-    nprobe = min(nprobe, len(c))
+    if len(c) == 0:  # empty corpus → empty result, same schema as ann_topk
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    nprobe = max(1, min(nprobe, len(c)))
     # per query: the nprobe nearest centroid ids
     qsim = qm @ c.T  # (Q, L)
     probes = np.argpartition(-qsim, nprobe - 1, axis=1)[:, :nprobe]
@@ -384,3 +397,114 @@ def embedding_neardup_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def embedding_neardup_pairs_approx(
+    ds: rd.Dataset,
+    tau: float = 0.95,
+    nlist: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int = 16,
+    centroids: np.ndarray | None = None,
+) -> rd.Dataset:
+    """Approximate (vec_a, vec_b) cosine ≥ τ pairs — the sub-quadratic
+    scale path next to the exact :func:`embedding_neardup_pairs`.
+
+    Bucket-and-verify: every vector is MULTI-PROBE assigned to its
+    ``nprobe`` nearest IVF centroids (boundary pairs co-occur in some
+    bucket with high probability), buckets are co-located by one hash
+    shuffle, and each bucket runs an exact blocked all-pairs matmul.
+    Work is ~nprobe²·N²/nlist instead of N² — pick ``nlist ≈ √N`` for
+    ~N^1.5; the shuffle moves nprobe× the corpus, not O(N²) bytes.
+    Cross-probe duplicate pairs are removed by a distinct pass. Each
+    verify block logs its comparison count (the measurable probe work).
+    """
+    from ..engine.distinct import distinct_rows, ensure_hash_shuffle
+
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+    )
+    c = centroids if centroids is not None else ivf_centroids(
+        ds, nlist=nlist, vec_col=vec_col
+    )
+    if len(c) == 0:
+        return rd.from_arrow(empty)
+    nprobe = max(1, min(nprobe, len(c)))
+    cref = ray.put(c)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "bkt": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        vec_col: pa.array([], batch.schema.field(vec_col).type),
+                    }
+                )
+            m = _normalize(_to_matrix(batch, vec_col))
+            sim = m @ self.c.T
+            kk = min(nprobe, sim.shape[1])
+            pr = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]  # (N, P)
+            ids = np.asarray(batch.column(id_col))
+            vec = batch.column(vec_col)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            take = np.repeat(np.arange(batch.num_rows), kk)
+            return pa.table(
+                {
+                    "bkt": pa.array(pr.ravel().astype(np.int64)),
+                    id_col: pa.array(np.repeat(ids, kk), pa.int64()),
+                    vec_col: vec.take(pa.array(take)),
+                }
+            )
+
+    asg = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    ensure_hash_shuffle(asg)
+    part = asg.repartition(num_partitions, keys=["bkt"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        bkt = np.asarray(t.column("bkt"))
+        order = np.argsort(bkt, kind="stable")
+        m = _normalize(_to_matrix(t, vec_col))[order]
+        ids = np.asarray(t.column(id_col))[order]
+        b = bkt[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        bounds = np.r_[starts, len(b)]
+        out_a, out_b = [], []
+        comparisons = 0
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg_m, seg_ids = m[s0:s1], ids[s0:s1]
+            n = s1 - s0
+            comparisons += n * (n - 1) // 2
+            # blocked matmul: bound temp at ~2048×n floats
+            for r0 in range(0, n, 2048):
+                r1 = min(r0 + 2048, n)
+                s = seg_m[r0:r1] @ seg_m.T
+                bi, bj = np.nonzero(s >= tau)
+                a, bb = seg_ids[r0 + bi], seg_ids[bj]
+                keep = a < bb
+                out_a.append(a[keep])
+                out_b.append(bb[keep])
+        import logging
+
+        logging.getLogger(__name__).info(
+            "neardup_approx verify block: %d rows, %d buckets, %d comparisons",
+            len(b), len(starts), comparisons,
+        )
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table(
+            {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(bb, pa.int64())}
+        )
+
+    pairs = part.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    # a pair can surface in up to nprobe² shared buckets → set semantics
+    return distinct_rows(pairs, ["vec_a", "vec_b"], num_buckets=num_partitions)

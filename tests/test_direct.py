@@ -307,6 +307,82 @@ def test_get_pattern_bgp(ray_session, dm_catalog):
     assert rows4 == []
 
 
+def test_get_pattern_store_matches_source(ray_session, dm_catalog, tmp_path):
+    """BGP over the MATERIALIZED store (bucket pruning + parquet filters)
+    gives the same bindings as the source-table planner."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern, get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    out = str(tmp_path / "store")
+    spec = direct_mapping(dm_catalog, base=B)
+    write_triplestore(run_mapping(spec, dm_catalog), out, num_buckets=4)
+    pats = [
+        ("?e", B + "dm_emp#ref-dept_id", "?d"),
+        ("?d", B + "dm_dept#dname", "?dn"),
+    ]
+    want = {
+        (r["e"], r["d"], r["dn"])
+        for r in get_pattern(dm_catalog, pats, base=B).take_all()
+    }
+    got = {
+        (r["e"], r["d"], r["dn"])
+        for r in get_pattern_store(out, pats).take_all()
+    }
+    assert got == want and len(got) == 4
+
+
+def test_get_pattern_term_kind_no_string_iri_join(ray_session):
+    """A literal whose lexical form spells a DM row-node IRI must NOT
+    join an IRI/subject binding (the Store joins RDF terms, not strings)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+    k = pa.table(
+        {
+            "kid": pa.array([1, 2], pa.int64()),
+            # note of row 2 lexically equals row 1's subject IRI
+            "note": pa.array([f"hello", f"{B}dm_k/kid=1"]),
+        }
+    )
+    cat = Catalog(
+        root="", tables={"dm_k": k},
+        layouts={"dm_k": TableLayout(pkey=("kid",))},
+    )
+    rows = get_pattern(
+        cat,
+        [
+            ("?x", B + "dm_k#note", "?v"),  # ?v binds literals here
+            ("?v", B + "dm_k#kid", "?n"),   # ?v as subject: IRIs only
+        ],
+        base=B,
+    ).take_all()
+    assert rows == []
+
+
+def test_lookup_uncastable_bound_value_is_empty(ray_session, dm_catalog):
+    """Store semantics: an uncastable bound term matches nothing (no
+    ValueError from the int/float cast)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import count_statements
+
+    assert (
+        count_statements(
+            dm_catalog, predicate=B + "dm_dept#dept_id", obj_literal="abc",
+            base=B,
+        )
+        == 0
+    )
+    assert (
+        count_statements(dm_catalog, subject=B + "dm_dept/dept_id=xyz", base=B)
+        == 0
+    )
+    assert (
+        count_statements(
+            dm_catalog, predicate=B + "dm_emp#ref-dept_id",
+            obj=B + "dm_dept/dept_id=zz", base=B,
+        )
+        == 0
+    )
+
+
 def test_dm_over_csv_table(ray_session, tmp_path):
     """Direct Mapping over a CSV logical table (DBI-ish: any table the
     catalog resolves — .parquet preferred, then .csv/.json)."""

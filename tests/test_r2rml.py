@@ -245,3 +245,39 @@ def test_sqlquery_streaming_vs_duckdb(ray_session, tmp_path):
     assert parse_simple_select(sql2) is None
     want = sorted(r["k"] for r in cat.load("tbl", sql=sql2).take_all())
     assert got == want == list(range(90, 97))
+
+
+def test_sqlquery_coercion_matches_duckdb(ray_session, tmp_path):
+    """DuckDB-style coercions the streaming path must honor (or punt on):
+    quoted-int literal on an int column, case-insensitive identifiers,
+    non-integral float on an int column (falls back to DuckDB)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from p5_rdf_rdb2rdf_ray.sources.catalog import Catalog
+
+    d = str(tmp_path / "cat")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"k": list(range(10)), "v": [f"s{i}" for i in range(10)]}),
+        os.path.join(d, "tbl.parquet"),
+    )
+    cat = Catalog(root=d)
+    # intcol = '5' coerces like DuckDB instead of a pyarrow type error
+    got = cat.load("tbl", sql="SELECT k FROM tbl WHERE k = '5'").take_all()
+    assert [r["k"] for r in got] == [5]
+    # case-insensitive identifiers (table + columns)
+    got2 = cat.load("tbl", sql="SELECT K, V FROM TBL WHERE K = 3").take_all()
+    assert len(got2) == 1 and list(got2[0].values())[1] == "s3"
+    # non-integral float on an int column: numeric compare via DuckDB
+    got3 = cat.load("tbl", sql="SELECT k FROM tbl WHERE k > 7.5").take_all()
+    assert sorted(r["k"] for r in got3) == [8, 9]
+    # unparseable string on an int column → DuckDB decides (errors are its)
+    try:
+        cat.load("tbl", sql="SELECT k FROM tbl WHERE k = 'abc'").take_all()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # DuckDB raises a conversion error, not a pyarrow one

@@ -158,6 +158,47 @@ def test_embedding_neardup(ray_session):
     assert (10, 50) in set(zip(got.vec_a, got.vec_b))
 
 
+def test_neardup_approx_recall(ray_session):
+    """Bucket-and-verify approx near-dup: on clustered data, recall ≥ 0.95
+    vs the exact all-pairs result, zero false positives (verify is exact),
+    and empty input is handled."""
+    from p5_rdf_rdb2rdf_ray.stages.similarity import (
+        embedding_neardup_pairs_approx,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((6, 12)) * 4
+    m = np.vstack(
+        [centers[i % 6] + rng.standard_normal(12) * 0.15 for i in range(240)]
+    )
+    t = pa.table(
+        {
+            "vec_id": np.arange(240),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel(), pa.float32()), 12
+            ),
+        }
+    )
+    tau = 0.98
+    mf = m.astype(np.float32).astype(np.float64)
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    s = mn @ mn.T
+    ia, ib = np.nonzero(np.triu(s >= tau, k=1))
+    exact = set(zip(ia.tolist(), ib.tolist()))
+    assert len(exact) > 50  # the fixture really is clustered
+    got = embedding_neardup_pairs_approx(
+        rd.from_arrow(t), tau=tau, nlist=6, nprobe=2, num_partitions=4
+    ).to_pandas()
+    approx = set(zip(got.vec_a, got.vec_b))
+    assert approx <= exact  # exact verify ⇒ no false positives
+    assert len(approx & exact) / len(exact) >= 0.95
+    # empty corpus
+    empty = embedding_neardup_pairs_approx(
+        rd.from_arrow(t.slice(0, 0)), tau=tau, nlist=4
+    ).to_pandas()
+    assert len(empty) == 0
+
+
 def test_grouped_aggregate_exact(ray_session):
     rng = np.random.default_rng(23)
     n = 5000
@@ -208,6 +249,53 @@ def test_multimodal_features_deterministic(ray_session):
     m1 = {r.media_id: list(r.feature) for r in f1.itertuples()}
     m2 = {r.media_id: list(r.feature) for r in f2.itertuples()}
     assert m1 == m2  # batch-size independent, retry-reproducible
+
+
+def test_multimodal_real_decoder_contract():
+    """Decoder-hook contract without Ray: forcing the real decoder raises
+    cleanly when PIL is absent; auto mode falls back to the deterministic
+    fake for undecodable payloads either way."""
+    import pytest as _pytest
+
+    from p5_rdf_rdb2rdf_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        _fake_decode,
+        _try_pil,
+    )
+
+    if _try_pil() is None:
+        with _pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(use_real_decoder=True)
+    ex = MediaFeatureExtractor(out_dim=16)  # auto
+    junk = b"\x00\x01not-an-image"
+    assert np.array_equal(ex._decode(junk, "image"), _fake_decode(junk, 16))
+
+
+def test_multimodal_real_decoder_pil():
+    """Real-PIL path (skipped in containers without Pillow): a true PNG
+    decodes to pixel features, and the resizer emits a PNG of the target
+    size."""
+    import io
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from p5_rdf_rdb2rdf_ray.stages.multimodal import (
+        ImageResizer,
+        MediaFeatureExtractor,
+        _fake_decode,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (120, 30, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    ex = MediaFeatureExtractor(out_dim=16, use_real_decoder=True)
+    feat = ex._decode(png, "image")
+    assert len(feat) == 16
+    assert not np.array_equal(feat, _fake_decode(png, 16))
+    rz = ImageResizer(out_w=8, out_h=6, use_real_decoder=True)
+    out = Image.open(io.BytesIO(rz._resize(png)))
+    assert out.size == (8, 6)
 
 
 def test_multimodal_frame_sampler(ray_session):

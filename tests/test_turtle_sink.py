@@ -83,3 +83,34 @@ def test_ntriples_reader_roundtrip(ray_session, tmp_path):
     back = read_ntriples(out)
     got = set(collect_ntriples(back))
     assert got == want
+
+
+def test_nquads_reader_roundtrip(ray_session, tmp_path):
+    """Named-graph data: the quad lines write_ntriples emits parse back
+    with the graph column intact (including bnode graphs and a mixed
+    default-graph row)."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.ntriples import read_ntriples, write_ntriples
+    from p5_rdf_rdb2rdf_ray.terms import TRIPLE_SCHEMA
+
+    t = pa.Table.from_pydict(
+        {
+            "subj": ["http://ex.org/s1", "_:b0", "http://ex.org/s2",
+                     "http://ex.org/s3"],
+            "pred": ["http://ex.org/p"] * 4,
+            "obj": ["http://ex.org/o", 'va"l\n', "x", "_:ob"],
+            "obj_kind": pa.array([0, 2, 2, 1], pa.uint8()),
+            "lang": [None, None, "en", None],
+            "datatype": [None, "http://www.w3.org/2001/XMLSchema#string",
+                         None, None],
+            "graph": ["http://ex.org/g1", "http://ex.org/g2", None, "_:g"],
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+    out = str(tmp_path / "nq")
+    assert write_ntriples(rd.from_arrow(t), out) == 4
+    back = read_ntriples(out).take_all()
+    want = {tuple(r.values()) for r in t.to_pylist()}
+    got = {tuple(r.values()) for r in back}
+    assert got == want
