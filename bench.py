@@ -119,9 +119,13 @@ BENCH_QUERIES = [
     "ann_topk",
     "ivf_topk",
     "neardup_embeddings",
+    "neardup_embeddings_approx",
     "token_counts_docs",
+    "quality_docs",
+    "winnow_fp_docs",
     "langid_docs",
     "window_events",
+    "bgp_store",
 ]
 
 

@@ -104,11 +104,91 @@ def hash_join(
     parent_keys: Sequence[str],
     num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Big×big path: Ray Data's hash-partitioned join."""
-    return child.join(
-        parent,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=tuple(child_keys),
-        right_on=tuple(parent_keys),
+    """Big×big LEFT OUTER join: union-tag single hash shuffle + one
+    per-partition Acero join.
+
+    Deliberately NOT ``Dataset.join``: Ray 2.49's distributed join
+    crashes with ``ArrowInvalid: No match … for key field`` whenever a
+    partition on either side is empty (schemaless empty blocks) — which
+    happens not just on toy inputs but at scale whenever the join key
+    has fewer distinct values than partitions (e.g. converged CC labels).
+    Here both sides are tagged into ONE unified schema (explicit types,
+    so empty blocks stay typed), co-hash-shuffled once on the join key,
+    and each whole partition runs an in-memory ``pa.Table.join`` — same
+    shuffle bytes, no schemaless edge case. The per-key merge is the
+    FIRST map after the shuffle, so it sees whole partitions (invariant
+    pinned in ``engine/distinct.py``).
+
+    Parent payload column names must not collide with child columns
+    (the refobject runner prefixes them with ``__p_``).
+    """
+    import pyarrow.compute as pc
+
+    from .distinct import ensure_hash_shuffle
+
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema().base_schema
+        if isinstance(s, pa.Schema):
+            return s
+        # PandasBlockSchema (pandas-format lineage): names + numpy dtypes
+        return pa.schema(
+            [
+                pa.field(
+                    n,
+                    pa.string() if str(t) == "object" else pa.from_numpy_dtype(t),
+                )
+                for n, t in zip(s.names, s.types)
+            ]
+        )
+
+    child_keys = list(child_keys)
+    parent_keys = list(parent_keys)
+    cs, ps = _arrow_schema(child), _arrow_schema(parent)
+    c_cols = list(cs.names)
+    p_payload = [n for n in ps.names if n not in parent_keys]
+    clash = set(p_payload) & set(c_cols)
+    if clash:
+        raise ValueError(f"parent payload collides with child columns: {clash}")
+    key_of_parent = dict(zip(child_keys, parent_keys))
+    types = {n: cs.field(n).type for n in c_cols}
+    types.update({n: ps.field(n).type for n in p_payload})
+    cols_u = c_cols + p_payload
+    out_schema = pa.schema([pa.field(n, types[n]) for n in cols_u])
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = []
+            for n in cols_u:
+                if side == 0:
+                    src = n if n in t.column_names else None
+                else:
+                    src = key_of_parent.get(n, n if n in p_payload else None)
+                if src is not None and src in t.column_names:
+                    arrays.append(t.column(src).combine_chunks().cast(types[n]))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, types[n]))
+            arrays.append(pa.repeat(pa.scalar(side, pa.int8()), t.num_rows))
+            return pa.Table.from_arrays(arrays, names=cols_u + ["__side"])
+
+        return f
+
+    u = child.map_batches(tag(0), batch_format="pyarrow").union(
+        parent.map_batches(tag(1), batch_format="pyarrow")
+    )
+    ensure_hash_shuffle(u)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, types[n]) for n in cols_u], schema=out_schema
+            )
+        side = t.column("__side")
+        left = t.filter(pc.equal(side, 0)).select(c_cols)
+        right = t.filter(pc.equal(side, 1)).select(child_keys + p_payload)
+        return left.join(
+            right, keys=child_keys, join_type="left outer"
+        ).select(cols_u)
+
+    return u.repartition(num_partitions, keys=child_keys).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
     )

@@ -726,6 +726,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_events_orders(sf_dir: str) -> rd.Dataset:
+    """As-of join (backward): each event matched to the customer's
+    latest order placed at-or-before the event timestamp. The right
+    side is first reduced to one row per (custkey, orderdate) — max
+    orderkey — so the as-of pick is deterministic on both engines."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+        keys=["o_custkey", "o_orderdate"],
+        aggs={"o_orderkey": ("o_orderkey", "max")},
+        num_partitions=8,
+    )
+    return asof_join(
+        ev, od,
+        key_left="user_id", key_right="o_custkey",
+        ts_left="ts", ts_right="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        num_partitions=8,
+    )
+
+
+SQL_ASOF_EVENTS_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
     """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
     from ..stages.textstats import winnow_fingerprints
@@ -786,6 +821,57 @@ def q_minhash_pairs_docs(sf_dir: str) -> rd.Dataset:
 
 
 SQL_MINHASH_PAIRS_DOCS = SQL_JACCARD_PAIRS_DOCS
+
+
+def q_near_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
+    canonical min-id representative per component, one row per doc.
+    Oracle: the exact-Jaccard pair graph closed by a recursive CTE."""
+    from ..stages.dedup import near_dedup_docs
+
+    return near_dedup_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_NEAR_DEDUP_DOCS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+rep AS (
+  SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.rep_id, d.doc_id) AS BIGINT) AS rep_id,
+       coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+"""
 
 
 def q_simhash_pairs_docs(sf_dir: str) -> rd.Dataset:
@@ -906,9 +992,11 @@ QUERIES = {
     "winnow_fp_docs": q_winnow_fp_docs,
     "user_sessions": q_user_sessions,
     "window_events": q_window_events,
+    "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
+    "near_dedup_docs": q_near_dedup_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
@@ -940,8 +1028,10 @@ ORACLES = {
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "user_sessions": SQL_USER_SESSIONS,
     "window_events": SQL_WINDOW_EVENTS,
+    "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
+    "near_dedup_docs": SQL_NEAR_DEDUP_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     # langid_docs / simhash_pairs_docs / lsh_topk: rows-only

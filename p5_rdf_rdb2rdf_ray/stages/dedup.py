@@ -540,6 +540,91 @@ def minhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# full near-dedup: pairs → connected components → canonical representative
+
+
+def near_dedup_docs(
+    ds: rd.Dataset,
+    tau: float = 0.6,
+    method: str = "minhash",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """End-to-end near-duplicate dedup: candidate pairs (``method`` =
+    'minhash' LSH+verify or 'jaccard' exact) → connected components over
+    the pair graph (pointer-jumping CC, ``stages/cc.py``) → per component
+    the MIN doc id is the canonical representative.
+    → (id_col, rep_id:int64, is_kept:bool) for EVERY input doc.
+
+    Scale shape: the label map is O(docs that appear in any near-dup
+    pair) — the small side by construction — and is broadcast via
+    ``ray.put`` once (the flagship's CanonicalMapper pattern); the corpus
+    itself streams map-only through the final assignment.
+    """
+    import ray
+
+    from .cc import connected_components
+
+    if method == "minhash":
+        pairs = minhash_pairs(
+            ds, tau=tau, n=n, text_col=text_col, id_col=id_col,
+            num_partitions=num_partitions,
+        )
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            ds, tau=tau, n=n, text_col=text_col, id_col=id_col,
+            num_partitions=num_partitions,
+        )
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+
+    # CC labels are MIN-by-STRING node ids — zero-pad so the string min
+    # is the numeric min (doc ids are non-negative int64 ≤ 19 digits)
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["doc_a"].map("{:020d}".format),
+                "dst": df["doc_b"].map("{:020d}".format),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    labels = connected_components(edges, num_partitions=num_partitions)
+    rows = labels.take_all()  # O(near-dup docs), the small side
+    if rows:
+        nodes = np.array([int(r["node"]) for r in rows], np.int64)
+        labs = np.array([int(r["label"]) for r in rows], np.int64)
+        order = np.argsort(nodes)
+        nodes, labs = nodes[order], labs[order]
+    else:
+        nodes = np.array([], np.int64)
+        labs = np.array([], np.int64)
+    map_ref = ray.put((nodes, labs))
+
+    class AssignRep:
+        def __init__(self):
+            self.nodes, self.labs = ray.get(map_ref)
+
+        def __call__(self, df: pd.DataFrame):
+            ids = df[id_col].to_numpy()
+            rep = ids.astype(np.int64, copy=True)
+            if len(self.nodes):
+                pos = np.searchsorted(self.nodes, ids)
+                pos_c = np.clip(pos, 0, len(self.nodes) - 1)
+                hit = self.nodes[pos_c] == ids
+                rep[hit] = self.labs[pos_c[hit]]
+            return to_clean_arrow(
+                pd.DataFrame(
+                    {id_col: ids, "rep_id": rep, "is_kept": rep == ids}
+                )
+            )
+
+    return ds.map_batches(AssignRep, batch_format="pandas", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

@@ -93,6 +93,37 @@ def test_minhash_pairs_distributed_verify(ray_session, docs):
     assert gp == _true_pairs(texts, 0.5)
 
 
+def test_near_dedup_docs_components(ray_session):
+    """pairs → CC → representative: a transitive chain (a~b, b~c with
+    a≁c) collapses to ONE component with the min id as rep; singletons
+    keep themselves."""
+    from p5_rdf_rdb2rdf_ray.stages.dedup import near_dedup_docs
+
+    # 20 words → 18 shingles; +4 words per step → pairwise J:
+    # base~mid 18/22≈0.82, mid~far 22/26≈0.85, base~far 18/26≈0.69
+    base = " ".join(f"w{i}" for i in range(20))
+    mid = base + " x1 x2 x3 x4"
+    far = mid + " y1 y2 y3 y4"
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 10, 2, 7], pa.int64()),
+            "text": [base, mid, far, "totally unrelated content " * 5],
+        }
+    )
+    got = (
+        # tau=0.75: base~mid and mid~far pair, base~far does NOT — the
+        # component exists only through transitivity
+        near_dedup_docs(rd.from_arrow(t), tau=0.75, method="jaccard")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # 3~10 and 10~2 connect all three; min id 2 is the representative
+    assert got.loc[3, "rep_id"] == 2 and not got.loc[3, "is_kept"]
+    assert got.loc[10, "rep_id"] == 2 and not got.loc[10, "is_kept"]
+    assert got.loc[2, "rep_id"] == 2 and got.loc[2, "is_kept"]
+    assert got.loc[7, "rep_id"] == 7 and got.loc[7, "is_kept"]
+
+
 def test_simhash_pairs_finds_exact_dup(ray_session, docs):
     got = simhash_pairs(rd.from_arrow(docs), max_hamming=3, num_partitions=4)
     gp = {(r["doc_a"], r["doc_b"]) for r in got.to_pandas().to_dict("records")}
@@ -197,6 +228,55 @@ def test_neardup_approx_recall(ray_session):
         rd.from_arrow(t.slice(0, 0)), tau=tau, nlist=4
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """asof_join == per-row brute force (latest right ts <= left ts per
+    key); left rows with no earlier right row are dropped."""
+    from p5_rdf_rdb2rdf_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(31)
+    nl, nr = 400, 150
+    L = pd.DataFrame(
+        {
+            "lid": np.arange(nl),
+            "k": rng.integers(0, 12, nl),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, nl), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    R = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 14, nr),  # keys 12/13 never match left
+                "rts": pd.to_datetime(
+                    rng.integers(0, 10_000, nr), unit="s"
+                ).astype("datetime64[us]"),
+                "payload": np.arange(nr) * 10,
+            }
+        )
+        .sort_values("payload")
+        .drop_duplicates(subset=["k", "rts"], keep="last")  # dedup ties
+    )
+    got = asof_join(
+        rd.from_pandas(L), rd.from_pandas(R),
+        key_left="k", key_right="k", ts_left="ts", ts_right="rts",
+        left_cols=["lid", "ts"], right_cols=["payload", "rts"],
+        num_partitions=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    want_rows = []
+    for r in L.itertuples():
+        cand = R[(R["k"] == r.k) & (R["rts"] <= r.ts)]
+        if len(cand):
+            best = cand.loc[cand["rts"].idxmax()]
+            want_rows.append((r.lid, r.ts, best["payload"], best["rts"]))
+    want = pd.DataFrame(
+        want_rows, columns=["lid", "ts", "payload", "rts"]
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["payload"].to_numpy() == want["payload"].to_numpy()).all()
+    assert (got["rts"].to_numpy() == want["rts"].to_numpy()).all()
 
 
 def test_grouped_aggregate_exact(ray_session):
