@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "winnow_fp_docs",
     "langid_docs",
     "window_events",
+    "asof_events_orders",
+    "near_dedup_docs",
     "bgp_store",
 ]
 
