@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import distinct_rows, ensure_hash_shuffle, to_clean_arrow
+from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
 from .groupagg import grouped_aggregate
 
 _HASH_SEED_PERMS = 0x5EED_0001
@@ -506,19 +506,19 @@ def minhash_pairs(
     )
     cand_pairs_ref = ray.put(cand_df)
 
-    class KeepCandDocs:
-        def __init__(self):
-            self.ids = ray.get(cand_ids_ref)  # sorted unique int64
-
-        def __call__(self, df: pd.DataFrame):
-            m = np.isin(df[id_col].to_numpy(), self.ids, kind="sort")
-            return to_clean_arrow(df.loc[m, [id_col, text_col]])
+    # Broadcast lookups run as PLAIN task functions, not actor pools:
+    # ray.get of a shared plasma object is a local hit after the first
+    # fetch per worker process, and skipping the actor-pool ramp saves
+    # seconds of fixed cost per run (actor pools are for EXPENSIVE
+    # per-process setup — model loads, index builds — not a ray.get).
+    def keep_cand_docs(df: pd.DataFrame):
+        ids = ray.get(cand_ids_ref)  # sorted unique int64
+        m = np.isin(df[id_col].to_numpy(), ids, kind="sort")
+        return to_clean_arrow(df.loc[m, [id_col, text_col]])
 
     # 2. filter the RAW DOCS map-side: only candidate docs are shingled a
     #    second time, and the corpus never shuffles
-    kept_docs = ds.map_batches(
-        KeepCandDocs, batch_format="pandas", concurrency=(1, 8)
-    )
+    kept_docs = ds.map_batches(keep_cand_docs, batch_format="pandas")
     sh = doc_shingles(kept_docs, n=n, text_col=text_col, id_col=id_col)
     # 3. exact intersections per co-occurring candidate-doc pair (the same
     #    one-shuffle inverted-index machinery as ngram_jaccard_pairs)
@@ -527,16 +527,12 @@ def minhash_pairs(
     # 4. keep only LSH-DETECTED pairs (exact per-block merge against the
     #    broadcast pair frame — no extra shuffle) and apply the exact
     #    Jaccard threshold
-    class Finalize:
-        def __init__(self):
-            self.cand = ray.get(cand_pairs_ref)
+    def finalize(df: pd.DataFrame):
+        if not len(df):
+            return _finalize_pairs(df)
+        return _finalize_pairs(df.merge(ray.get(cand_pairs_ref), on=["a", "b"]))
 
-        def __call__(self, df: pd.DataFrame):
-            if not len(df):
-                return _finalize_pairs(df)
-            return _finalize_pairs(df.merge(self.cand, on=["a", "b"]))
-
-    return pairs.map_batches(Finalize, batch_format="pandas", concurrency=(1, 8))
+    return pairs.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -551,21 +547,27 @@ def near_dedup_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    driver_cc_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """End-to-end near-duplicate dedup: candidate pairs (``method`` =
     'minhash' LSH+verify or 'jaccard' exact) → connected components over
-    the pair graph (pointer-jumping CC, ``stages/cc.py``) → per component
-    the MIN doc id is the canonical representative.
-    → (id_col, rep_id:int64, is_kept:bool) for EVERY input doc.
+    the pair graph → per component the MIN doc id is the canonical
+    representative. → (id_col, rep_id:int64, is_kept:bool) for EVERY
+    input doc.
 
-    Scale shape: the label map is O(docs that appear in any near-dup
-    pair) — the small side by construction — and is broadcast via
-    ``ray.put`` once (the flagship's CanonicalMapper pattern); the corpus
-    itself streams map-only through the final assignment.
+    Scale shape: the pair graph is the SMALL side by construction (only
+    docs with a verified near-dup partner appear), so it is materialized
+    once and — when it fits one machine (≤ ``driver_cc_edges`` edges) —
+    labeled with the vectorized driver CC (``cc_labels_numpy``); beyond
+    that the distributed pointer-jumping CC (``stages/cc.py``) takes
+    over on the SAME materialized pairs (no recompute). The label map is
+    broadcast via ``ray.put`` once; the corpus itself streams map-only
+    through the final assignment (plain tasks — the map is a single
+    shared-plasma object, no actor pool needed).
     """
     import ray
 
-    from .cc import connected_components
+    from .cc import cc_labels_numpy, connected_components
 
     if method == "minhash":
         pairs = minhash_pairs(
@@ -580,48 +582,51 @@ def near_dedup_docs(
     else:
         raise ValueError(f"unknown near-dedup method {method!r}")
 
-    # CC labels are MIN-by-STRING node ids — zero-pad so the string min
-    # is the numeric min (doc ids are non-negative int64 ≤ 19 digits)
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": df["doc_a"].map("{:020d}".format),
-                "dst": df["doc_b"].map("{:020d}".format),
-            }
+    pairs = pairs.materialize()  # small side; reused by whichever CC path
+    if pairs.count() <= driver_cc_edges:
+        ea, eb = [], []
+        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows:
+                ea.append(b.column("doc_a").to_numpy())
+                eb.append(b.column("doc_b").to_numpy())
+        nodes, labs = cc_labels_numpy(
+            np.concatenate(ea) if ea else np.array([], np.int64),
+            np.concatenate(eb) if eb else np.array([], np.int64),
         )
+    else:
+        # CC labels are MIN-by-STRING node ids — zero-pad so the string
+        # min is the numeric min (doc ids are non-negative int64)
+        def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": df["doc_a"].map("{:020d}".format),
+                    "dst": df["doc_b"].map("{:020d}".format),
+                }
+            )
 
-    edges = pairs.map_batches(to_edges, batch_format="pandas")
-    labels = connected_components(edges, num_partitions=num_partitions)
-    rows = labels.take_all()  # O(near-dup docs), the small side
-    if rows:
+        edges = pairs.map_batches(to_edges, batch_format="pandas")
+        labels = connected_components(edges, num_partitions=num_partitions)
+        rows = labels.take_all()  # O(near-dup docs), the small side
         nodes = np.array([int(r["node"]) for r in rows], np.int64)
         labs = np.array([int(r["label"]) for r in rows], np.int64)
         order = np.argsort(nodes)
         nodes, labs = nodes[order], labs[order]
-    else:
-        nodes = np.array([], np.int64)
-        labs = np.array([], np.int64)
     map_ref = ray.put((nodes, labs))
 
-    class AssignRep:
-        def __init__(self):
-            self.nodes, self.labs = ray.get(map_ref)
+    def assign_rep(df: pd.DataFrame):
+        nodes, labs = ray.get(map_ref)  # local plasma hit after 1st fetch
+        ids = df[id_col].to_numpy()
+        rep = ids.astype(np.int64, copy=True)
+        if len(nodes):
+            pos = np.searchsorted(nodes, ids)
+            pos_c = np.clip(pos, 0, len(nodes) - 1)
+            hit = nodes[pos_c] == ids
+            rep[hit] = labs[pos_c[hit]]
+        return to_clean_arrow(
+            pd.DataFrame({id_col: ids, "rep_id": rep, "is_kept": rep == ids})
+        )
 
-        def __call__(self, df: pd.DataFrame):
-            ids = df[id_col].to_numpy()
-            rep = ids.astype(np.int64, copy=True)
-            if len(self.nodes):
-                pos = np.searchsorted(self.nodes, ids)
-                pos_c = np.clip(pos, 0, len(self.nodes) - 1)
-                hit = self.nodes[pos_c] == ids
-                rep[hit] = self.labs[pos_c[hit]]
-            return to_clean_arrow(
-                pd.DataFrame(
-                    {id_col: ids, "rep_id": rep, "is_kept": rep == ids}
-                )
-            )
-
-    return ds.map_batches(AssignRep, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(assign_rep, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -720,19 +725,33 @@ def simhash_pairs(
             )
         x = m["simhash_x"].to_numpy().astype(np.uint64)
         y = m["simhash_y"].to_numpy().astype(np.uint64)
+        # Cross-chunk set semantics WITHOUT a global distinct shuffle: a
+        # pair within Hamming ≤ k can share up to 4 equal chunks and
+        # would surface once per shared chunk (in different partitions).
+        # Both full signatures ride along, so each partition can check
+        # locally whether an EARLIER chunk also matches and emit the pair
+        # only at its first matching chunk — exactly-once globally.
+        c = (m["ck"].to_numpy() % 4).astype(np.int64)
+        eq = np.stack(
+            [
+                ((x >> np.uint64(16 * cc)) & np.uint64(0xFFFF))
+                == ((y >> np.uint64(16 * cc)) & np.uint64(0xFFFF))
+                for cc in range(4)
+            ],
+            axis=1,
+        )
+        first = ~(eq & (np.arange(4)[None, :] < c[:, None])).any(axis=1)
+        m, x, y = m[first], x[first], y[first]
         xor = (x ^ y).view(np.uint8)  # vectorized popcount via unpackbits
         ham = np.unpackbits(xor).reshape(-1, 64).sum(axis=1).astype(np.int64)
         out = pd.DataFrame(
             {"doc_a": m[f"{id_col}_x"], "doc_b": m[f"{id_col}_y"], "hamming": ham}
         )
         return to_clean_arrow(
-            out[out["hamming"] <= max_hamming].drop_duplicates(
-                subset=["doc_a", "doc_b"]
-            )
+            out[out["hamming"] <= max_hamming].reset_index(drop=True)
         )
 
-    pairs = (
+    return (
         ck.repartition(num_partitions, keys=["ck"])
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
-    return distinct_rows(pairs, ["doc_a", "doc_b", "hamming"], num_buckets=num_partitions)

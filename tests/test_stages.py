@@ -132,6 +132,42 @@ def test_simhash_pairs_finds_exact_dup(ray_session, docs):
         assert a < b
 
 
+def test_simhash_pairs_matches_bruteforce(ray_session):
+    """The 16-bit-chunk pigeonhole + first-matching-chunk emission must
+    return EXACTLY the Hamming ≤ 3 pairs (k ≤ 3 over 4 chunks guarantees
+    one equal chunk), each exactly once — regression for a round-2 bug
+    where the cross-chunk distinct silently dropped pairs."""
+    from p5_rdf_rdb2rdf_ray.stages.dedup import simhash_signatures
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(400)]
+    texts = []
+    for i in range(300):
+        if i % 3 == 0 and i:  # every 3rd doc is a near-copy of doc i-1
+            w = texts[i - 1].split()
+            w[rng.integers(len(w))] = "swapped"
+            texts.append(" ".join(w))
+        else:
+            texts.append(" ".join(rng.choice(words, 30)))
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(300), pa.int64()), "text": texts}
+    )
+    ds = rd.from_arrow(t)
+    got = simhash_pairs(ds, max_hamming=3, num_partitions=4).to_pandas()
+    assert not got.duplicated(subset=["doc_a", "doc_b"]).any()
+    sig = simhash_signatures(ds).to_pandas().sort_values("doc_id")
+    s = sig["simhash"].to_numpy().astype(np.uint64)
+    ids = sig["doc_id"].to_numpy()
+    ham = np.unpackbits(
+        (s[:, None] ^ s[None, :]).view(np.uint8).reshape(len(s), len(s), 8),
+        axis=2,
+    ).sum(axis=2)
+    ia, ib = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    want = {(int(ids[x]), int(ids[y])) for x, y in zip(ia, ib)}
+    assert {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])} == want
+    assert len(want) >= 20  # the planted near-copies actually collide
+
+
 def test_ann_topk_exact(ray_session):
     rng = np.random.default_rng(11)
     m = rng.standard_normal((200, 16))
