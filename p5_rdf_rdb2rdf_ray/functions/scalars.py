@@ -19,6 +19,7 @@ that actually need work — at transcript scale almost all template inputs are
 from __future__ import annotations
 
 import re
+import urllib.parse
 from typing import Callable, Sequence
 
 import numpy as np
@@ -154,6 +155,76 @@ class Template:
                 else:
                     out.append("{%s}" % name)
         return "".join(out)
+
+    def match(self, value: str, iri_safe: bool = True) -> dict[str, str] | None:
+        """Invert the template against a generated term's lexical form →
+        {column: raw value}, or None if the value cannot have been produced
+        by this template. See :meth:`match_detail`."""
+        return self.match_detail(value, iri_safe=iri_safe)[0]
+
+    def match_detail(
+        self, value: str, iri_safe: bool = True
+    ) -> tuple[dict[str, str] | None, bool]:
+        """Invert the template → ``(bindings, unique)``.
+
+        The inverse of :meth:`fill_scalar`: literal segments anchor a
+        regex, column slots capture non-greedily, and (for IRI templates)
+        captures are percent-DECODED. ``bindings`` is None if the value
+        cannot have been produced by ANY fill of this template (a sound
+        skip signal); a column appearing twice must capture the same value.
+
+        ``unique`` is True only when this is provably the ONLY possible
+        inversion of ``value``: no two adjacent column slots, and for every
+        col–lit–col run the separator occurs exactly once (overlap-counted)
+        in the spanned slice. Callers pruning a scan by the bindings must
+        treat ``unique=False`` as "don't prune" — another row with a
+        different split could generate the same term (W3C-R2RML §7.7
+        hands such templates to rr:inverseExpression)."""
+        pat, cols = ["^"], []
+        for kind, s in self.segments:
+            if kind == "lit":
+                pat.append(re.escape(s))
+            else:
+                cols.append(s)
+                pat.append("(.*?)")
+        pat.append("$")
+        m = re.match("".join(pat), value, re.DOTALL)
+        if m is None:
+            return None, False
+        out: dict[str, str] = {}
+        for name, grp in zip(cols, m.groups()):
+            raw = urllib.parse.unquote(grp) if iri_safe else grp
+            if name in out and out[name] != raw:
+                return None, False
+            out[name] = raw
+        return out, self._unique_inversion(value, m)
+
+    def _unique_inversion(self, value: str, m: "re.Match") -> bool:
+        """Conservative split-uniqueness proof for one matched value: False
+        on adjacent column slots, or when a separator between two captures
+        could slide (occurs ≠ once, overlap-counted, across the
+        capture–sep–capture window). False negatives only cost pruning."""
+        g = 0
+        for i, (kind, _s) in enumerate(self.segments):
+            if kind != "col":
+                continue
+            g += 1
+            nxt = self.segments[i + 1] if i + 1 < len(self.segments) else None
+            if nxt is None:
+                continue  # trailing capture: end-anchored, determined
+            if nxt[0] == "col":
+                return False  # adjacent slots: split is arbitrary
+            sep = nxt[1]
+            if i + 2 < len(self.segments) and self.segments[i + 2][0] == "col":
+                w = value[m.start(g): m.end(g + 1)]
+                hits = sum(
+                    1
+                    for j in range(len(w) - len(sep) + 1)
+                    if w.startswith(sep, j)
+                )
+                if hits != 1:
+                    return False
+        return True
 
     def fill_scalar(self, row: dict, iri_safe: bool = True) -> str | None:
         """Scalar fill (driver-side / goldens). None if any referenced value

@@ -9,8 +9,10 @@ rr:class, rr:termType (rr:IRI / rr:BlankNode / rr:Literal), rr:language,
 rr:datatype, rr:graphMap / rr:graph / rr:defaultGraph,
 rr:predicateObjectMap with rr:predicateMap / rr:predicate and
 rr:objectMap / rr:object, rr:parentTriplesMap + rr:joinCondition
-(rr:child / rr:parent). Unsupported (not used by the reference's tests):
-rr:inverseExpression, rr:sqlVersion (accepted, ignored).
+(rr:child / rr:parent), rr:inverseExpression (compiled into the term map;
+consumed by ``engine.r2rml_lookup`` for point-lookup pushdown, W3C §7.7).
+Unsupported (not used by the reference's tests): rr:sqlVersion
+(accepted, ignored).
 """
 
 from __future__ import annotations
@@ -113,6 +115,7 @@ def _term_map(
         constant=const_val,
         lang=lang,
         datatype=datatype,
+        inverse_expression=_lit(g.obj(node, _r("inverseExpression"))),
     )
 
 

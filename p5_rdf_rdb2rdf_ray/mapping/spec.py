@@ -69,6 +69,12 @@ class TermMapSpec:
     udf: Callable | None = None       # batch-wise callable (see module doc)
     lang: str | None = None
     datatype: str | None = None       # datatype IRI override (rr:datatype)
+    # rr:inverseExpression (W3C-R2RML §7.7): a SQL-expression template over
+    # '{col}' refs that, instantiated with values inverted from a generated
+    # term, selects exactly the logical rows producing that term. Used by
+    # engine.r2rml_lookup for point lookups whose term maps apply
+    # transformations plain template inversion can't see through.
+    inverse_expression: str | None = None
     # Direct Mapping no-PK / Simple no-'about' rows: fresh-per-row skolem
     # bnode over these key columns ('' scope col list, SURVEY §2 #16)
     skolem_scope: str | None = None

@@ -475,6 +475,53 @@ SELECT subj, pred, obj, graph FROM (
 """
 
 
+# rr:inverseExpression point lookup (W3C-R2RML §7.7): the subject term is
+# inverted against the template, the inverse expression instantiated with
+# the recovered value and used as a WHERE over the rr:sqlQuery logical
+# table — seeing through the string concatenation no plain equality
+# filter could [R: R2RML.pm accepts rr:inverseExpression on term maps].
+_INVERSE_TTL = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <{BASE}> .
+
+<#SuppCode>
+  rr:logicalTable [ rr:sqlQuery \"\"\"
+    SELECT s_suppkey, 'SUP-' || CAST(s_suppkey AS VARCHAR) AS code, s_name
+    FROM supplier
+  \"\"\" ];
+  rr:subjectMap [
+      rr:template "{BASE}sup/{{code}}";
+      rr:inverseExpression
+        "{{s_suppkey}} = CAST(substr({{code}}, 5) AS INTEGER)";
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:name;
+      rr:objectMap [ rr:column "s_name" ];
+  ].
+"""
+
+
+def q_r2rml_inverse_lookup(sf_dir: str) -> rd.Dataset:
+    """Bound-subject point lookup over an R2RML mapping whose subject is a
+    DERIVED column (engine.lookup.r2rml_lookup + rr:inverseExpression)."""
+    from ..engine.lookup import r2rml_lookup
+    from ..mapping.r2rml import compile_r2rml
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_INVERSE_TTL, base=BASE)
+    return to_term_columns(
+        r2rml_lookup(spec, cat, BASE + "sup/SUP-3", distinct_buckets=2)
+    )
+
+
+SQL_R2RML_INVERSE_LOOKUP = f"""
+SELECT '<{BASE}sup/SUP-' || s_suppkey || '>' AS subj,
+       '<{BASE}name>' AS pred,
+       '"' || s_name || '"' AS obj
+FROM supplier WHERE s_suppkey = 3
+"""
+
+
 SQL_R2RML_SQLQUERY = f"""
 SELECT subj, pred, obj FROM (
   SELECT '<{BASE}bigcustomer/' || c_custkey || '>' AS subj,
@@ -973,6 +1020,7 @@ QUERIES = {
     "dm_events": q_dm_events,
     "r2rml_orders": q_r2rml_orders,
     "r2rml_sqlquery": q_r2rml_sqlquery,
+    "r2rml_inverse_lookup": q_r2rml_inverse_lookup,
     "r2rml_turtle_graph": q_r2rml_turtle_graph,
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
@@ -1010,6 +1058,7 @@ ORACLES = {
     "dm_events": SQL_DM_EVENTS,
     "r2rml_orders": SQL_R2RML_ORDERS,
     "r2rml_sqlquery": SQL_R2RML_SQLQUERY,
+    "r2rml_inverse_lookup": SQL_R2RML_INVERSE_LOOKUP,
     "r2rml_turtle_graph": SQL_R2RML_TURTLE_GRAPH,
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
