@@ -196,3 +196,41 @@ def test_lookup_constant_subject(cat, ray_session):
     got = collect_ntriples(r2rml_lookup(spec, cat, EX + "catalogue"))
     assert len(got) == 3
     assert collect_ntriples(r2rml_lookup(spec, cat, EX + "other")) == []
+
+
+# ------------------------------------------------- property round-trip
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _VALS = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    )
+    _SEPS = st.text(
+        alphabet=st.sampled_from("/-_.#:"), min_size=1, max_size=3
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(_VALS, min_size=1, max_size=4),
+        seps=st.lists(_SEPS, min_size=5, max_size=5),
+    )
+    def test_fill_match_round_trip_property(vals, seps):
+        """For ANY values: match(fill(v)) must (a) succeed, and (b) when it
+        claims unique=True, recover exactly v. IRI-safe encoding makes the
+        captures opaque to the separators unless the separator itself is
+        made of unreserved characters present in a value."""
+        tmpl = seps[0] + "".join(
+            "{c%d}%s" % (i, seps[i + 1]) for i in range(len(vals))
+        )
+        t = Template(tmpl)
+        row = {f"c{i}": v for i, v in enumerate(vals)}
+        filled = t.fill_scalar(row)
+        assert filled is not None
+        bindings, unique = t.match_detail(filled)
+        assert bindings is not None  # fill output must always re-match
+        if unique:
+            assert bindings == row  # a unique inversion must be THE row
+
+except ImportError:  # pragma: no cover - hypothesis is in the sandbox
+    pass
