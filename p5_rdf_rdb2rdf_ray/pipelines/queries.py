@@ -999,6 +999,92 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_clean_corpus_docs(sf_dir: str) -> rd.Dataset:
+    """Composed corpus-cleaning pipeline: quality gate → exact dedup →
+    MinHash near-dedup, one verdict row per input doc. The language gate
+    is off here (language-ID is not SQL-expressible; it is exercised by
+    ``langid_docs`` and the pytest corpus). min_words=16 drops ~5% of the
+    synthetic docs so the quality branch is live in the oracle compare."""
+    from .clean import clean_corpus
+
+    return clean_corpus(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_words=16,
+        max_punct_ratio=0.5,
+        langs=None,
+        neardup_tau=0.6,
+        neardup_method="minhash",
+    )
+
+
+SQL_CLEAN_CORPUS_DOCS = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+),
+dropped AS (
+  SELECT doc_id, 'quality' AS status, CAST(NULL AS BIGINT) AS rep_id
+  FROM q WHERE n_words < 16 OR punct_ratio > 0.5
+),
+surv AS (
+  SELECT doc_id, text FROM q
+  WHERE NOT (n_words < 16 OR punct_ratio > 0.5)
+),
+ex AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY text) AS rep_id
+  FROM surv
+),
+losers AS (
+  SELECT doc_id, 'exact_dup' AS status, rep_id
+  FROM ex WHERE doc_id <> rep_id
+),
+winners AS (SELECT doc_id, text FROM ex WHERE doc_id = rep_id),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM winners
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+nrep AS (SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
+SELECT doc_id, status, rep_id FROM dropped
+UNION ALL
+SELECT doc_id, status, CAST(rep_id AS BIGINT) AS rep_id FROM losers
+UNION ALL
+SELECT w.doc_id,
+       CASE WHEN coalesce(r.rep_id, w.doc_id) = w.doc_id
+            THEN 'kept' ELSE 'near_dup' END AS status,
+       CAST(coalesce(r.rep_id, w.doc_id) AS BIGINT) AS rep_id
+FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
+"""
+
+
 def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
     """IVF bucket-and-verify approximate near-dup pairs — the
     sub-quadratic scale path of neardup_embeddings; rows-only check
@@ -1045,6 +1131,7 @@ QUERIES = {
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "near_dedup_docs": q_near_dedup_docs,
+    "clean_corpus_docs": q_clean_corpus_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
@@ -1081,6 +1168,7 @@ ORACLES = {
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "near_dedup_docs": SQL_NEAR_DEDUP_DOCS,
+    "clean_corpus_docs": SQL_CLEAN_CORPUS_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     # langid_docs / simhash_pairs_docs / lsh_topk: rows-only

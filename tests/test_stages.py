@@ -692,3 +692,70 @@ def test_semi_join_union_tag(ray_session):
         left, right, ["a", "b"], {"payload": pa.int64()}, num_partitions=8
     ).take_all()
     assert sorted((r["a"], r["payload"]) for r in got) == [(3, 30), (7, 70)]
+
+
+def test_clean_corpus_verdicts(ray_session):
+    """Composed cleaning pipeline: every verdict branch fires, one row
+    per input doc, and the stages apply in order (quality/language drops
+    never participate in dedup; near-dedup runs on exact winners)."""
+    from p5_rdf_rdb2rdf_ray.pipelines.clean import clean_corpus
+
+    en = (
+        "the cat and the dog ran to the house of the baker "
+        "with a basket full of bread for the market in town"
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": [
+                en,                      # kept (rep of 2 and 3)
+                en,                      # exact_dup → rep 1
+                en + " extra tail here",  # near_dup → rep 1
+                "too short",             # quality (< 5 words)
+                "der hund und die katze ist nicht mit der maus "
+                "und das haus ist ein gutes haus mit der tür",  # language
+                "entirely different words about rockets planets "
+                "and the galaxies of the night sky above it",   # kept
+            ],
+        }
+    )
+    got = (
+        clean_corpus(
+            rd.from_arrow(t), langs=("en",), neardup_tau=0.5,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == 6
+    assert got.loc[1, "status"] == "kept" and got.loc[1, "rep_id"] == 1
+    assert got.loc[2, "status"] == "exact_dup" and got.loc[2, "rep_id"] == 1
+    assert got.loc[3, "status"] == "near_dup" and got.loc[3, "rep_id"] == 1
+    assert got.loc[4, "status"] == "quality" and pd.isna(got.loc[4, "rep_id"])
+    assert got.loc[5, "status"] == "language" and pd.isna(got.loc[5, "rep_id"])
+    assert got.loc[6, "status"] == "kept" and got.loc[6, "rep_id"] == 6
+
+
+def test_clean_corpus_scratch_dir(ray_session, tmp_path):
+    """scratch_dir spill path: same verdicts, flags computed once and
+    re-read from partitioned parquet by the three consumers."""
+    from p5_rdf_rdb2rdf_ray.pipelines.clean import clean_corpus
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": ["same text repeated here five words plus"] * 2
+            + ["another doc entirely with many different words inside"],
+        }
+    )
+    got = (
+        clean_corpus(
+            rd.from_arrow(t), num_partitions=2,
+            scratch_dir=str(tmp_path / "flags"),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[10, "status"] == "kept"
+    assert got.loc[11, "status"] == "exact_dup" and got.loc[11, "rep_id"] == 10
+    assert got.loc[12, "status"] == "kept"
