@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "window_events",
     "asof_events_orders",
     "near_dedup_docs",
+    "clean_corpus_docs",
     "bgp_store",
 ]
 

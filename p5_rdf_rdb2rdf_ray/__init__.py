@@ -27,4 +27,24 @@ DirectMapping onto one executor]:
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Silence Ray's per-block "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning. It fires for ANY
+    parquet written with pandas schema metadata (``hash(pa.Schema)``
+    raises when the metadata dict is present — harmless: Ray just skips
+    the early-exit and unifies field-by-field). Our inputs are read-only
+    testdata files carrying that metadata, so the benign warning would
+    otherwise repeat once per schema-unify in every pipeline log."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoiseFilter())
+
 from .terms import TRIPLE_SCHEMA, KIND_IRI, KIND_BNODE, KIND_LITERAL  # noqa: F401

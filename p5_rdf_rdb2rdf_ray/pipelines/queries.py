@@ -1085,6 +1085,94 @@ FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
 """
 
 
+# fmix32 (MurmurHash3 finalizer) in SQL — bit-identical to
+# stages/sample.fmix32 for non-negative int64 keys: fold to 32 bits,
+# add seed, then xor-shift/multiply rounds with HUGEINT intermediates.
+_FMIX32_SQL = """
+  SELECT *, CAST(xor(h2, h2 >> 16) AS BIGINT) AS smp_h
+  FROM (
+    SELECT * EXCLUDE (h1),
+           CAST((CAST(xor(h1, h1 >> 13) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h2
+    FROM (
+      SELECT * EXCLUDE (h0),
+             CAST((CAST(xor(h0, h0 >> 16) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h1
+      FROM (
+        SELECT *, (xor({key} % 4294967296, {key} // 4294967296) + {seed})
+                  % 4294967296 AS h0
+        FROM {src}
+      )
+    )
+  )
+"""
+
+
+def q_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash sampling (consistent ~25% subset, map-only)."""
+    from ..stages.sample import hash_sample
+
+    return hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "text"]), rate=0.25, seed=42
+    )
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id, text FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=42, src="documents")}
+) WHERE smp_h % 1000000 < 250000
+"""
+
+
+def q_stratified_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Per-language sampling rates (corpus rebalancing), still map-only."""
+    from ..stages.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        rates={"en": 0.5, "de": 0.1},
+        group_col="lang",
+        default_rate=0.2,
+        seed=7,
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = f"""
+SELECT doc_id, lang FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=7, src="documents")}
+) WHERE smp_h % 1000000 <
+    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 200000 END
+"""
+
+
+def q_mix_docs_sources(sf_dir: str) -> rd.Dataset:
+    """Weighted mixture of two sub-corpora (80% of src0-4, 30% of
+    src5-9) — per-source seeds keep the keep decisions independent."""
+    from ..stages.sample import mix_corpora
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    a = docs.filter(
+        expr="source in ['src0', 'src1', 'src2', 'src3', 'src4']"
+    )
+    b = docs.filter(
+        expr="source in ['src5', 'src6', 'src7', 'src8', 'src9']"
+    )
+    return mix_corpora([(a, 0.8), (b, 0.3)], seed=0)
+
+
+SQL_MIX_DOCS_SOURCES = f"""
+SELECT doc_id, source FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=0, src="documents")}
+) WHERE source IN ('src0','src1','src2','src3','src4')
+  AND smp_h % 1000000 < 800000
+UNION ALL
+SELECT doc_id, source FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=1, src="documents")}
+) WHERE source IN ('src5','src6','src7','src8','src9')
+  AND smp_h % 1000000 < 300000
+"""
+
+
 def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
     """IVF bucket-and-verify approximate near-dup pairs — the
     sub-quadratic scale path of neardup_embeddings; rows-only check
@@ -1132,6 +1220,9 @@ QUERIES = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "near_dedup_docs": q_near_dedup_docs,
     "clean_corpus_docs": q_clean_corpus_docs,
+    "sample_docs": q_sample_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "mix_docs_sources": q_mix_docs_sources,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
@@ -1169,6 +1260,9 @@ ORACLES = {
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "near_dedup_docs": SQL_NEAR_DEDUP_DOCS,
     "clean_corpus_docs": SQL_CLEAN_CORPUS_DOCS,
+    "sample_docs": SQL_SAMPLE_DOCS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "mix_docs_sources": SQL_MIX_DOCS_SOURCES,
     "ann_topk": SQL_ANN_TOPK,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     # langid_docs / simhash_pairs_docs / lsh_topk: rows-only

@@ -1,0 +1,113 @@
+"""Deterministic hash-based sampling — consistent corpus subsetting.
+
+A 100-TB training-data pipeline cannot use RNG sampling: re-runs, resumed
+partitions and cross-stage agreement all need "is this row in the
+sample?" to be a pure function of the row key. These operators hash an
+int64 key with the (public-domain) MurmurHash3 fmix32 finalizer and keep
+a row iff ``hash % 1e6 < rate * 1e6`` — map-only, no shuffle, no state,
+every worker and every re-run agrees [brief extension; not in the
+reference — RDF::RDB2RDF has no corpus ops].
+
+The same arithmetic is expressible in ANSI SQL (xor / shifts / HUGEINT
+multiply mod 2^32), so the operators are oracle-checkable bit-for-bit —
+see ``pipelines/queries.py::_FMIX32_SQL``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_M32 = np.uint64(0xFFFFFFFF)
+_C1 = np.uint64(0x85EBCA6B)
+_C2 = np.uint64(0xC2B2AE35)
+
+
+def fmix32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """MurmurHash3 fmix32 finalizer over an int64 key array (vectorized).
+    64-bit keys are folded to 32 bits first; ``seed`` shifts the hash
+    stream so independent sampling decisions don't correlate.
+    → uint64 array of values in [0, 2^32)."""
+    k = keys.astype(np.uint64)
+    h = ((k ^ (k >> np.uint64(32))) + np.uint64(seed & 0xFFFFFFFF)) & _M32
+    h ^= h >> np.uint64(16)
+    h = (h * _C1) & _M32
+    h ^= h >> np.uint64(13)
+    h = (h * _C2) & _M32
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    return int(round(rate * 1_000_000))
+
+
+def hash_sample(
+    ds: rd.Dataset,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed on
+    ``key_col`` (int64). Map-only: each block filters independently."""
+    thr = _threshold(rate)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        keep = fmix32(keys, seed) % np.uint64(1_000_000) < np.uint64(thr)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Per-group sampling rates (e.g. per-language corpus balancing):
+    group ``g`` keeps a deterministic ``rates[g]`` fraction, unlisted
+    groups keep ``default_rate``. Still map-only — the group column
+    rides in the row, so no shuffle is needed."""
+    thrs = {g: _threshold(r) for g, r in rates.items()}
+    dthr = _threshold(default_rate)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        thr = np.full(t.num_rows, dthr, np.uint64)
+        for g, v in thrs.items():
+            thr[groups == g] = v
+        keep = fmix32(keys, seed) % np.uint64(1_000_000) < thr
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mix_corpora(
+    sources: list[tuple[rd.Dataset, float]],
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """Weighted corpus mixture: each ``(dataset, fraction)`` source is
+    hash-downsampled to its fraction, then the streams union. Source ``i``
+    hashes with ``seed + i`` so the same key drawn from two corpora makes
+    independent keep decisions. All schemas must match."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    parts = [
+        hash_sample(ds, frac, key_col=key_col, seed=seed + i)
+        for i, (ds, frac) in enumerate(sources)
+    ]
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out

@@ -759,3 +759,70 @@ def test_clean_corpus_scratch_dir(ray_session, tmp_path):
     assert got.loc[10, "status"] == "kept"
     assert got.loc[11, "status"] == "exact_dup" and got.loc[11, "rep_id"] == 10
     assert got.loc[12, "status"] == "kept"
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    """Same input → identical sample across runs; rate lands near the
+    target on a large key range; disjoint seeds decorrelate."""
+    from p5_rdf_rdb2rdf_ray.stages.sample import fmix32, hash_sample
+
+    n = 50_000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    a = hash_sample(rd.from_arrow(t), 0.3, seed=1).to_pandas()
+    b = hash_sample(rd.from_arrow(t), 0.3, seed=1).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert abs(len(a) / n - 0.3) < 0.01
+    # nested property: a 0.1 sample is a subset of the 0.3 sample
+    c = hash_sample(rd.from_arrow(t), 0.1, seed=1).to_pandas()
+    assert set(c["doc_id"]).issubset(set(a["doc_id"]))
+    # different seed → a different (roughly independent) subset
+    d = hash_sample(rd.from_arrow(t), 0.3, seed=2).to_pandas()
+    overlap = len(set(a["doc_id"]) & set(d["doc_id"])) / n
+    assert abs(overlap - 0.09) < 0.01  # P(both) = 0.3 * 0.3
+    # hash quality: 32-bit outputs spread over the full range
+    h = fmix32(np.arange(n), 1)
+    assert h.max() > 2**31 and len(np.unique(h)) == n
+
+
+def test_stratified_sample_rates(ray_session):
+    from p5_rdf_rdb2rdf_ray.stages.sample import stratified_sample
+
+    n = 30_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(["en", "de", "fr"] * (n // 3)),
+        }
+    )
+    got = stratified_sample(
+        rd.from_arrow(t), {"en": 0.6, "de": 0.05}, group_col="lang",
+        default_rate=0.2, seed=3,
+    ).to_pandas()
+    frac = got["lang"].value_counts() / (n // 3)
+    assert abs(frac["en"] - 0.6) < 0.02
+    assert abs(frac["de"] - 0.05) < 0.02
+    assert abs(frac["fr"] - 0.2) < 0.02
+
+
+def test_mix_corpora_weights(ray_session):
+    from p5_rdf_rdb2rdf_ray.stages.sample import mix_corpora
+
+    n = 20_000
+    a = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "src": pa.array(["a"] * n),
+        }
+    )
+    b = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "src": pa.array(["b"] * n),
+        }
+    )
+    got = mix_corpora(
+        [(rd.from_arrow(a), 0.5), (rd.from_arrow(b), 0.1)], seed=0
+    ).to_pandas()
+    counts = got["src"].value_counts()
+    assert abs(counts["a"] / n - 0.5) < 0.02
+    assert abs(counts["b"] / n - 0.1) < 0.02
