@@ -1085,6 +1085,81 @@ FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
 """
 
 
+def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """Train/eval decontamination: flag corpus docs sharing ≥2 distinct
+    5-gram shingles with a reference set (here the src0 sub-corpus) —
+    broadcast ref-set mode (map-only over the corpus; the distributed
+    semi-join mode is pinned equal by pytest)."""
+    from ..stages.dedup import decontaminate_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ref = docs.filter(expr="source == 'src0'").select_columns(
+        ["doc_id", "text"]
+    )
+    return decontaminate_docs(
+        docs.select_columns(["doc_id", "text"]), ref, n=5, min_hits=2
+    )
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+refset AS (SELECT text FROM documents WHERE source = 'src0'),
+ta AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
+sa AS (
+  SELECT DISTINCT doc_id,
+         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
+  FROM ta, unnest(generate_series(1, len(w) - 4)) AS u(g)
+),
+tb AS (SELECT regexp_extract_all(text, '\S+') AS w FROM refset),
+sb AS (
+  SELECT DISTINCT
+         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
+  FROM tb, unnest(generate_series(1, len(w) - 4)) AS u(g)
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS n FROM sa a JOIN sb b ON a.s = b.s GROUP BY 1
+)
+SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) < 2 AS is_clean
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+
+def q_emb_near_dedup(sf_dir: str) -> rd.Dataset:
+    """End-to-end embedding near-dedup (exact pairs → CC → min-id
+    representative) — the vector twin of near_dedup_docs."""
+    from ..stages.similarity import embedding_near_dedup
+
+    return embedding_near_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.46, method="exact",
+    )
+
+
+SQL_EMB_NEAR_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.46
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+rep AS (SELECT a AS vec_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
+SELECT e.vec_id,
+       CAST(coalesce(r.rep_id, e.vec_id) AS BIGINT) AS rep_id,
+       coalesce(r.rep_id, e.vec_id) = e.vec_id AS is_kept
+FROM embeddings e LEFT JOIN rep r ON r.vec_id = e.vec_id
+"""
+
+
 # fmix32 (MurmurHash3 finalizer) in SQL — bit-identical to
 # stages/sample.fmix32 for non-negative int64 keys: fold to 32 bits,
 # add seed, then xor-shift/multiply rounds with HUGEINT intermediates.
@@ -1220,6 +1295,8 @@ QUERIES = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "near_dedup_docs": q_near_dedup_docs,
     "clean_corpus_docs": q_clean_corpus_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "emb_near_dedup": q_emb_near_dedup,
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "mix_docs_sources": q_mix_docs_sources,
@@ -1260,6 +1337,8 @@ ORACLES = {
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "near_dedup_docs": SQL_NEAR_DEDUP_DOCS,
     "clean_corpus_docs": SQL_CLEAN_CORPUS_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "emb_near_dedup": SQL_EMB_NEAR_DEDUP,
     "sample_docs": SQL_SAMPLE_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "mix_docs_sources": SQL_MIX_DOCS_SOURCES,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
@@ -227,10 +228,20 @@ def _semi_join(
     def filt(df: pd.DataFrame) -> pd.DataFrame:
         out_cols = order
         if not len(df):
-            return df.reindex(columns=out_cols)
-        L = df[df["__side"] == 0]
-        R = df.loc[df["__side"] == 1, keys].drop_duplicates()
-        return L.merge(R, on=keys)[out_cols]
+            out = df.reindex(columns=out_cols)
+        else:
+            L = df[df["__side"] == 0]
+            R = df.loc[df["__side"] == 1, keys].drop_duplicates()
+            out = L.merge(R, on=keys)[out_cols]
+        # the union null-pads right rows' payload, which widens e.g.
+        # int64 → float64 in the pandas block; left rows are never null
+        # there, so cast back to the declared types (a float64 id would
+        # hash-partition differently from int64 rows downstream)
+        for c, t in payload.items():
+            dt = t.to_pandas_dtype()
+            if str(out[c].dtype) != str(np.dtype(dt)):
+                out[c] = out[c].astype(dt)
+        return out
 
     return u.repartition(num_partitions, keys=keys).map_batches(
         filt, batch_format="pandas", batch_size=None
@@ -565,10 +576,6 @@ def near_dedup_docs(
     through the final assignment (plain tasks — the map is a single
     shared-plasma object, no actor pool needed).
     """
-    import ray
-
-    from .cc import cc_labels_numpy, connected_components
-
     if method == "minhash":
         pairs = minhash_pairs(
             ds, tau=tau, n=n, text_col=text_col, id_col=id_col,
@@ -582,13 +589,38 @@ def near_dedup_docs(
     else:
         raise ValueError(f"unknown near-dedup method {method!r}")
 
+    return pairs_to_verdicts(
+        ds, pairs, id_col=id_col, num_partitions=num_partitions,
+        driver_cc_edges=driver_cc_edges,
+    )
+
+
+def pairs_to_verdicts(
+    ds: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 16,
+    driver_cc_edges: int = 2_000_000,
+) -> rd.Dataset:
+    """Shared near-dedup tail: a (a_col, b_col) similarity-pair graph →
+    connected components → per component the MIN id is the canonical
+    representative. → (id_col, rep_id:int64, is_kept:bool) for EVERY row
+    of ``ds``. Used by both the text (:func:`near_dedup_docs`) and
+    embedding (``similarity.embedding_near_dedup``) paths — see the
+    scale-shape note in :func:`near_dedup_docs`."""
+    import ray
+
+    from .cc import cc_labels_numpy, connected_components
+
     pairs = pairs.materialize()  # small side; reused by whichever CC path
     if pairs.count() <= driver_cc_edges:
         ea, eb = [], []
         for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
             if b.num_rows:
-                ea.append(b.column("doc_a").to_numpy())
-                eb.append(b.column("doc_b").to_numpy())
+                ea.append(b.column(a_col).to_numpy())
+                eb.append(b.column(b_col).to_numpy())
         nodes, labs = cc_labels_numpy(
             np.concatenate(ea) if ea else np.array([], np.int64),
             np.concatenate(eb) if eb else np.array([], np.int64),
@@ -599,8 +631,8 @@ def near_dedup_docs(
         def to_edges(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "src": df["doc_a"].map("{:020d}".format),
-                    "dst": df["doc_b"].map("{:020d}".format),
+                    "src": df[a_col].map("{:020d}".format),
+                    "dst": df[b_col].map("{:020d}".format),
                 }
             )
 
@@ -755,3 +787,131 @@ def simhash_pairs(
         ck.repartition(num_partitions, keys=["ck"])
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/eval overlap removal)
+
+
+def decontaminate_docs(
+    corpus: rd.Dataset,
+    ref: rd.Dataset,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Flag training docs that overlap a reference (eval/benchmark) set:
+    a doc is contaminated when ≥ ``min_hits`` of its DISTINCT word
+    n-gram shingles appear anywhere in ``ref``. → (id_col, n_hits:int64,
+    is_clean:bool), one row per corpus doc.
+
+    Scale shape — the ref side is the small one by construction
+    (benchmark suites are MBs against a TB corpus):
+
+    - ``broadcast=True`` (default): the ref shingle-hash set is reduced
+      to a sorted uint64 array on the driver, ``ray.put`` ONCE, and the
+      corpus streams MAP-ONLY — each batch shingles itself and counts
+      membership by binary search. Zero shuffles, zero corpus passes
+      beyond the one read.
+    - ``broadcast=False`` (ref too big for one machine): corpus and ref
+      shingle streams co-partition by shingle hash (the one shuffle);
+      per partition, corpus shingles found in the ref side emit
+      ``(doc_id, 1)``; an ids-only count shuffle + a zero row per doc
+      yields the same totals.
+    """
+    import ray
+
+    ref_sh = ref.map_batches(
+        lambda df: _shingle_hashes(df, id_col, text_col, n)[["sh"]],
+        batch_format="pandas",
+    )
+
+    if broadcast:
+        parts = [
+            b.column("sh").to_numpy()
+            for b in ref_sh.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        ref_set = np.unique(np.concatenate(parts)) if parts else np.array([], np.uint64)
+        ref_ref = ray.put(ref_set)
+
+        def count_hits(df: pd.DataFrame) -> pa.Table:
+            rs = ray.get(ref_ref)  # local plasma hit after first fetch
+            sh = _shingle_hashes(df, id_col, text_col, n)
+            hit = np.zeros(len(sh), bool)
+            if len(rs) and len(sh):
+                pos = np.searchsorted(rs, sh["sh"].to_numpy())
+                pos_c = np.clip(pos, 0, len(rs) - 1)
+                hit = rs[pos_c] == sh["sh"].to_numpy()
+            hits = (
+                pd.Series(hit).groupby(sh[id_col].to_numpy(), sort=False).sum()
+            )
+            per_doc = (
+                df[id_col].map(hits).fillna(0).astype(np.int64)
+                if len(hits)
+                else pd.Series(np.zeros(len(df), np.int64))
+            )
+            return to_clean_arrow(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col],
+                        "n_hits": per_doc.to_numpy(),
+                        "is_clean": per_doc.to_numpy() < min_hits,
+                    }
+                )
+            )
+
+        return corpus.map_batches(count_hits, batch_format="pandas")
+
+    # distributed path: semi-join corpus shingles against ref shingles,
+    # then an ids-only count shuffle; docs with zero hits ride along as
+    # explicit zero rows so every corpus doc appears in the output.
+    corpus_sh = corpus.map_batches(
+        lambda df: _shingle_hashes(df, id_col, text_col, n),
+        batch_format="pandas",
+    )
+    hit_rows = _semi_join(
+        corpus_sh, ref_sh, keys=["sh"], payload={id_col: pa.int64()},
+        num_partitions=num_partitions,
+    )
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hits": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hits": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    base = corpus.map_batches(zero, batch_format="pyarrow")
+    counts = grouped_aggregate(
+        hit_rows.map_batches(one, batch_format="pyarrow").union(base),
+        keys=[id_col],
+        aggs={"n_hits": ("n_hits", "sum")},
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nh = pc.cast(t.column("n_hits"), pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hits": nh,
+                "is_clean": pc.less(nh, min_hits),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")

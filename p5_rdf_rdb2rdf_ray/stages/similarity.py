@@ -508,3 +508,42 @@ def embedding_neardup_pairs_approx(
     pairs = part.map_batches(verify, batch_format="pyarrow", batch_size=None)
     # a pair can surface in up to nprobe² shared buckets → set semantics
     return distinct_rows(pairs, ["vec_a", "vec_b"], num_buckets=num_partitions)
+
+
+def embedding_near_dedup(
+    ds: rd.Dataset,
+    tau: float = 0.95,
+    method: str = "exact",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 2,
+    num_partitions: int = 16,
+    driver_cc_edges: int = 2_000_000,
+) -> rd.Dataset:
+    """End-to-end embedding near-dedup, the vector twin of
+    ``dedup.near_dedup_docs``: cosine-similarity pairs (``method`` =
+    'exact' all-pairs or 'approx' IVF bucket-and-verify) → connected
+    components → per component the MIN id is the canonical
+    representative. → (id_col, rep_id:int64, is_kept:bool) for EVERY
+    input vector. The corpus streams id-only through the final
+    assignment — the embedding column never enters the CC phase."""
+    from .dedup import pairs_to_verdicts
+
+    if method == "exact":
+        pairs = embedding_neardup_pairs(
+            ds, tau=tau, vec_col=vec_col, id_col=id_col
+        )
+    elif method == "approx":
+        pairs = embedding_neardup_pairs_approx(
+            ds, tau=tau, nlist=nlist, nprobe=nprobe, vec_col=vec_col,
+            id_col=id_col, num_partitions=num_partitions,
+        )
+    else:
+        raise ValueError(f"unknown embedding near-dedup method {method!r}")
+
+    return pairs_to_verdicts(
+        ds.select_columns([id_col]), pairs, id_col=id_col,
+        a_col="vec_a", b_col="vec_b",
+        num_partitions=num_partitions, driver_cc_edges=driver_cc_edges,
+    )

@@ -826,3 +826,75 @@ def test_mix_corpora_weights(ray_session):
     counts = got["src"].value_counts()
     assert abs(counts["a"] / n - 0.5) < 0.02
     assert abs(counts["b"] / n - 0.1) < 0.02
+
+
+def test_decontaminate_docs_modes_agree(ray_session):
+    """Broadcast ref-set mode and distributed semi-join mode flag the
+    same docs with the same hit counts; hits = # DISTINCT corpus-doc
+    shingles present anywhere in the ref set."""
+    from p5_rdf_rdb2rdf_ray.stages.dedup import decontaminate_docs
+
+    ref_text = "alpha beta gamma delta epsilon zeta"
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                # shares 4 distinct trigram shingles with ref_text
+                "alpha beta gamma delta epsilon zeta eta",
+                # shares zero shingles
+                "one two three four five six seven",
+                # repeats a shared shingle — still counts ONCE (distinct)
+                "alpha beta gamma then alpha beta gamma",
+            ],
+        }
+    )
+    ref = pa.table(
+        {"doc_id": pa.array([100], pa.int64()), "text": [ref_text]}
+    )
+    outs = {}
+    for bc in (True, False):
+        outs[bc] = (
+            decontaminate_docs(
+                rd.from_arrow(corpus), rd.from_arrow(ref),
+                n=3, min_hits=2, broadcast=bc, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    got = outs[True]
+    assert got.equals(outs[False])
+    assert got["doc_id"].dtype == "int64"  # semi-join must not widen ids
+    assert got.set_index("doc_id")["n_hits"].to_dict() == {1: 4, 2: 0, 3: 1}
+    assert got.set_index("doc_id")["is_clean"].to_dict() == {
+        1: False, 2: True, 3: True,
+    }
+
+
+def test_embedding_near_dedup_components(ray_session):
+    """Vector twin of near_dedup_docs: a transitive cosine chain
+    collapses to one component with the min vec_id as representative."""
+    from p5_rdf_rdb2rdf_ray.stages.similarity import embedding_near_dedup
+
+    # unit vectors in the plane: 0° ~ 20° ~ 40° chain at tau=cos(25°),
+    # 0°~40° NOT a pair (cos 40° < tau); 90° is a singleton
+    def v(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([5, 9, 2, 7], pa.int64()),
+            "embedding": [v(0), v(20), v(40), v(90)],
+        }
+    )
+    tau = float(np.cos(np.deg2rad(25)))
+    got = (
+        embedding_near_dedup(rd.from_arrow(t), tau=tau, method="exact")
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert got.loc[5, "rep_id"] == 2 and not got.loc[5, "is_kept"]
+    assert got.loc[9, "rep_id"] == 2 and not got.loc[9, "is_kept"]
+    assert got.loc[2, "rep_id"] == 2 and got.loc[2, "is_kept"]
+    assert got.loc[7, "rep_id"] == 7 and got.loc[7, "is_kept"]
