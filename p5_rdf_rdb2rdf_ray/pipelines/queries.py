@@ -1085,6 +1085,39 @@ FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
 """
 
 
+def q_repetition_docs(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals (dup-line fraction,
+    top-bigram share) per document."""
+    from ..stages.textstats import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REPETITION_DOCS = r"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_uniq
+  FROM l
+),
+t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[g] || ' ' || w[g+1] AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(li.n_lines AS BIGINT) AS n_lines,
+       1.0 - CAST(li.n_uniq AS DOUBLE) / li.n_lines AS dup_line_frac,
+       coalesce(CAST(tp.mx AS DOUBLE) / tp.tot, 0.0) AS top_bigram_frac
+FROM documents d
+JOIN lines li ON li.doc_id = d.doc_id
+LEFT JOIN tops tp ON tp.doc_id = d.doc_id
+"""
+
+
 def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
     """Train/eval decontamination: flag corpus docs sharing ≥2 distinct
     5-gram shingles with a reference set (here the src0 sub-corpus) —
@@ -1297,6 +1330,7 @@ QUERIES = {
     "clean_corpus_docs": q_clean_corpus_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "emb_near_dedup": q_emb_near_dedup,
+    "repetition_docs": q_repetition_docs,
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "mix_docs_sources": q_mix_docs_sources,
@@ -1339,6 +1373,7 @@ ORACLES = {
     "clean_corpus_docs": SQL_CLEAN_CORPUS_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "emb_near_dedup": SQL_EMB_NEAR_DEDUP,
+    "repetition_docs": SQL_REPETITION_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "mix_docs_sources": SQL_MIX_DOCS_SOURCES,

@@ -252,3 +252,84 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def repetition_stats(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Gopher-style repetition quality signals, one row per doc:
+    ``n_lines``, ``dup_line_frac`` (1 − distinct/total lines) and
+    ``top_bigram_frac`` (most frequent word bigram's share of all
+    bigrams; 0.0 for docs with < 2 tokens). High values flag boilerplate
+    and degenerate repetition. Whole-batch vectorized: polars line
+    split / token explode + one group_by per batch, no per-doc Python
+    [brief extension; repetition filters per Rae et al. 2021 (Gopher)].
+    """
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        import polars as pl
+
+        n = len(df)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "dup_line_frac": pa.array([], pa.float64()),
+                    "top_bigram_frac": pa.array([], pa.float64()),
+                }
+            )
+        texts = pl.Series("t", df[text_col].fillna("").astype(str))
+        lines = pl.DataFrame({"t": texts}).with_columns(
+            pl.col("t").str.split("\n")
+        )
+        n_lines = lines["t"].list.len().to_numpy().astype(np.int64)
+        n_uniq = lines["t"].list.n_unique().to_numpy().astype(np.int64)
+        dup_frac = 1.0 - n_uniq / n_lines
+
+        # word bigram counts: token hash + within-row rolling combine,
+        # then (row, bigram-hash) → count → per-row max/sum
+        e = (
+            pl.DataFrame(
+                {
+                    "r": pl.Series(np.arange(n, dtype=np.int64)),
+                    "t": texts,
+                }
+            )
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+        )
+        h = e["t"].hash(seed=0).to_numpy().astype(np.uint64)
+        valid = e["t"].is_not_null().to_numpy()
+        rows = e["r"].to_numpy()
+        m = len(e)
+        nxt = np.zeros(m, np.uint64)
+        ok = np.zeros(m, bool)
+        if m > 1:
+            nxt[:-1] = h[1:]
+            ok[:-1] = (rows[1:] == rows[:-1]) & valid[1:] & valid[:-1]
+        bh = h * np.uint64(1000003) + nxt
+        top_frac = np.zeros(n, np.float64)
+        if ok.any():
+            per = (
+                pl.DataFrame({"r": rows[ok], "bh": bh[ok]})
+                .group_by(["r", "bh"])
+                .len()
+                .group_by("r")
+                .agg(
+                    pl.col("len").max().alias("mx"),
+                    pl.col("len").sum().alias("tot"),
+                )
+            )
+            rr = per["r"].to_numpy()
+            top_frac[rr] = per["mx"].to_numpy() / per["tot"].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "n_lines": pa.array(n_lines),
+                "dup_line_frac": pa.array(dup_frac),
+                "top_bigram_frac": pa.array(top_frac),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -898,3 +898,27 @@ def test_embedding_near_dedup_components(ray_session):
     assert got.loc[9, "rep_id"] == 2 and not got.loc[9, "is_kept"]
     assert got.loc[2, "rep_id"] == 2 and got.loc[2, "is_kept"]
     assert got.loc[7, "rep_id"] == 7 and got.loc[7, "is_kept"]
+
+
+def test_repetition_stats(ray_session):
+    from p5_rdf_rdb2rdf_ray.stages.textstats import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "spam spam spam spam ham",      # top bigram 'spam spam' 3/4
+                "a\nb\na\nc",                   # 4 lines, 3 distinct
+                "all words here are distinct",  # no repetition
+                "solo",                         # < 2 tokens → frac 0
+            ],
+        }
+    )
+    got = (
+        repetition_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    )
+    assert got.loc[1, "top_bigram_frac"] == 0.75
+    assert got.loc[1, "n_lines"] == 1 and got.loc[1, "dup_line_frac"] == 0.0
+    assert got.loc[2, "n_lines"] == 4 and got.loc[2, "dup_line_frac"] == 0.25
+    assert got.loc[3, "top_bigram_frac"] == 0.25
+    assert got.loc[4, "top_bigram_frac"] == 0.0
