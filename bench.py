@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "asof_events_orders",
     "near_dedup_docs",
     "clean_corpus_docs",
+    "decontaminate_docs",
+    "emb_near_dedup",
+    "repetition_docs",
     "bgp_store",
 ]
 
