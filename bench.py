@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "emb_near_dedup",
     "repetition_docs",
+    "hopping_window_events",
+    "ngram_counts_docs",
+    "tfidf_docs",
+    "chunk_docs",
+    "graph_diff_events",
     "bgp_store",
 ]
 

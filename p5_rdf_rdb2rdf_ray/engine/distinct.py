@@ -201,6 +201,71 @@ def distinct_triples(ds: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     return distinct_rows(ds, TRIPLE_COLUMNS, num_buckets=num_buckets)
 
 
+def _tagged_setop(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    cols: list[str],
+    keep_if_in_b: bool,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Shared EXCEPT/INTERSECT machinery: per-side local dedup combiner
+    (a duplicate never needs to cross the wire twice), union-tag, ONE
+    hash shuffle on ``cols``, exact per-block merge (a row never spans
+    blocks post-shuffle). Output = distinct rows of ``a`` that are
+    (absent from | present in) ``b``."""
+
+    ensure_hash_shuffle(a)
+    ensure_hash_shuffle(b)
+
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = _unique_batch(t, cols)
+            return u.append_column(
+                "__kind", pa.array(np.full(u.num_rows, kind, np.int8))
+            )
+
+        return f
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return to_clean_arrow(pd.DataFrame({c: [] for c in cols}))
+        a_rows = df[df["__kind"] == 0].drop_duplicates(cols)
+        b_keys = df.loc[df["__kind"] == 1, cols].drop_duplicates()
+        m = a_rows.merge(b_keys.assign(__inb=1), on=cols, how="left")
+        keep = m["__inb"].notna() if keep_if_in_b else m["__inb"].isna()
+        return to_clean_arrow(m.loc[keep, cols])
+
+    return (
+        a.map_batches(tag(0), batch_format="pyarrow")
+        .union(b.map_batches(tag(1), batch_format="pyarrow"))
+        .repartition(num_buckets, keys=cols)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def except_rows(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str], num_buckets: int = 64
+) -> rd.Dataset:
+    """SQL EXCEPT: distinct rows of ``a`` over ``cols`` not in ``b``."""
+    return _tagged_setop(a, b, cols, keep_if_in_b=False, num_buckets=num_buckets)
+
+
+def intersect_rows(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str], num_buckets: int = 64
+) -> rd.Dataset:
+    """SQL INTERSECT: distinct rows of ``a`` over ``cols`` also in ``b``."""
+    return _tagged_setop(a, b, cols, keep_if_in_b=True, num_buckets=num_buckets)
+
+
+def graph_diff(a: rd.Dataset, b: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """Triples in graph ``a`` and not in graph ``b`` — the KG snapshot
+    delta (new graph EXCEPT old graph = added triples; swap for removed).
+    RDF graphs are sets, so this is exact set difference over the full
+    term columns [W3C-R2RML §11 output is a set; reference gets set
+    semantics from RDF::Trine::Model]."""
+    return except_rows(a, b, TRIPLE_COLUMNS, num_buckets=num_buckets)
+
+
 def first_per_group(
     ds: rd.Dataset,
     key_cols: list[str],

@@ -773,6 +773,178 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_hopping_window_events(sf_dir: str) -> rd.Dataset:
+    """Overlapping 1-hour windows hopping every 15 min (each event lands
+    in 4 windows) — the sliding-window aggregate; same integer-cents
+    exactness trick as ``window_events``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.sessions import hopping_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.floor(
+            df["value"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return df[["user_id", "ts", "value_cents"]]
+
+    return hopping_window(
+        ev.map_batches(cents, batch_format="pandas"),
+        window_s=3600, hop_s=900,
+        value_col="value_cents", value_dtype="int64",
+        num_partitions=8,
+    )
+
+
+SQL_HOPPING_WINDOW_EVENTS = """
+SELECT user_id,
+       to_timestamp(((epoch_us(ts) // 900000000) - j) * 900)
+         AT TIME ZONE 'UTC' AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value
+FROM events, LATERAL (SELECT unnest(range(0, 4)) AS j) t
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide word-bigram vocabulary (combiner + one shuffle on the
+    n-gram), min_count=2."""
+    from ..stages.vocab import ngram_counts
+
+    return ngram_counts(
+        _read(sf_dir, "documents", ["text"]),
+        n=2, min_count=2, num_partitions=16,
+    )
+
+
+SQL_NGRAM_COUNTS_DOCS = """
+SELECT ngram, "count" FROM (
+  SELECT arr[i] || ' ' || arr[i+1] AS ngram, CAST(count(*) AS BIGINT) AS "count"
+  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS arr FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) t
+  GROUP BY 1
+) WHERE "count" >= 2
+"""
+
+
+def q_tfidf_docs(sf_dir: str) -> rd.Dataset:
+    """Per-document top-3 terms by tf-idf (tf row-local; df via one term
+    shuffle; score ``tf * (N / df)`` — IEEE-exact, no log)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.vocab import tfidf_top_terms
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n_docs=n_docs, k=3, num_partitions=16,
+    )
+
+
+SQL_TFIDF_DOCS = """
+WITH toks AS (
+  SELECT doc_id, arr[i] AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) t
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.n / df.df) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n / df.df) DESC, tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term), n
+) WHERE rn <= 3
+"""
+
+
+def q_chunk_docs(sf_dir: str) -> rd.Dataset:
+    """Fixed-64-token document chunking (sequence-packing prep) — pure
+    batch-wise flat map, no shuffle."""
+    from ..stages.vocab import chunk_docs
+
+    return chunk_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
+    )
+
+
+SQL_CHUNK_DOCS = """
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(arr[(i * 64 + 1):((i + 1) * 64)], ' ') AS chunk_text,
+       CAST(least(64, len(arr) - i * 64) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
+     LATERAL (SELECT unnest(range(0, (len(arr) + 63) // 64)) AS i) t
+"""
+
+
+def q_graph_diff_events(sf_dir: str) -> rd.Dataset:
+    """KG snapshot delta: triples of the full events graph EXCEPT the
+    graph built over the non-click slice (rr:sqlQuery logical table) —
+    exactly the click-event triples. One union-tag shuffle
+    (`engine.distinct.graph_diff`)."""
+    from ..engine.distinct import graph_diff
+
+    cat = catalog_for(sf_dir)
+
+    def spec_for(sql: str | None) -> MappingSpec:
+        tm = TriplesMapSpec(
+            name="ev",
+            table="events" if sql is None else "__sql__",
+            sql=sql,
+            subject=TermMapSpec(kind=IRI, template=BASE + "ev/{event_id}"),
+            classes=(BASE + "Event",),
+            pos=(
+                PredObjSpec(
+                    pred=TermMapSpec(kind=IRI, constant=BASE + "etype"),
+                    obj=TermMapSpec(kind=LITERAL, column="event_type"),
+                ),
+            ),
+        )
+        return MappingSpec(maps={"ev": tm}, base=BASE)
+
+    new = run_mapping(spec_for(None), cat, distinct_buckets=8)
+    old = run_mapping(
+        spec_for(
+            "SELECT event_id, event_type FROM events"
+            " WHERE event_type <> 'click'"
+        ),
+        cat,
+        distinct_buckets=8,
+    )
+    return to_term_columns(graph_diff(new, old, num_buckets=8))
+
+
+SQL_GRAPH_DIFF_EVENTS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj FROM events
+  UNION ALL
+  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
+         '"' || event_type || '"' FROM events
+) a
+EXCEPT
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj
+  FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
+         '"' || event_type || '"' FROM events WHERE event_type <> 'click'
+) b
+"""
+
+
 def q_asof_events_orders(sf_dir: str) -> rd.Dataset:
     """As-of join (backward): each event matched to the customer's
     latest order placed at-or-before the event timestamp. The right
@@ -1322,6 +1494,11 @@ QUERIES = {
     "winnow_fp_docs": q_winnow_fp_docs,
     "user_sessions": q_user_sessions,
     "window_events": q_window_events,
+    "hopping_window_events": q_hopping_window_events,
+    "ngram_counts_docs": q_ngram_counts_docs,
+    "tfidf_docs": q_tfidf_docs,
+    "chunk_docs": q_chunk_docs,
+    "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -1366,6 +1543,11 @@ ORACLES = {
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "user_sessions": SQL_USER_SESSIONS,
     "window_events": SQL_WINDOW_EVENTS,
+    "hopping_window_events": SQL_HOPPING_WINDOW_EVENTS,
+    "ngram_counts_docs": SQL_NGRAM_COUNTS_DOCS,
+    "tfidf_docs": SQL_TFIDF_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,

@@ -92,6 +92,49 @@ def grouped_aggregate(
     )
 
 
+def grouped_top_k(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sort_cols: Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Top-k rows PER GROUP (e.g. best k orders per customer segment).
+
+    Scale shape: per-block prune to ≤k rows per key seen in that block
+    (the combiner — a key appearing in B blocks ships ≤B·k rows), then
+    one hash shuffle on ``keys``, then an exact per-key prune (a key
+    never spans blocks after the key repartition). Ties broken by the
+    full ``sort_cols`` order; callers wanting determinism include a
+    unique column last. [brief extension; reference has no aggregation]
+    """
+    keys = list(keys)
+    sort_cols = list(sort_cols)
+    if isinstance(descending, bool):
+        desc = [descending] * len(sort_cols)
+    else:
+        desc = list(descending)
+    ascending = [not d for d in desc]
+
+    def prune(df: pd.DataFrame):
+        if not len(df):
+            return to_clean_arrow(df)
+        out = (
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(keys, dropna=False, sort=False)
+            .head(k)
+        )
+        return to_clean_arrow(out)
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(prune, batch_format="pandas", batch_size=None)
+    )
+
+
 def top_k(
     ds: rd.Dataset,
     sort_cols: Sequence[str],

@@ -79,6 +79,79 @@ def tumbling_window(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def hopping_window(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    value_dtype: str = "float64",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Overlapping (hopping/sliding) time windows: window length
+    ``window_s``, a new window every ``hop_s`` (must divide window_s).
+    An event belongs to exactly ``window_s // hop_s`` windows, so the
+    stage replicates each row k times with shifted window starts
+    (vectorized ``np.repeat`` — the only cost over tumbling) and then
+    rides the same pure combiner + one-hash-shuffle grouped aggregate.
+    → (key_col, window_start:timestamp[us], n_events, sum_value?).
+    """
+    if window_s % hop_s:
+        raise ValueError("hop_s must divide window_s")
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    import numpy as np
+
+    from .groupagg import grouped_aggregate
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        # latest window containing t starts at floor(t/hop)*hop; the k
+        # windows are that minus j*hop for j in 0..k-1 (all contain t
+        # because window = k*hop)
+        base = (us // hop_us) * hop_us
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, len(us)
+        )
+        out = {
+            key_col: np.repeat(df[key_col].to_numpy(), k),
+            "wstart_us": starts,
+        }
+        if value_col is not None:
+            out["wval"] = np.repeat(df[value_col].to_numpy(), k)
+        return pd.DataFrame(out)
+
+    aggs = {"n_events": ("wstart_us", "count")}
+    if value_col is not None:
+        aggs["sum_value"] = ("wval", "sum")
+    agg = grouped_aggregate(
+        events.map_batches(assign, batch_format="pandas"),
+        keys=[key_col, "wstart_us"],
+        aggs=aggs,
+        num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            cols = {
+                key_col: pd.Series([], dtype="int64"),
+                "window_start": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+            if value_col is not None:
+                cols["sum_value"] = pd.Series([], dtype=value_dtype)
+            return pd.DataFrame(cols)
+        df = df.rename(columns={"wstart_us": "window_start"})
+        df["window_start"] = pd.to_datetime(
+            df["window_start"], unit="us"
+        ).astype("datetime64[us]")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def sessionize(
     events: rd.Dataset,
     gap_s: float = 1800.0,

@@ -1,0 +1,267 @@
+"""Corpus vocabulary statistics and document chunking for training-data
+pipelines [brief extensions; the reference (RDF::RDB2RDF) has no corpus
+operators].
+
+- :func:`ngram_counts` — corpus-wide n-gram frequency table. The shape of
+  any vocabulary / term-frequency build at 100 TB: a per-batch combiner
+  (polars tokenize + explode + group count, no per-row Python) so a term
+  appearing T times in a block ships as ONE partial row, then a single
+  hash shuffle on the n-gram and an exact per-block merge.
+- :func:`tfidf_top_terms` — per-document top-k terms by tf-idf. tf is
+  row-local (one doc = one row); df reuses the ``ngram_counts`` shape;
+  tf⨝df is a union-tag merge on the term key (one shuffle, a term never
+  spans blocks post-shuffle); top-k rides :func:`..stages.groupagg
+  .grouped_top_k`. Scores are ``tf * (N / df)`` with exactly this
+  operation order — two IEEE-exact ops, bit-identical in numpy and the
+  DuckDB oracle (no transcendental log in the gated score).
+- :func:`chunk_docs` — split each document into fixed-size token chunks
+  (sequence packing's first half): vectorized explode → ``pos // size``
+  → per-(doc, chunk) string join; flat-map done batch-wise, never per
+  row.
+
+Tokenization everywhere: lowercased ``\\S+`` runs, matching the DuckDB
+oracle's ``regexp_extract_all(lower(text), '\\S+')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
+
+
+def _token_frame(df: pd.DataFrame, text_col: str, lowercase: bool = True):
+    """polars (r, t) exploded token frame for a pandas batch — the shared
+    tokenizer kernel (Rust regex, no per-row Python)."""
+    import polars as pl
+
+    s = pl.Series("t", df[text_col].fillna("").astype(str))
+    if lowercase:
+        s = s.str.to_lowercase()
+    return (
+        pl.DataFrame({"r": pl.int_range(0, len(s), eager=True), "t": s})
+        .with_columns(pl.col("t").str.extract_all(r"\S+"))
+        .explode("t")
+        .drop_nulls()
+    )
+
+
+def ngram_counts(
+    ds: rd.Dataset,
+    n: int = 1,
+    text_col: str = "text",
+    min_count: int = 1,
+    num_partitions: int = 32,
+    lowercase: bool = True,
+) -> rd.Dataset:
+    """→ ``(ngram:string, count:int64)``, global frequencies of word
+    ``n``-grams (tokens joined by one space). n-grams never cross
+    document boundaries."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        import polars as pl
+
+        e = _token_frame(df, text_col, lowercase)
+        if n > 1:
+            exprs = [pl.col("t").shift(-i).over("r").alias(f"_s{i}") for i in range(1, n)]
+            e = (
+                e.with_columns(exprs)
+                .drop_nulls()
+                .select(
+                    "r",
+                    t=pl.concat_str(
+                        [pl.col("t")] + [pl.col(f"_s{i}") for i in range(1, n)],
+                        separator=" ",
+                    ),
+                )
+            )
+        g = e.group_by("t").len()
+        return (
+            pa.table(
+                {
+                    "ngram": g["t"].to_arrow(),
+                    "count": g["len"].cast(pl.Int64).to_arrow(),
+                }
+            )
+            if len(g)
+            else pa.table(
+                {"ngram": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        out = df.groupby("ngram", sort=False, dropna=False)["count"].sum().reset_index()
+        if min_count > 1:
+            out = out[out["count"] >= min_count]
+        return to_clean_arrow(out)
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(num_partitions, keys=["ngram"])
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    n_docs: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """→ ``(id_col, term, tf:int64, df:int64, tfidf:float64)`` — the top-k
+    terms per document by ``tf * (n_docs / df)``, ties broken by term
+    (ascending). ``n_docs`` is passed in (callers already know it or get
+    it from ``ds.count()`` — a parquet metadata read, not a scan)."""
+
+    TERM_SHUFFLE = max(num_partitions, 32)
+
+    def tf_partial(df: pd.DataFrame) -> pa.Table:
+        """ONE tokenize pass emits BOTH row kinds: per-(doc, term) tf rows
+        (kind=1) and per-term df partials (kind=0; (doc, term) is unique
+        within the group result, so the per-term row count is a valid
+        document-frequency partial). Avoids a second pass over the text —
+        at 100 TB a union of two consumers of the same map re-executes
+        it."""
+        import polars as pl
+
+        def arr(s, typ):
+            a = s.to_arrow()
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return a.cast(typ)
+
+        e = _token_frame(df, text_col)
+        ids = pl.Series(
+            "id", df[id_col].to_numpy()
+        )  # row index -> doc id (one doc per row; a doc never spans batches)
+        g = e.group_by(["r", "t"]).len()
+        d = g.group_by("t").len()
+        m = len(d)
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [arr(ids.gather(g["r"]), pa.int64()), pa.nulls(m, pa.int64())]
+                ),
+                "term": pa.concat_arrays(
+                    [arr(g["t"], pa.string()), arr(d["t"], pa.string())]
+                ),
+                "tf": pa.concat_arrays(
+                    [arr(g["len"], pa.int64()), arr(d["len"], pa.int64())]
+                ),
+                "kind": pa.array(
+                    np.r_[np.ones(len(g), np.int8), np.zeros(m, np.int8)]
+                ),
+            }
+        )
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        cols = {
+            id_col: pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "tfidf": pd.Series([], dtype="float64"),
+        }
+        if not len(df):
+            return to_clean_arrow(pd.DataFrame(cols))
+        dfc = (
+            df[df["kind"] == 0].groupby("term", sort=False)["tf"].sum()
+        )  # term -> df
+        tfr = df[df["kind"] == 1]
+        if not len(tfr):
+            return to_clean_arrow(pd.DataFrame(cols))
+        d = tfr["term"].map(dfc).astype("int64")
+        out = pd.DataFrame(
+            {
+                id_col: tfr[id_col].astype("int64"),
+                "term": tfr["term"],
+                "tf": tfr["tf"],
+                "df": d,
+                # EXACT op order for the oracle: tf * (N / df)
+                "tfidf": tfr["tf"].to_numpy()
+                * (float(n_docs) / d.to_numpy()),
+            }
+        )
+        return to_clean_arrow(out)
+
+    ensure_hash_shuffle(ds)
+    scored = (
+        tf.repartition(TERM_SHUFFLE, keys=["term"])
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+    from .groupagg import grouped_top_k
+
+    return grouped_top_k(
+        scored,
+        keys=[id_col],
+        sort_cols=["tfidf", "term"],
+        k=k,
+        descending=[True, False],
+        num_partitions=num_partitions,
+    )
+
+
+def chunk_docs(
+    ds: rd.Dataset,
+    chunk_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ ``(id_col, chunk_idx:int64, chunk_text:string, n_tokens:int64)``
+    — each document split into consecutive ``chunk_tokens``-token chunks
+    (tokens re-joined with single spaces; the LLM-pretraining "split long
+    docs before packing" step). Zero-token docs yield zero chunks. Pure
+    batch-wise flat map — output rows ≈ input tokens / chunk_tokens, so
+    batches stay bounded; no shuffle."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        import polars as pl
+
+        e = _token_frame(df, text_col, lowercase=False)
+        if not len(e):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        ids = pl.Series("id", df[id_col].to_numpy())
+        g = (
+            e.with_columns(
+                (pl.col("t").cum_count().over("r") - 1).alias("pos")
+            )
+            .with_columns((pl.col("pos") // chunk_tokens).alias("chunk_idx"))
+            .group_by(["r", "chunk_idx"], maintain_order=False)
+            .agg(
+                pl.col("t").str.join(" ").alias("chunk_text"),
+                pl.len().cast(pl.Int64).alias("n_tokens"),
+            )
+        )
+        return pa.table(
+            {
+                id_col: ids.gather(g["r"]).to_arrow(),
+                "chunk_idx": g["chunk_idx"].cast(pl.Int64).to_arrow(),
+                "chunk_text": g["chunk_text"].to_arrow(),
+                "n_tokens": g["n_tokens"].to_arrow(),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

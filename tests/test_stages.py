@@ -922,3 +922,134 @@ def test_repetition_stats(ray_session):
     assert got.loc[2, "n_lines"] == 4 and got.loc[2, "dup_line_frac"] == 0.25
     assert got.loc[3, "top_bigram_frac"] == 0.25
     assert got.loc[4, "top_bigram_frac"] == 0.0
+
+
+def test_grouped_top_k(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_top_k
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 2, 3],
+            "v": [5, 9, 7, 9, 1, 2, 4],
+            "id": [10, 11, 12, 13, 20, 21, 30],
+        }
+    )
+    got = (
+        grouped_top_k(
+            rd.from_pandas(df).repartition(3),
+            keys=["g"], sort_cols=["v", "id"], k=2,
+            descending=[True, False], num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # g=1: the two v=9 rows (id tie-break ascending); g=2: both; g=3: one
+    assert list(map(tuple, got[["g", "v", "id"]].to_numpy())) == [
+        (1, 9, 11), (1, 9, 13), (2, 2, 21), (2, 1, 20), (3, 4, 30)
+    ]
+
+
+def test_ngram_counts_and_chunk(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.vocab import chunk_docs, ngram_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat the cat", "The CAT", ""],  # lowercased grams
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    uni = ngram_counts(ds, n=1).to_pandas().set_index("ngram")["count"]
+    assert uni.to_dict() == {"the": 3, "cat": 3}
+    bi = ngram_counts(ds, n=2).to_pandas().set_index("ngram")["count"]
+    # bigrams never cross documents
+    assert bi.to_dict() == {"the cat": 3, "cat the": 1}
+    ch = (
+        chunk_docs(ds, chunk_tokens=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # case preserved, zero-token doc yields no chunks
+    assert list(map(tuple, ch.to_numpy())) == [
+        (1, 0, "the cat the", 3), (1, 1, "cat", 1), (2, 0, "The CAT", 2)
+    ]
+
+
+def test_tfidf_top_terms(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.vocab import tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat",
+                "the dog SAT",
+                "",
+                "cat cat cat dog",
+            ],
+        }
+    )
+    got = (
+        tfidf_top_terms(rd.from_pandas(docs).repartition(3), n_docs=4, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    # doc1: mat/on score 4.0 beat the(2.0)/cat(2.0)/sat(2.0);
+    # doc4: cat tf3*(4/2)=6, dog 1*(4/2)=2
+    assert list(map(tuple, got[["doc_id", "term", "tfidf"]].to_numpy())) == [
+        (1, "mat", 4.0), (1, "on", 4.0),
+        (2, "dog", 2.0), (2, "sat", 2.0),
+        (4, "cat", 6.0), (4, "dog", 2.0),
+    ]
+
+
+def test_hopping_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.sessions import hopping_window
+
+    ts = pd.to_datetime(["2026-01-01 00:40", "2026-01-01 01:10"])
+    df = pd.DataFrame({"user_id": [1, 1], "ts": ts, "value": [1.0, 2.0]})
+    got = (
+        hopping_window(
+            rd.from_pandas(df), window_s=3600, hop_s=1800, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # windows (size 1h, hop 30m): 00:00[e1] 00:30[e1,e2] 01:00[e2]
+    assert got.window_start.dt.strftime("%H:%M").tolist() == [
+        "00:00", "00:30", "01:00"
+    ]
+    assert got.n_events.tolist() == [1, 2, 1]
+    assert got.sum_value.tolist() == [1.0, 3.0, 2.0]
+
+
+def test_except_intersect_graph_diff(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.distinct import except_rows, intersect_rows
+
+    a = rd.from_pandas(
+        pd.DataFrame({"x": [1, 1, 2, 3], "y": ["a", "a", "b", "c"]})
+    ).repartition(2)
+    b = rd.from_pandas(pd.DataFrame({"x": [2, 9], "y": ["b", "z"]}))
+    exc = except_rows(a, b, ["x", "y"], num_buckets=4).to_pandas()
+    assert sorted(map(tuple, exc.to_numpy())) == [(1, "a"), (3, "c")]
+    inter = intersect_rows(a, b, ["x", "y"], num_buckets=4).to_pandas()
+    assert sorted(map(tuple, inter.to_numpy())) == [(2, "b")]
