@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "ngram_counts_docs",
     "tfidf_docs",
     "chunk_docs",
+    "pack_chunks_docs",
     "graph_diff_events",
     "bgp_store",
 ]

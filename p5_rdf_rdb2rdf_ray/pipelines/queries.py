@@ -888,6 +888,19 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
 """
 
 
+def q_pack_chunks_docs(sf_dir: str) -> rd.Dataset:
+    """Chunk-then-pack sequence prep: 64-token chunks greedily packed
+    into ≤256-token sequences. Greedy packing is iterative (each pack
+    boundary depends on the previous one) — no SQL oracle; invariants
+    (budget, consecutiveness, determinism) are pinned by pytest."""
+    from ..stages.vocab import chunk_docs, pack_chunks
+
+    ch = chunk_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
+    )
+    return pack_chunks(ch, budget_tokens=256, num_partitions=8)
+
+
 def q_graph_diff_events(sf_dir: str) -> rd.Dataset:
     """KG snapshot delta: triples of the full events graph EXCEPT the
     graph built over the non-click slice (rr:sqlQuery logical table) —
@@ -1498,6 +1511,7 @@ QUERIES = {
     "ngram_counts_docs": q_ngram_counts_docs,
     "tfidf_docs": q_tfidf_docs,
     "chunk_docs": q_chunk_docs,
+    "pack_chunks_docs": q_pack_chunks_docs,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,

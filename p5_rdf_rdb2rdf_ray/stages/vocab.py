@@ -215,6 +215,77 @@ def tfidf_top_terms(
     )
 
 
+def pack_chunks(
+    chunks: rd.Dataset,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Greedy sequence packing (the second half of chunk-then-pack
+    pretraining prep): consecutive chunks — ordered by (doc, chunk) —
+    are packed into sequences whose token sum stays ≤ ``budget_tokens``
+    (an oversized single chunk gets its own pack). → one row per input
+    chunk: ``(pack_id:string, id_col, idx_col, tok_col)``.
+
+    Determinism/retry-safety: chunks are hash-partitioned by ``id_col``
+    (a doc's chunks never straddle packs' partitions) and each partition
+    is sorted before packing, so pack membership is a pure function of
+    the input, not of scheduling; ``pack_id`` is the first chunk's
+    ``"{doc}:{idx}"``. Packing is per-partition — global packing would
+    serialize; the waste is ≤ one partial pack per partition.
+    The per-pack boundary search is O(#packs · log n) numpy
+    ``searchsorted`` — no per-row Python."""
+
+    def pack(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "pack_id": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    idx_col: pa.array([], pa.int64()),
+                    tok_col: pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values([id_col, idx_col], kind="mergesort")
+        tok = df[tok_col].to_numpy()
+        n = len(tok)
+        cs = np.r_[0, np.cumsum(tok)]
+        starts = [0]
+        while True:
+            s = starts[-1]
+            e = int(np.searchsorted(cs, cs[s] + budget_tokens, side="right")) - 1
+            if e <= s:
+                e = s + 1  # single chunk larger than the budget
+            if e >= n:
+                break
+            starts.append(e)
+        bounds = np.array(starts + [n])
+        lengths = np.diff(bounds)
+        ids = df[id_col].to_numpy()
+        idxs = df[idx_col].to_numpy()
+        pack_ids = np.repeat(
+            np.array(
+                [f"{ids[s]}:{idxs[s]}" for s in bounds[:-1]], dtype=object
+            ),
+            lengths,
+        )
+        return pa.table(
+            {
+                "pack_id": pa.array(pack_ids, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                idx_col: pa.array(idxs, pa.int64()),
+                tok_col: pa.array(tok.astype(np.int64)),
+            }
+        )
+
+    ensure_hash_shuffle(chunks)
+    return chunks.repartition(num_partitions, keys=[id_col]).map_batches(
+        pack, batch_format="pandas", batch_size=None
+    )
+
+
 def chunk_docs(
     ds: rd.Dataset,
     chunk_tokens: int = 128,

@@ -153,3 +153,53 @@ def test_store_lookup_predicate_only(ray_session, tx, tmp_path):
     t = lookup_store(os.path.join(out, "store"), predicate=BASE + "role")
     assert t.num_rows > 0
     assert set(t.column("pred").to_pylist()) == {BASE + "role"}
+
+
+def test_merge_triplestore_incremental(ray_session, tmp_path):
+    """Incremental ingest: store(part A) + merge(delta B) == one-shot
+    store(A ∪ B); existing parts untouched; re-merging B is a no-op."""
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        merge_triplestore,
+        write_triplestore,
+    )
+
+    txa = generate_transcripts(20, seed=1)
+    txb = generate_transcripts(12, seed=99)  # overlap-free conv ids? not
+    # required — set semantics must hold regardless of overlap
+    a = rd.from_arrow(txa)
+    b = rd.from_arrow(txb)
+    both = rd.from_arrow(txa).union(rd.from_arrow(txb))
+
+    inc = str(tmp_path / "inc")
+    write_triplestore(build_kg(a, distinct=False), inc, num_buckets=6,
+                      input_fp="a", resume=False)
+    parts_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(inc, "bucket=*", "part-*"))
+    }
+    m = merge_triplestore(build_kg(b, distinct=False), inc, input_fp="b")
+    assert m["rows_added"] > 0
+    # original parts never rewritten (append-only merge)
+    for p, mt in parts_before.items():
+        assert os.path.getmtime(p) == mt
+
+    full = str(tmp_path / "full")
+    write_triplestore(build_kg(both, distinct=False), full, num_buckets=6,
+                      input_fp="ab", resume=False)
+    assert set(collect_ntriples(read_triplestore(inc))) == set(
+        collect_ntriples(read_triplestore(full))
+    )
+
+    m2 = merge_triplestore(build_kg(b, distinct=False), inc, input_fp="b")
+    assert m2["rows_added"] == 0  # idempotent
+
+    # manifests stay consistent: per-bucket rows == actual part rows
+    for mf in glob.glob(os.path.join(inc, "bucket=*", "_MANIFEST.json")):
+        man = json.load(open(mf))
+        d = os.path.dirname(mf)
+        actual = sum(
+            len(rd.read_parquet(os.path.join(d, p)).take_all())
+            for p in man["parts"]
+        )
+        assert man["rows"] == actual

@@ -1053,3 +1053,53 @@ def test_except_intersect_graph_diff(ray_session):
     assert sorted(map(tuple, exc.to_numpy())) == [(1, "a"), (3, "c")]
     inter = intersect_rows(a, b, ["x", "y"], num_buckets=4).to_pandas()
     assert sorted(map(tuple, inter.to_numpy())) == [(2, "b")]
+
+
+def test_pack_chunks(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.vocab import pack_chunks
+
+    chunks = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 1, 2, 2, 3],
+            "chunk_idx": [0, 1, 2, 0, 1, 0],
+            "n_tokens": [4, 3, 2, 9, 1, 5],
+        }
+    )
+    got = (
+        pack_chunks(
+            rd.from_pandas(chunks).repartition(3),
+            budget_tokens=7,
+            num_partitions=1,  # one partition → assignment fully specified
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # order (1,0)(1,1)(1,2)(2,0)(2,1)(3,0) with budget 7:
+    # [4,3] | [2] + 9 won't fit → [2] closes with the oversized 9? greedy:
+    # pack1 = 4+3; pack2 = 2 (+9 exceeds); pack3 = 9 alone (oversized ok
+    # only when single); then 1 joins? 9+1 > 7 → pack4 = 1+5
+    packs = got.groupby("pack_id")[["n_tokens"]].sum()
+    by_chunk = dict(zip(zip(got.doc_id, got.chunk_idx), got.pack_id))
+    assert by_chunk[(1, 0)] == by_chunk[(1, 1)] == "1:0"
+    assert by_chunk[(1, 2)] == "1:2"
+    assert by_chunk[(2, 0)] == "2:0" and packs.loc["2:0", "n_tokens"] == 9
+    assert by_chunk[(2, 1)] == by_chunk[(3, 0)] == "2:1"
+    # every multi-chunk pack within budget
+    sizes = got.groupby("pack_id").agg(n=("n_tokens", "sum"), c=("n_tokens", "size"))
+    assert ((sizes.n <= 7) | (sizes.c == 1)).all()
+
+    # determinism across runs (same partitioning)
+    again = (
+        pack_chunks(
+            rd.from_pandas(chunks).repartition(2),
+            budget_tokens=7, num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert again.pack_id.tolist() == got.pack_id.tolist()
