@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "tfidf_docs",
     "chunk_docs",
     "pack_chunks_docs",
+    "quantiles_docs",
     "graph_diff_events",
     "bgp_store",
 ]

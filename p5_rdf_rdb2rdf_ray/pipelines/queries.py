@@ -888,6 +888,35 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
 """
 
 
+def q_quantiles_docs(sf_dir: str):
+    """Token-count quantiles over the corpus (threshold selection for
+    quality filters) — distributed value histogram, driver-side pick,
+    DuckDB quantile_disc semantics."""
+    from ..stages.groupagg import column_quantiles
+
+    tc = token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = column_quantiles(
+        tc, "n_tokens", [0.1, 0.5, 0.9, 0.99], num_partitions=8
+    )
+    df["value"] = df["value"].astype("int64")
+    return df
+
+
+SQL_QUANTILES_DOCS = """
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v
+  FROM documents
+)
+SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
+UNION ALL
+SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
+UNION ALL
+SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM t
+"""
+
+
 def q_pack_chunks_docs(sf_dir: str) -> rd.Dataset:
     """Chunk-then-pack sequence prep: 64-token chunks greedily packed
     into ≤256-token sequences. Greedy packing is iterative (each pack
@@ -1512,6 +1541,7 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "chunk_docs": q_chunk_docs,
     "pack_chunks_docs": q_pack_chunks_docs,
+    "quantiles_docs": q_quantiles_docs,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
@@ -1561,6 +1591,7 @@ ORACLES = {
     "ngram_counts_docs": SQL_NGRAM_COUNTS_DOCS,
     "tfidf_docs": SQL_TFIDF_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "quantiles_docs": SQL_QUANTILES_DOCS,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,

@@ -175,3 +175,77 @@ def write_turtle(
     per batch, each with its own @prefix header); returns block count."""
     counts = ds.map_batches(_TurtleWriter(path, prefixes), batch_format="pyarrow")
     return sum(r["blocks"] for r in counts.take_all())
+
+
+def turtle_to_triple_table(text: str) -> pa.Table:
+    """Parse one Turtle document → triple rows (TRIPLE_SCHEMA; Turtle is
+    a triples serialization — ``graph`` is null). Reuses the mapping
+    front-end's Turtle-subset parser (prefixes, ``a``, ``;``/``,``
+    groups, bnodes, language/datatype literals) — a superset of what
+    :func:`write_turtle` emits, so sink output always round-trips."""
+    from ..mapping.turtle import parse_turtle
+    from ..terms import KIND_BNODE, KIND_IRI, TRIPLE_SCHEMA
+
+    g, _ = parse_turtle(text)
+    subj, pred, obj, kind, lang, dt = [], [], [], [], [], []
+    for s, p, o in g.triples:
+        subj.append(s[1] if s[0] == "iri" else "_:" + s[1])
+        pred.append(p[1])
+        if o[0] == "lit":
+            obj.append(o[1])
+            kind.append(KIND_LITERAL)
+            lang.append(o[2])
+            dt.append(o[3])
+        else:
+            obj.append(o[1] if o[0] == "iri" else "_:" + o[1])
+            kind.append(KIND_IRI if o[0] == "iri" else KIND_BNODE)
+            lang.append(None)
+            dt.append(None)
+    n = len(subj)
+    return pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_kind": pa.array(kind, pa.uint8()),
+            "lang": pa.array(lang, pa.string()),
+            "datatype": pa.array(dt, pa.string()),
+            "graph": pa.nulls(n, pa.string()),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def read_turtle(path: str) -> rd.Dataset:
+    """Distributed Turtle source: ``path`` is a ``write_turtle`` output
+    directory (or a single ``.ttl`` file). Each part file is
+    self-contained (own @prefix header), so files parse in parallel —
+    one task per file via ``map_batches`` over the file list."""
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".ttl")
+        )
+    else:
+        files = [path]
+
+    def parse_files(t: pa.Table) -> pa.Table:
+        from ..terms import TRIPLE_SCHEMA
+
+        tabs = []
+        for p in t.column("path").to_pylist():
+            with open(p, encoding="utf-8") as f:
+                tabs.append(turtle_to_triple_table(f.read()))
+        if not tabs:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        return pa.concat_tables(tabs)
+
+    return rd.from_items([{"path": f} for f in files]).map_batches(
+        parse_files, batch_format="pyarrow", batch_size=1
+    )

@@ -92,6 +92,54 @@ def grouped_aggregate(
     )
 
 
+def column_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: Sequence[float],
+    num_partitions: int = 32,
+):
+    """Exact discrete quantiles of a column via a distributed value
+    HISTOGRAM (combiner-first grouped count — a value appearing M times
+    in a block ships one partial row) collected to the driver, which
+    picks elements by cumulative count. Matches DuckDB ``quantile_disc``:
+    0-based index ``ceil(q·n) − 1`` over the sorted values, nulls
+    ignored. → small pandas DataFrame ``(q:float64, value)``.
+
+    Scale assumption (documented, like every broadcast here): distinct
+    values ≪ rows — true for the integer feature columns this serves
+    (token counts, line counts, quality signals). For unbounded floats,
+    bucket first or sample."""
+    import math
+
+    import numpy as np
+
+    hist = (
+        grouped_aggregate(
+            ds,
+            keys=[col],
+            aggs={"q_cnt": (col, "count")},
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .dropna(subset=[col])
+        .sort_values(col, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out_q, out_v = [], []
+    n = int(hist["q_cnt"].sum()) if len(hist) else 0
+    cum = hist["q_cnt"].cumsum().to_numpy() if len(hist) else np.array([])
+    for q in qs:
+        if n == 0:
+            out_q.append(float(q))
+            out_v.append(None)
+            continue
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx, side="right"))
+        out_q.append(float(q))
+        out_v.append(hist[col].iloc[pos])
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"), "value": out_v})
+
+
 def grouped_top_k(
     ds: rd.Dataset,
     keys: Sequence[str],

@@ -1103,3 +1103,17 @@ def test_pack_chunks(ray_session):
         .reset_index(drop=True)
     )
     assert again.pack_id.tolist() == got.pack_id.tolist()
+
+
+def test_column_quantiles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import column_quantiles
+
+    vals = list(range(1, 11))  # 1..10
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    got = column_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99], num_partitions=4)
+    # DuckDB quantile_disc: index ceil(q*n)-1 → 1, 5, 9, 10
+    assert got.value.tolist() == [1, 5, 9, 10]
+    assert got.q.tolist() == [0.1, 0.5, 0.9, 0.99]

@@ -114,3 +114,25 @@ def test_nquads_reader_roundtrip(ray_session, tmp_path):
     want = {tuple(r.values()) for r in t.to_pylist()}
     got = {tuple(r.values()) for r in back}
     assert got == want
+
+
+def test_read_turtle_dataset_roundtrip(ray_session, tmp_path):
+    """write_turtle directory → read_turtle Dataset → identical triple
+    set (full TRIPLE_SCHEMA columns, graph all-null)."""
+    tx = str(tmp_path / "tx")
+    write_transcripts(tx, n_convs=10, num_files=2, seed=11)
+    kg = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    want = set(collect_ntriples(kg))
+
+    out = str(tmp_path / "ttl")
+    kg2 = build_kg(rd.read_parquet(tx), distinct_buckets=4)
+    write_turtle(kg2, out, prefixes={"ex": "http://ex.org/"})
+    assert len(glob.glob(os.path.join(out, "part-*.ttl"))) >= 1
+
+    from p5_rdf_rdb2rdf_ray.sinks.turtle import read_turtle
+
+    back = read_turtle(out)
+    got = set(collect_ntriples(back))
+    assert got == want, (
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+    )
