@@ -154,19 +154,28 @@ def clean_corpus(
     NULL for quality/language drops). The kept corpus is
     ``clean.filter(status == 'kept')`` semi-joined back to the source.
     """
-    flagged = docs.map_batches(
-        CleanFlags,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "min_words": min_words,
-            "max_punct_ratio": max_punct_ratio,
-            "langs": langs,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if langs is None:
+        # no language profiles to hold → stateless: plain task pool, no
+        # actor ramp (the lazy DAG below re-executes this stage once per
+        # consumer, so actor spin-up would be paid three times)
+        flags_fn = CleanFlags(text_col, id_col, min_words, max_punct_ratio, None)
+        flagged = docs.map_batches(
+            flags_fn, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        flagged = docs.map_batches(
+            CleanFlags,
+            fn_constructor_kwargs={
+                "text_col": text_col,
+                "id_col": id_col,
+                "min_words": min_words,
+                "max_punct_ratio": max_punct_ratio,
+                "langs": langs,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     if scratch_dir is not None:
         # one flags pass; the three consumers below re-read from disk
         # (column-pruned: only the semi-join side reads the text back)
