@@ -793,6 +793,39 @@ def simhash_pairs(
 # decontamination (train/eval overlap removal)
 
 
+def _bloom_build(keys: np.ndarray, bits_per_key: int, k: int):
+    """Vectorized Bloom filter over uint64 keys → (bits:uint64[], m, k).
+    Double hashing: probe i uses ``h1 + i·h2`` with h2 an odd mix of the
+    key (Kirsch–Mitzenmacher — k probes from one 64-bit hash)."""
+    m = max(64, int(len(keys) * bits_per_key))
+    bits = np.zeros((m + 63) // 64, np.uint64)
+    if len(keys):
+        h1 = keys
+        h2 = (keys * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return bits, m, k
+
+
+def _bloom_query(bits: np.ndarray, m: int, k: int, keys: np.ndarray) -> np.ndarray:
+    if not len(keys) or m == 0:
+        return np.zeros(len(keys), bool)
+    h1 = keys
+    h2 = (keys * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    hit = np.ones(len(keys), bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        if not hit.any():
+            break
+    return hit
+
+
 def decontaminate_docs(
     corpus: rd.Dataset,
     ref: rd.Dataset,
@@ -801,6 +834,7 @@ def decontaminate_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast: bool = True,
+    bloom_bits_per_key: int = 0,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Flag training docs that overlap a reference (eval/benchmark) set:
@@ -821,6 +855,13 @@ def decontaminate_docs(
       per partition, corpus shingles found in the ref side emit
       ``(doc_id, 1)``; an ids-only count shuffle + a zero row per doc
       yields the same totals.
+    - ``bloom_bits_per_key > 0`` (broadcast mode only): the ref set is
+      broadcast as a Bloom filter instead of the exact sorted array —
+      ~``64/bits_per_key``× smaller (12 bits/key ≈ 5× and ~0.1% false
+      positives at k=6). NO false negatives: every truly contaminated
+      doc is still flagged; a clean doc may rarely be over-flagged —
+      the safe direction for decontamination. The middle ground when
+      the exact array is too big to ship but a shuffle is overkill.
     """
     import ray
 
@@ -836,13 +877,20 @@ def decontaminate_docs(
             if b.num_rows
         ]
         ref_set = np.unique(np.concatenate(parts)) if parts else np.array([], np.uint64)
-        ref_ref = ray.put(ref_set)
+        if bloom_bits_per_key > 0:
+            bloom = _bloom_build(ref_set, bloom_bits_per_key, k=6)
+            ref_ref = ray.put(bloom)
+        else:
+            ref_ref = ray.put(ref_set)
 
         def count_hits(df: pd.DataFrame) -> pa.Table:
             rs = ray.get(ref_ref)  # local plasma hit after first fetch
             sh = _shingle_hashes(df, id_col, text_col, n)
             hit = np.zeros(len(sh), bool)
-            if len(rs) and len(sh):
+            if len(sh) and bloom_bits_per_key > 0:
+                bits, m, k = rs
+                hit = _bloom_query(bits, m, k, sh["sh"].to_numpy())
+            elif len(rs) and len(sh):
                 pos = np.searchsorted(rs, sh["sh"].to_numpy())
                 pos_c = np.clip(pos, 0, len(rs) - 1)
                 hit = rs[pos_c] == sh["sh"].to_numpy()

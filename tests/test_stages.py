@@ -1117,3 +1117,47 @@ def test_column_quantiles(ray_session):
     # DuckDB quantile_disc: index ceil(q*n)-1 → 1, 5, 9, 10
     assert got.value.tolist() == [1, 5, 9, 10]
     assert got.q.tolist() == [0.1, 0.5, 0.9, 0.99]
+
+
+def test_decontaminate_bloom_mode(ray_session):
+    """Bloom-broadcast decontamination: zero false negatives vs the
+    exact mode, and at generous bits/key the verdicts match exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.stages.dedup import decontaminate_docs
+
+    ref = pd.DataFrame(
+        {"doc_id": [100, 101],
+         "text": ["the quick brown fox jumps", "pack my box with jugs"]}
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "the quick brown fox jumps over",   # contaminated
+                "pack my box with jugs of wine",     # contaminated
+                "totally unrelated text one two",
+                "another clean document here now",
+                "numbers 1 2 3 4 5 6",
+                "alpha beta gamma delta epsilon",
+                "red green blue yellow purple",
+                "north south east west center",
+            ],
+        }
+    )
+    cds = rd.from_pandas(corpus).repartition(3)
+    rds = rd.from_pandas(ref)
+    exact = (
+        decontaminate_docs(cds, rds, n=3)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    bloom = (
+        decontaminate_docs(cds, rds, n=3, bloom_bits_per_key=20)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # no false negatives ever
+    assert set(exact.index[~exact.is_clean]) <= set(bloom.index[~bloom.is_clean])
+    # at 20 bits/key on this tiny set the fp probability is ~1e-6 → equal
+    assert bloom.is_clean.tolist() == exact.is_clean.tolist()
+    assert (bloom.n_hits >= exact.n_hits).all()
