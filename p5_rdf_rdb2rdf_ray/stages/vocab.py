@@ -49,6 +49,42 @@ def _token_frame(df: pd.DataFrame, text_col: str, lowercase: bool = True):
     )
 
 
+def _ngram_partial(
+    df: pd.DataFrame, n: int, text_col: str, lowercase: bool
+) -> pa.Table:
+    """Per-batch n-gram count partial (the ngram_counts combiner) —
+    module-level so the kernel is directly property-testable."""
+    import polars as pl
+
+    e = _token_frame(df, text_col, lowercase)
+    if n > 1:
+        exprs = [
+            pl.col("t").shift(-i).over("r").alias(f"_s{i}") for i in range(1, n)
+        ]
+        e = (
+            e.with_columns(exprs)
+            .drop_nulls()
+            .select(
+                "r",
+                t=pl.concat_str(
+                    [pl.col("t")] + [pl.col(f"_s{i}") for i in range(1, n)],
+                    separator=" ",
+                ),
+            )
+        )
+    g = e.group_by("t").len()
+    if not len(g):
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "ngram": g["t"].to_arrow(),
+            "count": g["len"].cast(pl.Int64).to_arrow(),
+        }
+    )
+
+
 def ngram_counts(
     ds: rd.Dataset,
     n: int = 1,
@@ -64,35 +100,7 @@ def ngram_counts(
         raise ValueError("n must be >= 1")
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        import polars as pl
-
-        e = _token_frame(df, text_col, lowercase)
-        if n > 1:
-            exprs = [pl.col("t").shift(-i).over("r").alias(f"_s{i}") for i in range(1, n)]
-            e = (
-                e.with_columns(exprs)
-                .drop_nulls()
-                .select(
-                    "r",
-                    t=pl.concat_str(
-                        [pl.col("t")] + [pl.col(f"_s{i}") for i in range(1, n)],
-                        separator=" ",
-                    ),
-                )
-            )
-        g = e.group_by("t").len()
-        return (
-            pa.table(
-                {
-                    "ngram": g["t"].to_arrow(),
-                    "count": g["len"].cast(pl.Int64).to_arrow(),
-                }
-            )
-            if len(g)
-            else pa.table(
-                {"ngram": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
-            )
-        )
+        return _ngram_partial(df, n, text_col, lowercase)
 
     def final(df: pd.DataFrame) -> pa.Table:
         if not len(df):
@@ -215,6 +223,27 @@ def tfidf_top_terms(
     )
 
 
+def _pack_bounds(tok: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy pack boundaries over a token-count sequence → monotone
+    index array ``[0, b1, …, n]``: each segment's sum ≤ budget unless it
+    is a single oversized chunk, and each segment is maximal (adding the
+    next chunk would exceed the budget). O(#packs · log n)."""
+    n = len(tok)
+    if n == 0:
+        return np.array([0])
+    cs = np.r_[0, np.cumsum(tok)]
+    starts = [0]
+    while True:
+        s = starts[-1]
+        e = int(np.searchsorted(cs, cs[s] + budget, side="right")) - 1
+        if e <= s:
+            e = s + 1  # single chunk larger than the budget
+        if e >= n:
+            break
+        starts.append(e)
+    return np.array(starts + [n])
+
+
 def pack_chunks(
     chunks: rd.Dataset,
     budget_tokens: int = 2048,
@@ -250,18 +279,7 @@ def pack_chunks(
             )
         df = df.sort_values([id_col, idx_col], kind="mergesort")
         tok = df[tok_col].to_numpy()
-        n = len(tok)
-        cs = np.r_[0, np.cumsum(tok)]
-        starts = [0]
-        while True:
-            s = starts[-1]
-            e = int(np.searchsorted(cs, cs[s] + budget_tokens, side="right")) - 1
-            if e <= s:
-                e = s + 1  # single chunk larger than the budget
-            if e >= n:
-                break
-            starts.append(e)
-        bounds = np.array(starts + [n])
+        bounds = _pack_bounds(tok, budget_tokens)
         lengths = np.diff(bounds)
         ids = df[id_col].to_numpy()
         idxs = df[idx_col].to_numpy()
