@@ -113,15 +113,16 @@ def column_quantiles(
 
     import numpy as np
 
+    hist = grouped_aggregate(
+        ds,
+        keys=[col],
+        aggs={"q_cnt": (col, "count")},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if col not in hist.columns:  # all-empty input → column-less frame
+        hist = pd.DataFrame({col: [], "q_cnt": []})
     hist = (
-        grouped_aggregate(
-            ds,
-            keys=[col],
-            aggs={"q_cnt": (col, "count")},
-            num_partitions=num_partitions,
-        )
-        .to_pandas()
-        .dropna(subset=[col])
+        hist.dropna(subset=[col])
         .sort_values(col, kind="mergesort")
         .reset_index(drop=True)
     )

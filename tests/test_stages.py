@@ -1161,3 +1161,65 @@ def test_decontaminate_bloom_mode(ray_session):
     # at 20 bits/key on this tiny set the fp probability is ~1e-6 → equal
     assert bloom.is_clean.tolist() == exact.is_clean.tolist()
     assert (bloom.n_hits >= exact.n_hits).all()
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Empty-corpus sweep over the round-3 operators: correct (possibly
+    empty) outputs, no crashes, stable schemas."""
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.distinct import except_rows, intersect_rows
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import (
+        column_quantiles,
+        grouped_top_k,
+    )
+    from p5_rdf_rdb2rdf_ray.stages.sessions import hopping_window
+    from p5_rdf_rdb2rdf_ray.stages.vocab import (
+        chunk_docs,
+        ngram_counts,
+        pack_chunks,
+        tfidf_top_terms,
+    )
+
+    empty_docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object")})
+    )
+    assert ngram_counts(empty_docs, n=2).count() == 0
+    assert tfidf_top_terms(empty_docs, n_docs=0, k=2).count() == 0
+    assert chunk_docs(empty_docs, chunk_tokens=4).count() == 0
+    empty_chunks = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "chunk_idx": pd.Series([], dtype="int64"),
+                      "n_tokens": pd.Series([], dtype="int64")})
+    )
+    assert pack_chunks(empty_chunks, budget_tokens=8).count() == 0
+
+    empty_ev = rd.from_pandas(
+        pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "value": pd.Series([], dtype="float64")})
+    )
+    assert hopping_window(empty_ev, 3600, 900).count() == 0
+
+    some = rd.from_pandas(pd.DataFrame({"x": [1, 2], "y": ["a", "b"]}))
+    assert except_rows(some, empty_docs.map_batches(
+        lambda t: t.rename_columns(["x", "y"]), batch_format="pyarrow"
+    ), ["x", "y"], num_buckets=2).count() == 2
+    assert intersect_rows(
+        rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                     "y": pd.Series([], dtype="object")})),
+        some, ["x", "y"], num_buckets=2,
+    ).count() == 0
+
+    q = column_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")})),
+        "v", [0.5], num_partitions=2,
+    )
+    assert q.value.isna().all() and q.q.tolist() == [0.5]
+
+    # docs with only-whitespace text exercise the zero-token branch
+    ws = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["   "]}))
+    assert chunk_docs(ws, 4).count() == 0
+    assert ngram_counts(ws, n=1).count() == 0
