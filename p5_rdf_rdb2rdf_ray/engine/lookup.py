@@ -284,6 +284,7 @@ def get_pattern(
     patterns: list[tuple],
     base: str = "http://example.com/base/",
     num_partitions: int = 4,
+    filters: list[tuple] | None = None,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -313,13 +314,14 @@ def get_pattern(
             catalog, base=base, distinct_buckets=num_partitions, **kwargs
         )
 
-    return _bgp_join(stmt_fn, patterns, num_partitions)
+    return _bgp_join(stmt_fn, patterns, num_partitions, filters=filters)
 
 
 def get_pattern_store(
     store_dir: str,
     patterns: list[tuple],
     num_partitions: int = 4,
+    filters: list[tuple] | None = None,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -332,10 +334,52 @@ def get_pattern_store(
     def stmt_fn(**kwargs):
         return store_statements(store_dir, **kwargs)
 
-    return _bgp_join(stmt_fn, patterns, num_partitions)
+    return _bgp_join(stmt_fn, patterns, num_partitions, filters=filters)
 
 
-def _bgp_join(stmt_fn, patterns: list[tuple], num_partitions: int) -> rd.Dataset:
+_FILTER_OPS = {
+    "==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+}
+
+
+def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
+    """SPARQL-FILTER-style constraints over variable bindings, applied
+    BEFORE the final distinct (fewer rows through the shuffle). Each
+    filter is ``("?var", op, value)`` with op in ``== != < <= > >=``; a
+    numeric ``value`` compares numerically (bindings whose lexical form
+    is not a number drop, mirroring SPARQL type-error semantics), a
+    string ``value`` compares lexically. [graft extension beyond the
+    reference Store's BGP surface]"""
+    import pandas as pd
+
+    spec = []
+    for var, op, val in filters:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        keep = pd.Series(True, index=df.index)
+        for var, op, val in spec:
+            if isinstance(val, bool) or not isinstance(val, (int, float)):
+                col = df[var].astype(str)
+                keep &= getattr(col, op)(str(val))
+            else:
+                num = pd.to_numeric(df[var], errors="coerce")
+                keep &= getattr(num, op)(val).fillna(False) & num.notna()
+        return df[keep]
+
+    return acc.map_batches(f, batch_format="pandas")
+
+
+def _bgp_join(
+    stmt_fn,
+    patterns: list[tuple],
+    num_partitions: int,
+    filters: list[tuple] | None = None,
+) -> rd.Dataset:
     """Shared BGP core: per-pattern statement Datasets (``stmt_fn`` maps
     bound-term kwargs → triples) joined on shared variables. See
     :func:`get_pattern` for the binding/term-kind semantics."""
@@ -482,6 +526,8 @@ def _bgp_join(stmt_fn, patterns: list[tuple], num_partitions: int) -> rd.Dataset
         acc_kinds |= new_kinds
     if acc is None:
         return rd.from_arrow(pa.table({}))
+    if filters:
+        acc = _apply_binding_filters(acc, filters)
     kind_cols = sorted(f"__k_{v}" for v in acc_kinds)
     out = distinct_rows(acc, acc_vars + kind_cols, num_buckets=num_partitions)
     if kind_cols:

@@ -313,6 +313,35 @@ WHERE n_regionkey = 1
 """
 
 
+def q_bgp_filter(sf_dir: str) -> rd.Dataset:
+    """BGP + SPARQL-style FILTER over the bindings [graft extension]:
+    customers joined to their nation node, a numeric filter on the
+    nation-key literal (>= 15) and a lexical one on the market segment."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?c", BASE + "customer#c_nationkey", "?nk"),
+            ("?c", BASE + "customer#c_mktsegment", "?seg"),
+            ("?c", BASE + "customer#ref-c_nationkey", "?n"),
+        ],
+        base=BASE,
+        filters=[("?nk", ">=", 15), ("?seg", "==", "BUILDING")],
+    )
+
+
+SQL_BGP_FILTER = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_nationkey AS VARCHAR) AS nk,
+       c_mktsegment AS seg,
+       '{BASE}nation/n_nationkey=' || c_nationkey AS n
+FROM customer
+WHERE c_nationkey >= 15 AND c_mktsegment = 'BUILDING'
+"""
+
+
 def q_bgp_store(sf_dir: str) -> rd.Dataset:
     """The same BGP as bgp_nation_region, but served from the
     MATERIALIZED triple store: DM triples for nation+region are written
@@ -1521,6 +1550,7 @@ QUERIES = {
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
     "bgp_nation_region": q_bgp_nation_region,
+    "bgp_filter": q_bgp_filter,
     "bgp_store": q_bgp_store,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
@@ -1573,6 +1603,7 @@ ORACLES = {
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
     "bgp_nation_region": SQL_BGP_NATION_REGION,
+    "bgp_filter": SQL_BGP_FILTER,
     "bgp_store": SQL_BGP_NATION_REGION,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,

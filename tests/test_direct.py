@@ -407,3 +407,31 @@ def test_dm_over_csv_table(ray_session, tmp_path):
         distinct_buckets=2,
     ).take_all()
     assert len(rows) == 1 and rows[0]["subj"] == B + "dm_pets/pet_id=1"
+
+
+def test_bgp_filter_semantics(ray_session, tiny_catalog=None):
+    """FILTER over bindings: numeric compare drops non-numeric lexicals
+    (SPARQL type-error semantics); string compare is lexical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.lookup import _apply_binding_filters
+
+    acc = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "v": ["10", "9", "abc", "10.5", None],
+                "s": ["x", "y", "x", "z", "x"],
+            }
+        )
+    ).repartition(2)
+    got = (
+        _apply_binding_filters(acc, [("?v", ">", 9.5)])
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert got.v.tolist() == ["10", "10.5"]  # 'abc'/None dropped, 9 filtered
+    got2 = (
+        _apply_binding_filters(acc, [("?s", "==", "x"), ("?v", "<=", 10)])
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert got2.v.tolist() == ["10"]
