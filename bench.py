@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "pack_chunks_docs",
     "quantiles_docs",
+    "multimodal_features",
     "graph_diff_events",
     "bgp_store",
 ]

@@ -917,6 +917,47 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
 """
 
 
+def q_multimodal_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal actor-pool plumbing as a driver-visible pipeline: the
+    documents' text bytes stand in for opaque binary payloads (this
+    container has no decoder libraries — the feature kernel is the
+    clearly-marked deterministic stub, auto-upgrading to PIL when
+    importable), flowing through the real MEDIA_SCHEMA → actor-pool
+    extract → fixed-size feature vectors. Rows-only (sha256-derived
+    features are not SQL-expressible); exact values pinned by pytest."""
+    import pyarrow as pa
+
+    from ..stages.multimodal import MEDIA_SCHEMA, extract_features
+
+    def to_media(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        kinds = pa.array(
+            ["image", "audio", "video"][i % 3]
+            for i in t.column("doc_id").to_pylist()
+        )
+        return pa.table(
+            {
+                "media_id": t.column("doc_id").cast(pa.int64()),
+                "kind": kinds,
+                "payload": pc.cast(
+                    t.column("text").cast(pa.string()), pa.binary()
+                ),
+                "mime": pa.array(["application/octet-stream"] * n),
+                "width": pa.array([64] * n, pa.int32()),
+                "height": pa.array([64] * n, pa.int32()),
+                "duration_ms": pa.array([1000] * n, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return extract_features(media, out_dim=16, batch_size=64)
+
+
 def q_quantiles_docs(sf_dir: str):
     """Token-count quantiles over the corpus (threshold selection for
     quality filters) — distributed value histogram, driver-side pick,
@@ -1572,6 +1613,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_chunks_docs": q_pack_chunks_docs,
     "quantiles_docs": q_quantiles_docs,
+    "multimodal_features": q_multimodal_features,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
