@@ -917,6 +917,26 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
 """
 
 
+def q_join_orders_customer(sf_dir: str) -> rd.Dataset:
+    """The general big×big LEFT OUTER equi-join surface
+    (`engine.joins.hash_join`: union-tag, ONE co-hash shuffle, whole-
+    partition Acero join — no Dataset.join empty-partition crash),
+    exercised directly rather than through a refObjectMap."""
+    from ..engine.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return hash_join(
+        orders, cust, ["o_custkey"], ["c_custkey"], num_partitions=16
+    )
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey, c_name, c_nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_multimodal_features(sf_dir: str) -> rd.Dataset:
     """Multimodal actor-pool plumbing as a driver-visible pipeline: the
     documents' text bytes stand in for opaque binary payloads (this
@@ -1614,6 +1634,7 @@ QUERIES = {
     "pack_chunks_docs": q_pack_chunks_docs,
     "quantiles_docs": q_quantiles_docs,
     "multimodal_features": q_multimodal_features,
+    "join_orders_customer": q_join_orders_customer,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
@@ -1665,6 +1686,7 @@ ORACLES = {
     "tfidf_docs": SQL_TFIDF_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "quantiles_docs": SQL_QUANTILES_DOCS,
+    "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
