@@ -219,7 +219,10 @@ def _tagged_setop(
 
     def tag(kind: int):
         def f(t: pa.Table) -> pa.Table:
-            u = _unique_batch(t, cols)
+            # strip parquet/pandas schema metadata: an unhashable dict in
+            # it defeats the shuffle aggregators' schema dedup (the
+            # 'Failed to hash the schemas' warning)
+            u = _unique_batch(t.replace_schema_metadata(None), cols)
             return u.append_column(
                 "__kind", pa.array(np.full(u.num_rows, kind, np.int8))
             )

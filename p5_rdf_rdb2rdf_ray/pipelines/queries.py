@@ -937,6 +937,28 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_anti_join_customers(sf_dir: str) -> rd.Dataset:
+    """Anti-join: customers with no events (`engine.distinct.except_rows`
+    — per-side dedup combiner, union-tag, one hash shuffle)."""
+    import pyarrow as pa
+
+    from ..engine.distinct import except_rows
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    active = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.column("user_id")}),
+        batch_format="pyarrow",
+    )
+    return except_rows(cust, active, ["c_custkey"], num_buckets=8)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
 def q_multimodal_features(sf_dir: str) -> rd.Dataset:
     """Multimodal actor-pool plumbing as a driver-visible pipeline: the
     documents' text bytes stand in for opaque binary payloads (this
@@ -1635,6 +1657,7 @@ QUERIES = {
     "quantiles_docs": q_quantiles_docs,
     "multimodal_features": q_multimodal_features,
     "join_orders_customer": q_join_orders_customer,
+    "anti_join_customers": q_anti_join_customers,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "langid_docs": q_langid_docs,
@@ -1687,6 +1710,7 @@ ORACLES = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "quantiles_docs": SQL_QUANTILES_DOCS,
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
