@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "pack_chunks_docs",
     "quantiles_docs",
     "multimodal_features",
+    "join_orders_customer",
+    "anti_join_customers",
+    "bgp_filter",
     "graph_diff_events",
     "bgp_store",
 ]

@@ -23,7 +23,6 @@ import ray.data as rd
 
 from ..mapping.spec import (
     BNODE,
-    IRI,
     MappingSpec,
     PredObjSpec,
     TermMapSpec,

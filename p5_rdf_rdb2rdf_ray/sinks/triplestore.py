@@ -24,7 +24,6 @@ import os
 import uuid
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd

@@ -22,7 +22,6 @@ one row per (key, ts) first (the registry query keeps max(o_orderkey)).
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 
 from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
