@@ -361,7 +361,14 @@ class _BucketMerger:
             if body.num_rows == 0:
                 continue
             os.makedirs(d, exist_ok=True)
-            part = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            # crash safety: write under .inprogress (invisible to
+            # read_triplestore/lookups, which match *.parquet); the
+            # DRIVER renames to .parquet only when the whole merge
+            # succeeded, and a later merge sweeps orphans — a crashed
+            # merge can never leave half its delta visible
+            part = os.path.join(
+                d, f"part-{uuid.uuid4().hex}.parquet.inprogress"
+            )
             pq.write_table(body, part)
             out_b.append(bucket)
             out_r.append(body.num_rows)
@@ -404,6 +411,14 @@ def merge_triplestore(
     if num_buckets == 0:
         raise ValueError(f"no store at {out_dir} (missing _METRICS.json)")
 
+    # sweep orphans of a previously crashed merge (never-committed parts)
+    for name in os.listdir(out_dir):
+        d = os.path.join(out_dir, name)
+        if name.startswith("bucket=") and os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".inprogress"):
+                    os.remove(os.path.join(d, f))
+
     def bucketer(t: pa.Table) -> pa.Table:
         t = _unique_batch(t, list(TRIPLE_COLUMNS))
         return add_bucket_column(t, num_buckets)
@@ -436,22 +451,41 @@ def merge_triplestore(
             u = _unique_batch(whole, list(TRIPLE_COLUMNS))
             for p, _ in parts:
                 os.remove(os.path.join(d, p))
-            newp = f"part-{uuid.uuid4().hex}.parquet"
+            newp = f"part-{uuid.uuid4().hex}.parquet.inprogress"
             pq.write_table(u, os.path.join(d, newp))
             parts = [(newp, u.num_rows)]
             repaired.append(bucket)
+        # commit: the whole merge succeeded — rename .inprogress parts to
+        # their visible .parquet names (per-file rename is atomic; a crash
+        # between renames only delays visibility of some buckets' novel
+        # rows until this merge is re-run, never duplicates them — the
+        # re-run anti-joins against the committed parts and re-derives
+        # the rest, and its start-of-run sweep removes the orphans)
+        committed = []
+        for p, n in parts:
+            final = p[: -len(".inprogress")]
+            os.replace(os.path.join(d, p), os.path.join(d, final))
+            committed.append((final, n))
+        parts = committed
         rows_added[bucket] = sum(n for _, n in parts)
         mpath = os.path.join(d, "_MANIFEST.json")
-        manifest = {"bucket": bucket, "rows": 0, "parts": [], "input_fp": ""}
+        manifest = {"bucket": bucket, "input_fp": ""}
         if os.path.exists(mpath):
             try:
                 manifest = json.load(open(mpath))
             except (json.JSONDecodeError, OSError):
                 pass
-        manifest["rows"] = int(manifest.get("rows", 0)) + rows_added[bucket]
-        manifest["parts"] = list(manifest.get("parts", [])) + [
-            p for p, _ in parts
-        ]
+        # self-healing accounting: parts/rows from the directory + parquet
+        # footers (cheap metadata reads), not incremental arithmetic — a
+        # crash between a past commit-rename and its manifest write can
+        # never leave the counts stale
+        all_parts = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        manifest["parts"] = all_parts
+        manifest["rows"] = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows for f in all_parts
+        )
         manifest["input_fp"] = f"{manifest.get('input_fp', '')}+{input_fp}"
         manifest["version"] = ENGINE_VERSION
         manifest["hash_engine"] = _hash_engine_version()

@@ -203,3 +203,52 @@ def test_merge_triplestore_incremental(ray_session, tmp_path):
             for p in man["parts"]
         )
         assert man["rows"] == actual
+
+
+def test_merge_crash_leaves_store_clean(ray_session, tmp_path):
+    """A merge that dies after writing delta parts but before the commit
+    renames must leave the visible store untouched; the next merge sweeps
+    the orphans and lands the full delta exactly once."""
+    import pyarrow.parquet as pq
+
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.pipelines.transcripts import generate_transcripts
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        merge_triplestore,
+        read_triplestore,
+        write_triplestore,
+    )
+
+    txa = generate_transcripts(15, seed=3)
+    txb = generate_transcripts(8, seed=77)
+    store = str(tmp_path / "store")
+    write_triplestore(build_kg(rd.from_arrow(txa), distinct=False), store,
+                      num_buckets=4, input_fp="a", resume=False)
+    before = set(collect_ntriples(read_triplestore(store)))
+
+    # simulate the crash: uncommitted .inprogress parts strewn about
+    # (what a merge killed mid-flight leaves behind)
+    d = os.path.join(store, "bucket=00001")
+    os.makedirs(d, exist_ok=True)
+    orphan = os.path.join(d, "part-deadbeef.parquet.inprogress")
+    some_part = glob.glob(
+        os.path.join(store, "bucket=*", "part-*.parquet")
+    )[0]
+    pq.write_table(pq.read_table(some_part), orphan)
+    # visible store unchanged by the orphan
+    assert set(collect_ntriples(read_triplestore(store))) == before
+
+    m = merge_triplestore(build_kg(rd.from_arrow(txb), distinct=False),
+                          store, input_fp="b")
+    assert not os.path.exists(orphan)  # swept at merge start
+    assert m["rows_added"] > 0
+    # committed result equals a one-shot build over a ∪ b
+    full = str(tmp_path / "full")
+    write_triplestore(
+        build_kg(rd.from_arrow(txa).union(rd.from_arrow(txb)), distinct=False),
+        full, num_buckets=4, input_fp="ab", resume=False)
+    assert set(collect_ntriples(read_triplestore(store))) == set(
+        collect_ntriples(read_triplestore(full))
+    )
+    # no .inprogress residue after a successful merge
+    assert not glob.glob(os.path.join(store, "bucket=*", "*.inprogress"))
