@@ -1223,3 +1223,22 @@ def test_new_ops_empty_inputs(ray_session):
     ws = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["   "]}))
     assert chunk_docs(ws, 4).count() == 0
     assert ngram_counts(ws, n=1).count() == 0
+
+
+def test_except_rows_null_semantics(ray_session):
+    """SQL EXCEPT treats NULLs as equal: a row with a null column present
+    in both sides must be removed (graph_diff relies on this — triple
+    rows carry null lang/datatype/graph)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.distinct import except_rows
+
+    a = rd.from_pandas(
+        pd.DataFrame({"x": [1, 2], "y": [None, None]}).astype({"y": "object"})
+    )
+    b = rd.from_pandas(
+        pd.DataFrame({"x": [1], "y": [None]}).astype({"y": "object"})
+    )
+    got = except_rows(a, b, ["x", "y"], num_buckets=2).to_pandas()
+    assert got.x.tolist() == [2]  # (1, NULL) removed — NULL == NULL
