@@ -147,6 +147,7 @@ def clean_corpus(
     concurrency=(1, 8),
     batch_size: int = 4096,
     scratch_dir: str | None = None,
+    materialize_flags: bool = False,
 ) -> rd.Dataset:
     """→ one row per input doc: ``(id_col, status, rep_id)`` with
     ``status ∈ {kept, quality, language, exact_dup, near_dup}`` and
@@ -181,6 +182,12 @@ def clean_corpus(
         # (column-pruned: only the semi-join side reads the text back)
         flagged.write_parquet(scratch_dir)
         flagged = rd.read_parquet(scratch_dir)
+    elif materialize_flags:
+        # one flags pass into the OBJECT STORE (spill-capable): the three
+        # consumers read plasma blocks instead of re-executing the scan +
+        # flags. The Ray-native middle ground between full lazy re-exec
+        # (default) and the parquet scratch spill above.
+        flagged = flagged.materialize()
 
     def dropped_verdicts(t: pa.Table) -> pa.Table:
         m = t.column("status").is_valid()

@@ -1340,6 +1340,7 @@ def q_clean_corpus_docs(sf_dir: str) -> rd.Dataset:
         langs=None,
         neardup_tau=0.6,
         neardup_method="minhash",
+        materialize_flags=True,  # flags pass runs once, not per consumer
     )
 
 
