@@ -231,6 +231,12 @@ def _tagged_setop(
 
     def merge(df: pd.DataFrame) -> pa.Table:
         if not len(df):
+            # empty partitions from the shuffle usually still carry the
+            # unified dtypes — keep them so empty blocks schema-unify
+            # with populated siblings (int64 keys must not drift to
+            # string); a fully schemaless block falls back to object
+            if all(c in df.columns for c in cols):
+                return to_clean_arrow(df[cols])
             return to_clean_arrow(pd.DataFrame({c: [] for c in cols}))
         a_rows = df[df["__kind"] == 0].drop_duplicates(cols)
         b_keys = df.loc[df["__kind"] == 1, cols].drop_duplicates()

@@ -121,6 +121,11 @@ def hash_join(
 
     Parent payload column names must not collide with child columns
     (the refobject runner prefixes them with ``__p_``).
+
+    Type note: datasets with PANDAS block lineage expose ``object``
+    dtypes, which this mapper treats as strings (the only object columns
+    the engine produces); bytes/Decimal object columns are unsupported
+    here — read such data through Arrow (parquet) blocks instead.
     """
     import pyarrow.compute as pc
 

@@ -693,8 +693,14 @@ def r2rml_lookup(
                     fmt = "csv" if files[0].endswith(".csv") else "parquet"
                     dset = pads.dataset(files, format=fmt)
                 # point lookups are small by construction; the slice rides
-                # into every task as an in-memory table
-                new_tables[tm.table] = dset.to_table(filter=flt)
+                # into every task as an in-memory table. Registered under a
+                # PER-MAP synthetic name: keying by tm.table would let two
+                # maps over the same base table clobber each other's slice
+                # (and an unpruned sibling map would wrongly read a pruned
+                # slice instead of the full table)
+                syn = f"__lookup_{name}"
+                new_tables[syn] = dset.to_table(filter=flt)
+                new_maps[name] = replace(tm, table=syn)
         run_names.append(name)
 
     if not run_names:

@@ -150,9 +150,14 @@ def clean_corpus(
     materialize_flags: bool = False,
 ) -> rd.Dataset:
     """→ one row per input doc: ``(id_col, status, rep_id)`` with
-    ``status ∈ {kept, quality, language, exact_dup, near_dup}`` and
-    ``rep_id`` the surviving representative (= own id for kept docs,
-    NULL for quality/language drops). The kept corpus is
+    ``status ∈ {kept, quality, language, exact_dup, near_dup}``;
+    ``rep_id`` = own id for kept docs, NULL for quality/language drops,
+    the stage-local representative otherwise. Chain note: an
+    ``exact_dup`` row's rep_id names its exact-dedup winner, which may
+    itself have been eliminated as ``near_dup`` downstream — chains have
+    depth ≤ 2 by construction; :func:`resolve_rep_chain` collapses them
+    to the final surviving doc when a consumer needs that (attribution,
+    semi-joining dup docs to the kept corpus). The kept corpus is
     ``clean.filter(status == 'kept')`` semi-joined back to the source.
     """
     if langs is None:
@@ -262,4 +267,84 @@ def clean_corpus(
 
     return dropped.union(
         losers, near.map_batches(near_verdicts, batch_format="pyarrow")
+    )
+
+
+def resolve_rep_chain(
+    verdicts: rd.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Collapse the depth-≤2 representative chain in a
+    :func:`clean_corpus` verdict set: an ``exact_dup`` whose winner was
+    itself dropped as ``near_dup`` gets that winner's final rep instead.
+    One union-tag shuffle: verdict rows co-partition with the rep-map
+    rows they point at (key = rep_id vs doc_id), then a per-block
+    dictionary hop. Output schema unchanged; ``rep_id`` now always names
+    a doc with ``status == 'kept'`` (or NULL for quality/language
+    drops)."""
+    import numpy as np
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        key = pc.coalesce(t.column("rep_id"), t.column(id_col))
+        return pa.table(
+            {
+                "key": key,  # partition key: who this row points at / is
+                id_col: t.column(id_col),
+                "status": t.column("status"),
+                "rep_id": t.column("rep_id"),
+                "kind": pa.array(np.zeros(n, np.int8)),  # 0 = verdict row
+            }
+        ).append_column(
+            "map_rep", pa.nulls(n, pa.int64())
+        )
+
+    def to_map(t: pa.Table) -> pa.Table:
+        # one map row per doc: doc_id -> its own final rep
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column(id_col).cast(pa.int64()),
+                id_col: t.column(id_col),
+                "status": t.column("status"),
+                "rep_id": t.column("rep_id"),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "map_rep": t.column("rep_id"),
+            }
+        )
+
+    ensure_hash_shuffle(verdicts)
+    tagged = verdicts.map_batches(to_edges, batch_format="pyarrow").union(
+        verdicts.map_batches(to_map, batch_format="pyarrow")
+    )
+
+    def hop(df: pd.DataFrame) -> pa.Table:
+        cols = [id_col, "status", "rep_id"]
+        if not len(df):
+            if all(c in df.columns for c in cols):
+                return to_clean_arrow(df[cols])
+            return to_clean_arrow(
+                pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "status": pd.Series([], dtype="object"),
+                        "rep_id": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+        rep_of = (
+            df[df["kind"] == 1].set_index("key")["map_rep"].to_dict()
+        )
+        out = df[df["kind"] == 0][cols].copy()
+        has = out["rep_id"].notna()
+        out.loc[has, "rep_id"] = out.loc[has, "rep_id"].map(
+            lambda r: rep_of.get(r, r)
+        )
+        return to_clean_arrow(out)
+
+    return tagged.repartition(num_partitions, keys=["key"]).map_batches(
+        hop, batch_format="pandas", batch_size=None
     )

@@ -561,22 +561,7 @@ def lookup_store(
             )
         return pads.dataset(all_parts).to_table(filter=flt)
 
-    num_buckets = 0
-    mpath = os.path.join(out_dir, "_METRICS.json")
-    if os.path.exists(mpath):
-        try:
-            num_buckets = int(json.load(open(mpath)).get("num_buckets", 0))
-        except (json.JSONDecodeError, OSError, ValueError):
-            num_buckets = 0
-    if not num_buckets:
-        # fallback: count of bucket dirs (empty buckets have no dir, so
-        # this can only be used when the store is dense)
-        num_buckets = len(
-            [
-                n for n in os.listdir(out_dir)
-                if n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
-            ]
-        )
+    num_buckets = _store_num_buckets(out_dir)
     if num_buckets == 0:
         from ..terms import TRIPLE_SCHEMA
 
@@ -621,21 +606,31 @@ def read_triplestore(out_dir: str) -> rd.Dataset:
 
 
 def _store_num_buckets(out_dir: str) -> int:
+    """Bucket count from ``_METRICS.json`` (written by every
+    ``write_triplestore`` run). No dir-count fallback: on a sparse store
+    (empty buckets have no dir) a guessed modulus would hash bound
+    subjects into the WRONG bucket and silently return no rows — fail
+    loud instead. Returns 0 only when the store genuinely has no layout
+    yet (no metrics file and no bucket dirs)."""
     mpath = os.path.join(out_dir, "_METRICS.json")
     if os.path.exists(mpath):
         try:
             return int(json.load(open(mpath)).get("num_buckets", 0))
-        except (json.JSONDecodeError, OSError, ValueError):
-            pass
-    # fallback: count of bucket dirs (empty buckets have no dir, so this
-    # is only exact when the store is dense)
-    return len(
-        [
-            n
-            for n in os.listdir(out_dir)
-            if n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
-        ]
-    )
+        except (json.JSONDecodeError, OSError, ValueError) as e:
+            raise ValueError(
+                f"unreadable _METRICS.json in {out_dir}; cannot determine "
+                "the store's bucket modulus (a guess would prune lookups "
+                "to the wrong bucket)"
+            ) from e
+    if any(
+        n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
+        for n in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"store at {out_dir} has bucket dirs but no _METRICS.json; "
+            "cannot determine its bucket modulus"
+        )
+    return 0
 
 
 def _store_parts(out_dir: str, subject: str | None = None) -> list[str]:

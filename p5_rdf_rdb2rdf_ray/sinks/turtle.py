@@ -231,6 +231,15 @@ def read_turtle(path: str) -> rd.Dataset:
         )
     else:
         files = [path]
+    if not files:
+        from ..terms import TRIPLE_SCHEMA
+
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        )
 
     def parse_files(t: pa.Table) -> pa.Table:
         from ..terms import TRIPLE_SCHEMA

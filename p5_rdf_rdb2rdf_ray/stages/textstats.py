@@ -194,6 +194,11 @@ def winnow_fingerprints(
     Rabin-Karp hashes of k-grams, one minimum per window of w — the
     classic near-dup/plagiarism sketch. → (id_col, n_fp, fp_xor) summary
     (fp_xor = order-insensitive digest of the selected fingerprints)."""
+    if k < 2:
+        # the whole-batch boundary masking relies on the k-1 invalid
+        # k-gram positions between consecutive docs; with k=1 there are
+        # none and windows would silently span documents
+        raise ValueError("winnowing requires k >= 2")
     B = np.uint64(1000003)
     powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     swv = np.lib.stride_tricks.sliding_window_view

@@ -234,3 +234,39 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the sandbox
     pass
+
+
+TTL_TWO_MAPS_SAME_TABLE = RR + """
+ex:byId a rr:TriplesMap ;
+  rr:logicalTable [ rr:tableName "books" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/book/{book_id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:title ;
+                          rr:objectMap [ rr:column "title" ] ] .
+
+ex:byTitle a rr:TriplesMap ;
+  rr:logicalTable [ rr:tableName "books" ] ;
+  rr:subjectMap [ rr:template "http://ex.com/book/{title}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:id ;
+                          rr:objectMap [ rr:column "book_id" ] ] .
+"""
+
+
+def test_lookup_two_maps_same_table_no_clobber(cat, ray_session):
+    """Two triples maps over ONE base table whose subject templates share
+    a prefix: each map's pruned slice must be private — keying slices by
+    table name let map byTitle's EMPTY slice (no book titled '2')
+    clobber byId's id=2 slice, silently dropping byId's triples
+    (regression for the per-map synthetic-table fix)."""
+    spec = compile_r2rml(TTL_TWO_MAPS_SAME_TABLE, base=EX)
+    # 'book/2' inverts under BOTH maps: byId binds book_id=2 (1 row),
+    # byTitle binds title='2' (0 rows)
+    subj = EX + "book/2"
+    got = set(collect_ntriples(r2rml_lookup(spec, cat, subj)))
+    assert got == lines_for(spec, cat, subj)
+    assert len(got) == 1  # ex:title triple from byId survives
+    # title-minted subject: byId's inversion is uncastable (skip), byTitle
+    # prunes to the one matching row
+    subj2 = EX + "book/Ray"
+    got2 = set(collect_ntriples(r2rml_lookup(spec, cat, subj2)))
+    assert got2 == lines_for(spec, cat, subj2)
+    assert len(got2) == 1  # ex:id triple from byTitle

@@ -1242,3 +1242,44 @@ def test_except_rows_null_semantics(ray_session):
     )
     got = except_rows(a, b, ["x", "y"], num_buckets=2).to_pandas()
     assert got.x.tolist() == [2]  # (1, NULL) removed — NULL == NULL
+
+
+def test_resolve_rep_chain(ray_session):
+    """exact_dup → (near_dup winner) chains collapse to the final kept
+    doc after resolve_rep_chain; already-final rows unchanged."""
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.pipelines.clean import clean_corpus, resolve_rep_chain
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base + " extra"      # near-dup of base (high shingle overlap)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [base, near, near, "completely different words " * 4],
+        }
+    )
+    verdicts = clean_corpus(
+        rd.from_pandas(docs), min_words=5, max_punct_ratio=0.9,
+        langs=None, neardup_tau=0.5, num_partitions=4,
+    )
+    raw = verdicts.to_pandas().set_index("doc_id")
+    # doc2 exact-dups doc1; doc1 near-dups doc0 → chain
+    assert raw.loc[2, "status"] == "exact_dup" and raw.loc[2, "rep_id"] == 1
+    assert raw.loc[1, "status"] == "near_dup" and raw.loc[1, "rep_id"] == 0
+    resolved = (
+        resolve_rep_chain(
+            clean_corpus(
+                rd.from_pandas(docs), min_words=5, max_punct_ratio=0.9,
+                langs=None, neardup_tau=0.5, num_partitions=4,
+            ),
+            num_partitions=4,
+        )
+        .to_pandas().set_index("doc_id")
+    )
+    assert resolved.loc[2, "rep_id"] == 0          # chain collapsed
+    assert resolved.loc[2, "status"] == "exact_dup"  # status unchanged
+    assert resolved.loc[1, "rep_id"] == 0
+    assert resolved.loc[0, "status"] == "kept" and resolved.loc[0, "rep_id"] == 0
+    assert resolved.loc[3, "status"] == "kept" and resolved.loc[3, "rep_id"] == 3
