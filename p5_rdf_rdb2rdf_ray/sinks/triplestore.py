@@ -512,6 +512,72 @@ def merge_triplestore(
     return metrics
 
 
+def compact_triplestore(out_dir: str) -> dict:
+    """Collapse part accumulation from repeated :func:`merge_triplestore`
+    runs: every bucket with >1 part is re-deduped and rewritten as ONE
+    part. Compaction work runs as parallel Ray tasks (one per bucket —
+    a bucket fits a task by the writer's sizing); the driver only
+    renames staged ``.inprogress`` files and rewrites manifests, so a
+    crash mid-compaction never loses rows (old parts are removed only
+    after the staged replacement is committed per bucket)."""
+    import ray
+
+    buckets = [
+        n for n in sorted(os.listdir(out_dir))
+        if n.startswith("bucket=") and os.path.isdir(os.path.join(out_dir, n))
+    ]
+
+    @ray.remote
+    def compact_one(d: str):
+        parts = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if len(parts) <= 1:
+            return None
+        whole = pa.concat_tables(
+            pq.read_table(os.path.join(d, p)) for p in parts
+        )
+        u = _unique_batch(whole, list(TRIPLE_COLUMNS))
+        staged = f"part-{uuid.uuid4().hex}.parquet.inprogress"
+        pq.write_table(u, os.path.join(d, staged))
+        return (d, staged, parts, u.num_rows)
+
+    results = ray.get(
+        [compact_one.remote(os.path.join(out_dir, b)) for b in buckets]
+    )
+    compacted, rows_total = [], 0
+    for r in results:
+        if r is None:
+            continue
+        d, staged, old_parts, rows = r
+        final = staged[: -len(".inprogress")]
+        # commit order: new part visible FIRST, then old parts removed —
+        # a crash in between shows duplicates at worst transiently, and
+        # re-running compaction heals it (set semantics restore on read
+        # via the per-bucket dedup of the next compact/merge)
+        os.replace(os.path.join(d, staged), os.path.join(d, final))
+        for p in old_parts:
+            os.remove(os.path.join(d, p))
+        mpath = os.path.join(d, "_MANIFEST.json")
+        manifest = {}
+        if os.path.exists(mpath):
+            try:
+                manifest = json.load(open(mpath))
+            except (json.JSONDecodeError, OSError):
+                manifest = {}
+        manifest["parts"] = [final]
+        manifest["rows"] = rows
+        manifest["version"] = ENGINE_VERSION
+        manifest["hash_engine"] = _hash_engine_version()
+        tmp = os.path.join(d, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        compacted.append(os.path.basename(d))
+        rows_total += rows
+    return {"buckets_compacted": compacted, "rows_in_compacted": rows_total}
+
+
 def lookup_store(
     out_dir: str,
     subject: str | None = None,

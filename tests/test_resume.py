@@ -252,3 +252,39 @@ def test_merge_crash_leaves_store_clean(ray_session, tmp_path):
     )
     # no .inprogress residue after a successful merge
     assert not glob.glob(os.path.join(store, "bucket=*", "*.inprogress"))
+
+
+def test_compact_triplestore(ray_session, tmp_path):
+    """After a build + merge, buckets hold 2 parts; compaction collapses
+    each to one part with the triple set unchanged."""
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        compact_triplestore,
+        merge_triplestore,
+        write_triplestore,
+    )
+
+    txa = generate_transcripts(15, seed=5)
+    txb = generate_transcripts(10, seed=55)
+    store = str(tmp_path / "store")
+    write_triplestore(build_kg(rd.from_arrow(txa), distinct=False), store,
+                      num_buckets=4, input_fp="a", resume=False)
+    merge_triplestore(build_kg(rd.from_arrow(txb), distinct=False), store,
+                      input_fp="b")
+    before = set(collect_ntriples(read_triplestore(store)))
+    multi = [
+        d for d in glob.glob(os.path.join(store, "bucket=*"))
+        if len(glob.glob(os.path.join(d, "part-*.parquet"))) > 1
+    ]
+    assert multi  # the merge added second parts somewhere
+
+    m = compact_triplestore(store)
+    assert len(m["buckets_compacted"]) == len(multi)
+    for d in glob.glob(os.path.join(store, "bucket=*")):
+        parts = glob.glob(os.path.join(d, "part-*.parquet"))
+        assert len(parts) <= 1
+        man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+        assert man["parts"] == [os.path.basename(p) for p in parts]
+    assert set(collect_ntriples(read_triplestore(store))) == before
+    # idempotent: second compaction is a no-op
+    assert compact_triplestore(store)["buckets_compacted"] == []
