@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "bgp_filter",
     "graph_diff_events",
     "bgp_store",
+    "store_contexts",
 ]
 
 

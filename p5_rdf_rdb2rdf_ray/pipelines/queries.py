@@ -382,6 +382,50 @@ def q_bgp_store(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_store_contexts(sf_dir: str) -> rd.Dataset:
+    """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
+    RDF::Trine::Store interface]: write the rr:graphMap quads of
+    ``_NATION_GRAPH_TTL`` to a bucket-partitioned store (resumable —
+    identical input fingerprint skips the write), then list the distinct
+    named graphs. Default-graph quads (null graph) are not contexts."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..mapping.r2rml import compile_r2rml
+    from ..sinks.triplestore import (
+        fingerprint_files,
+        store_contexts,
+        write_triplestore,
+    )
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
+    fp = fingerprint_files(cat.files("nation"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_ctx_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_triplestore(
+        run_mapping(spec, cat, distinct_buckets=4), out, num_buckets=4,
+        input_fp=fp,
+    )
+    return store_contexts(out)
+
+
+# Named contexts = the two constant graphs + one template graph per
+# distinct n_regionkey; rr:defaultGraph quads carry a NULL graph and are
+# excluded by get_contexts semantics.
+SQL_STORE_CONTEXTS = f"""
+SELECT graph FROM (
+  SELECT '{BASE}gMeta' AS graph
+  UNION ALL SELECT '{BASE}gNames'
+  UNION ALL SELECT DISTINCT '{BASE}graph/' || n_regionkey FROM nation
+) t
+"""
+
+
 def q_count_statements(sf_dir: str):
     """Store ``count_statements`` parity: per-pattern triple counts as a
     small table (subject-bound, predicate-bound, unbound)."""
@@ -1636,6 +1680,7 @@ QUERIES = {
     "bgp_nation_region": q_bgp_nation_region,
     "bgp_filter": q_bgp_filter,
     "bgp_store": q_bgp_store,
+    "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
     "top10_orders": q_top10_orders,
@@ -1692,6 +1737,7 @@ ORACLES = {
     "bgp_nation_region": SQL_BGP_NATION_REGION,
     "bgp_filter": SQL_BGP_FILTER,
     "bgp_store": SQL_BGP_NATION_REGION,
+    "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,
     "top10_orders": SQL_TOP10_ORDERS,

@@ -611,15 +611,7 @@ def lookup_store(
                 )
             )
         flt = pc.field("pred") == predicate
-        all_parts = []
-        for name in sorted(os.listdir(out_dir)):
-            d = os.path.join(out_dir, name)
-            if name.startswith("bucket=") and os.path.isdir(d):
-                all_parts.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
+        all_parts = _store_parts(out_dir)
         if not all_parts:
             return pa.Table.from_arrays(
                 [pa.array([], f.type) for f in TRIPLE_SCHEMA],
@@ -658,7 +650,8 @@ def lookup_store(
     return pads.dataset(parts).to_table(filter=flt)
 
 
-def read_triplestore(out_dir: str) -> rd.Dataset:
+def _store_parts(out_dir: str) -> list[str]:
+    """All committed part files of a store, in stable order."""
     parts = []
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -668,7 +661,41 @@ def read_triplestore(out_dir: str) -> rd.Dataset:
                 for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
             )
-    return rd.read_parquet(parts)
+    return parts
+
+
+def read_triplestore(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(_store_parts(out_dir))
+
+
+def store_contexts(out_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Distinct named graphs present in the store — ``get_contexts``
+    parity [R: DirectMapping/Store.pm — the RDF::Trine::Store interface
+    requires get_contexts; default-graph statements have no context].
+
+    Scale shape: only the ``graph`` column leaves storage (column-pruned
+    read), each block collapses to its local distinct in the combine
+    stage of :func:`distinct_rows`, so the final shuffle moves at most
+    (blocks × live contexts) short strings, never the triple stream.
+    """
+    import pyarrow.compute as pc
+
+    from ..engine.distinct import distinct_rows
+
+    parts = _store_parts(out_dir)
+    empty = pa.table({"graph": pa.array([], pa.string())})
+    if not parts:
+        return rd.from_arrow(empty)
+
+    def named_only(t: pa.Table) -> pa.Table:
+        col = t.column("graph")
+        u = pc.unique(col.combine_chunks())
+        return pa.table({"graph": u.drop_null()})
+
+    ds = rd.read_parquet(parts, columns=["graph"]).map_batches(
+        named_only, batch_format="pyarrow"
+    )
+    return distinct_rows(ds, ["graph"], num_buckets=num_buckets)
 
 
 def _store_num_buckets(out_dir: str) -> int:

@@ -288,3 +288,37 @@ def test_compact_triplestore(ray_session, tmp_path):
     assert set(collect_ntriples(read_triplestore(store))) == before
     # idempotent: second compaction is a no-op
     assert compact_triplestore(store)["buckets_compacted"] == []
+
+
+def test_store_contexts(ray_session, tmp_path):
+    """get_contexts parity: distinct named graphs of the store; the
+    default graph (null) is not a context; an empty store yields an
+    empty single-column frame."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        store_contexts,
+        write_triplestore,
+    )
+
+    out = str(tmp_path / "store")
+    quads = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["s1", "s2", "s3", "s4"],
+                "pred": ["p"] * 4,
+                "obj": ["o1", "o2", "o3", "o4"],
+                "obj_kind": pa.array([0, 0, 0, 0], pa.uint8()),
+                "lang": pa.array([None] * 4, pa.string()),
+                "datatype": pa.array([None] * 4, pa.string()),
+                "graph": pa.array(["g1", "g2", "g1", None], pa.string()),
+            }
+        )
+    )
+    write_triplestore(quads, out, num_buckets=4, input_fp="t")
+    got = sorted(store_contexts(out).to_pandas()["graph"])
+    assert got == ["g1", "g2"]
+
+    empty = str(tmp_path / "empty_store")
+    os.makedirs(empty)
+    assert store_contexts(empty).to_pandas().empty
