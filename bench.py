@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "repetition_docs",
     "hopping_window_events",
     "ngram_counts_docs",
+    "approx_vocab_docs",
     "tfidf_docs",
     "chunk_docs",
     "pack_chunks_docs",

@@ -895,6 +895,19 @@ def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog estimate of the distinct-bigram vocabulary size —
+    the shuffle-free scale companion of ``ngram_counts`` (rows-only:
+    a register-array estimator is not SQL-expressible; accuracy vs the
+    exact vocabulary is pinned by tests/test_stages.py::
+    test_approx_vocab_matches_exact_vocab)."""
+    from ..stages.sketches import approx_ndistinct_ngrams
+
+    return approx_ndistinct_ngrams(
+        _read(sf_dir, "documents", ["text"]), n=2, p=12,
+    )
+
+
 SQL_NGRAM_COUNTS_DOCS = """
 SELECT ngram, "count" FROM (
   SELECT arr[i] || ' ' || arr[i+1] AS ngram, CAST(count(*) AS BIGINT) AS "count"
@@ -1697,6 +1710,7 @@ QUERIES = {
     "window_events": q_window_events,
     "hopping_window_events": q_hopping_window_events,
     "ngram_counts_docs": q_ngram_counts_docs,
+    "approx_vocab_docs": q_approx_vocab_docs,
     "tfidf_docs": q_tfidf_docs,
     "chunk_docs": q_chunk_docs,
     "pack_chunks_docs": q_pack_chunks_docs,

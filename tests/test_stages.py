@@ -1283,3 +1283,64 @@ def test_resolve_rep_chain(ray_session):
     assert resolved.loc[1, "rep_id"] == 0
     assert resolved.loc[0, "status"] == "kept" and resolved.loc[0, "rep_id"] == 0
     assert resolved.loc[3, "status"] == "kept" and resolved.loc[3, "rep_id"] == 3
+
+
+def test_hll_kernel_monoid_and_accuracy():
+    """Block-wise fold + merge == one-shot fold (the property the
+    distributed shape relies on); estimate within ~3σ of truth."""
+    from p5_rdf_rdb2rdf_ray.stages.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, size=200_000, dtype=np.uint64)
+    parts = np.array_split(h, 37)
+    merged = hll_merge([hll_partial(p, 12) for p in parts])
+    assert np.array_equal(merged, hll_partial(h, 12))
+    est = hll_estimate(merged)
+    assert abs(est / 200_000 - 1) < 0.05
+    # duplicates collapse
+    dup = np.repeat(rng.integers(0, 2**64, size=1000, dtype=np.uint64), 500)
+    assert abs(hll_estimate(hll_partial(dup, 12)) / 1000 - 1) < 0.05
+    with pytest.raises(ValueError):
+        hll_partial(h, 8)
+
+
+def test_approx_ndistinct_dataset(ray_session):
+    from p5_rdf_rdb2rdf_ray.stages.sketches import approx_ndistinct
+
+    ids = np.arange(30_000) % 7_500  # 7500 distinct, 4 copies each
+    ds = rd.from_arrow(pa.table({"k": ids})).repartition(8)
+    row = approx_ndistinct(ds, ["k"]).to_pandas().iloc[0]
+    assert abs(row["approx_ndistinct"] / 7_500 - 1) < 0.05
+    # empty input → one row, estimate 0
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    row0 = approx_ndistinct(empty, ["k"]).to_pandas().iloc[0]
+    assert row0["approx_ndistinct"] == 0
+
+
+def test_approx_vocab_matches_exact_vocab(ray_session):
+    """The n-gram HLL tracks the exact ngram_counts vocabulary size."""
+    from p5_rdf_rdb2rdf_ray.stages.sketches import approx_ndistinct_ngrams
+    from p5_rdf_rdb2rdf_ray.stages.vocab import ngram_counts
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(300)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(400),
+            "text": [
+                " ".join(rng.choice(words, size=40)) for _ in range(400)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(6)
+    exact = ngram_counts(ds, n=2, min_count=1, num_partitions=4).count()
+    est = (
+        approx_ndistinct_ngrams(ds, n=2, p=12)
+        .to_pandas()
+        .iloc[0]["approx_ndistinct"]
+    )
+    assert abs(est / exact - 1) < 0.05
