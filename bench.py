@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "pack_chunks_docs",
     "quantiles_docs",
+    "approx_quantiles_docs",
     "multimodal_features",
     "join_orders_customer",
     "anti_join_customers",

@@ -1086,6 +1086,37 @@ SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM t
 """
 
 
+def q_approx_quantiles_docs(sf_dir: str):
+    """Mergeable quantile summary over document byte lengths — the
+    fixed-size scale path beside the exact ``quantiles_docs`` histogram
+    (which assumes distinct values ≪ rows). With n ≤ s the summary
+    keeps every value, so the sf0.01 gate compares EXACT quantile_disc
+    values; the bounded rank error at n ≫ s is pinned by
+    tests/test_stages.py::test_approx_quantiles_rank_error."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sketches import approx_quantiles
+
+    lens = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda t: pa.table(
+            {"blen": pc.binary_length(t.column("text")).cast(pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return approx_quantiles(lens, "blen", [0.1, 0.5, 0.9], s=1024)
+
+
+SQL_APPROX_QUANTILES_DOCS = """
+WITH t AS (SELECT CAST(strlen(text) AS DOUBLE) AS v FROM documents)
+SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
+UNION ALL
+SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
+UNION ALL
+SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
+"""
+
+
 def q_pack_chunks_docs(sf_dir: str) -> rd.Dataset:
     """Chunk-then-pack sequence prep: 64-token chunks greedily packed
     into ≤256-token sequences. Greedy packing is iterative (each pack
@@ -1715,6 +1746,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_chunks_docs": q_pack_chunks_docs,
     "quantiles_docs": q_quantiles_docs,
+    "approx_quantiles_docs": q_approx_quantiles_docs,
     "multimodal_features": q_multimodal_features,
     "join_orders_customer": q_join_orders_customer,
     "anti_join_customers": q_anti_join_customers,
@@ -1770,6 +1802,7 @@ ORACLES = {
     "tfidf_docs": SQL_TFIDF_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "quantiles_docs": SQL_QUANTILES_DOCS,
+    "approx_quantiles_docs": SQL_APPROX_QUANTILES_DOCS,
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,

@@ -192,3 +192,116 @@ def approx_ndistinct_ngrams(
 
     partials = docs.map_batches(partial, batch_format="pandas")
     return _reduce_registers(partials, p, fan_in)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary
+#
+# ``groupagg.column_quantiles`` is exact but assumes distinct values ≪
+# rows (it ships a value histogram). For unbounded float columns
+# (scores, ratios, embeddings norms) the scale path is a fixed-size
+# mergeable summary: each block keeps s evenly-spaced order statistics
+# with uniform weight n/s; summaries merge by weight-sorted re-picking.
+# Every compression level adds ≤ 1/s rank error, and the fan-in tree has
+# ceil(log_fan_in(blocks)) + 1 levels — at s=1024, fan_in=64 and 800k
+# blocks that is 4 levels ≈ 0.4 % worst-case rank error. Deterministic:
+# no sampling, no randomness, merge order fixed by the sort.
+
+
+def quantile_summary(v: np.ndarray, s: int) -> tuple[np.ndarray, float]:
+    """(sorted values, uniform weight) — ≤ s entries summarizing v."""
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    if n <= s:
+        return v, 1.0
+    idx = np.minimum(((np.arange(s) + 0.5) * n / s).astype(np.int64), n - 1)
+    return v[idx], n / s
+
+
+def merge_summaries(
+    summaries: list[tuple[np.ndarray, float]], s: int
+) -> tuple[np.ndarray, float]:
+    """Weight-aware merge of uniform-weight summaries, re-compressed to
+    ≤ s entries of equal weight."""
+    summaries = [(v, w) for v, w in summaries if len(v)]
+    if not summaries:
+        return np.array([], np.float64), 1.0
+    vals = np.concatenate([v for v, _ in summaries])
+    wts = np.concatenate(
+        [np.full(len(v), w, np.float64) for v, w in summaries]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    total = float(wts.sum())
+    if len(vals) <= s:
+        # keep exact entries; uniform weight only if they already are
+        if np.all(wts == wts[0]):
+            return vals, float(wts[0])
+    cum = np.cumsum(wts)
+    targets = (np.arange(s) + 0.5) * total / s
+    pos = np.searchsorted(cum, targets, side="left")
+    pos = np.minimum(pos, len(vals) - 1)
+    return vals[pos], total / s
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    s: int = 1024,
+    fan_in: int = 64,
+) -> pd.DataFrame:
+    """Approximate quantiles of a numeric column with bounded rank
+    error (≈ levels/s; see module comment). → pandas ``(q, value)``,
+    the same shape as :func:`..stages.groupagg.column_quantiles`; nulls
+    ignored; all-null/empty input yields NULL values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pv, w = quantile_summary(v, s)
+        return pa.table(
+            {
+                "vals": pa.array([pv.tobytes()], pa.binary()),
+                "w": pa.array([w], pa.float64()),
+            }
+        )
+
+    def unpack(t: pa.Table) -> list[tuple[np.ndarray, float]]:
+        return [
+            (np.frombuffer(b, np.float64), float(w))
+            for b, w in zip(
+                t.column("vals").to_pylist(), t.column("w").to_pylist()
+            )
+        ]
+
+    def fold(t: pa.Table) -> pa.Table:
+        v, w = merge_summaries(unpack(t), s)
+        return pa.table(
+            {
+                "vals": pa.array([v.tobytes()], pa.binary()),
+                "w": pa.array([w], pa.float64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(fold, batch_format="pyarrow", batch_size=fan_in)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+    rows = folded.take_all()  # exactly one tiny summary row
+    if rows:
+        v = np.frombuffer(rows[0]["vals"], np.float64)
+    else:
+        v = np.array([], np.float64)
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(float(q))
+        if len(v) == 0:
+            out_v.append(None)
+        else:
+            idx = min(len(v) - 1, max(0, int(np.ceil(q * len(v)) - 1)))
+            out_v.append(float(v[idx]))
+    return pd.DataFrame(
+        {"q": pd.Series(out_q, dtype="float64"), "value": out_v}
+    )

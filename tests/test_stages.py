@@ -1344,3 +1344,38 @@ def test_approx_vocab_matches_exact_vocab(ray_session):
         .iloc[0]["approx_ndistinct"]
     )
     assert abs(est / exact - 1) < 0.05
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    """Mergeable quantile summary: rank error well under the levels/s
+    bound on a skewed distribution, across real Dataset blocks."""
+    from p5_rdf_rdb2rdf_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    x = rng.lognormal(0, 2, size=200_000)
+    ds = rd.from_arrow(pa.table({"v": x})).repartition(32)
+    out = approx_quantiles(ds, "v", [0.01, 0.5, 0.99], s=1024)
+    xs = np.sort(x)
+    for _, row in out.iterrows():
+        true_rank = np.searchsorted(xs, row["value"]) / len(xs)
+        assert abs(true_rank - row["q"]) < 0.01
+    # empty input → NULL values, one row per requested q
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    out0 = approx_quantiles(empty, "v", [0.5])
+    assert len(out0) == 1 and out0["value"].isna().all()
+
+
+def test_quantile_summary_merge_is_weight_aware():
+    """Merging a heavy summary (many rows) with a light one must respect
+    weights: the heavy side dominates the quantiles."""
+    from p5_rdf_rdb2rdf_ray.stages.sketches import (
+        merge_summaries,
+        quantile_summary,
+    )
+
+    heavy = quantile_summary(np.zeros(100_000), 64)   # weight ≈ 1562
+    light = quantile_summary(np.ones(100), 64)        # weight 1
+    v, w = merge_summaries([heavy, light], 64)
+    # median of the merged population (100k zeros + 100 ones) is 0
+    assert v[len(v) // 2] == 0.0
+    assert np.isclose(w * len(v), 100_100, rtol=0.02)
