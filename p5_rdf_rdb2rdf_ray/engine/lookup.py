@@ -87,8 +87,14 @@ def get_statements(
     obj_literal: str | None = None,
     base: str = "http://example.com/base/",
     distinct_buckets: int = 8,
+    distinct: bool = False,
 ) -> rd.Dataset:
     """Lazy Dataset of DM triples matching the bound terms.
+
+    ``distinct=False`` (default) skips the set-semantics shuffle — DM
+    output is duplicate-free by construction (see the proof comment at
+    the ``run_mapping`` call below). Pass ``distinct=True`` (with
+    ``distinct_buckets``) only when declared PKs cannot be trusted.
 
     Pushdown [R: DirectMapping/Store.pm :: get_statements — bound subject →
     table+PK WHERE; bound predicate → table+column; bound object → value
@@ -202,8 +208,22 @@ def get_statements(
             tables={**catalog.tables, table: sliced},
         )
 
+    # No distinct stage: Direct-Mapping output is duplicate-free BY
+    # CONSTRUCTION, so the set-semantics shuffle would be a no-op that
+    # still moves every triple. Proof: subjects are row-unique (PK
+    # template over a declared-unique key, or a per-physical-row skolem
+    # bnode), and within one row every emitted triple has a distinct
+    # predicate (rdf:type / one per column / one per FK with the child
+    # columns encoded in the predicate; two FKs on the same child columns
+    # mint different parent-table IRIs). Driver-side rdfs schema triples
+    # are constants, not per-row. Assumes declared PKs actually hold —
+    # the same trust the FK fast-path join already places in the layout.
     out = run_mapping(
-        spec, catalog, distinct_buckets=distinct_buckets, only_maps=only_maps
+        spec,
+        catalog,
+        distinct=distinct,
+        distinct_buckets=distinct_buckets,
+        only_maps=only_maps,
     )
 
     # exact semantic gate on a bound object: the parquet value-WHERE above
@@ -279,6 +299,107 @@ class _BroadcastInner:
         return t.join(self.right, keys=self.keys, join_type="inner")
 
 
+def _star_groups(
+    catalog: Catalog, patterns: list[tuple], base: str
+) -> tuple[list, list]:
+    """Star-join pushdown planner: patterns that share one subject
+    variable and whose bound predicates decode to the SAME Direct-Mapping
+    table are served by ONE scan of that table (subject minted once, one
+    binding column per pattern) instead of one scan + one broadcast join
+    per pattern. Eligible: var subject, bound column/ref predicate, var
+    object distinct from the subject and from the group's other object
+    vars. Bound-object patterns stay on the generic path — its parquet
+    value pushdown is the better plan for them. Returns
+    ``(fused_units, leftover_patterns)``."""
+    known = set(catalog.table_names())
+    groups: dict[tuple[str, str], list] = {}
+    leftover: list[tuple] = []
+    for pat in patterns:
+        s, p, o = pat
+        table = None
+        if (
+            _is_var(s)
+            and isinstance(p, str)
+            and not _is_var(p)
+            and _is_var(o)
+            and o != s
+        ):
+            dec = decode_predicate(p, base)
+            decr = decode_ref_predicate(p, base)
+            if dec is not None and dec[0] in known:
+                table = dec[0]
+            elif decr is not None and decr[0] in known:
+                table = decr[0]
+        if table is None:
+            leftover.append(pat)
+            continue
+        key = (s[1:], table)
+        grp = groups.setdefault(key, [])
+        if any(o[1:] == ov for _, ov in grp):
+            leftover.append(pat)  # repeated object var → generic path
+        else:
+            grp.append((p, o[1:]))
+    units = []
+    for (svar, table), items in groups.items():
+        if len(items) < 2:  # no fusion win — back to the generic path
+            p, ovar = items[0]
+            leftover.append(("?" + svar, p, "?" + ovar))
+            continue
+        units.append(_fused_star_unit(catalog, base, svar, table, items))
+    return units, leftover
+
+
+def _fused_star_unit(
+    catalog: Catalog,
+    base: str,
+    svar: str,
+    table: str,
+    items: list[tuple[str, str]],
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """ONE scan serves every pattern of a star group: the DM map
+    restricted to the group's predicates runs once (no distinct — DM is
+    duplicate-free), and a per-batch pivot inner-merges the bindings on
+    the subject WITHIN each batch. That merge is exact because the
+    expansion is row-local: all triples of a source row land in the
+    batch that row was in, and DM subjects are row-unique. No shuffle,
+    no broadcast, no driver materialization."""
+    import pandas as pd
+
+    from .distinct import to_clean_arrow
+    from .runner import run_mapping
+
+    wanted = {p for p, _ in items}
+    spec = direct_mapping(catalog, base=base)
+    tm = spec.maps[table]
+    tm2 = replace(
+        tm,
+        pos=tuple(pp for pp in tm.pos if pp.pred.constant in wanted),
+        refs=tuple(r for r in tm.refs if r.pred.constant in wanted),
+        classes=(),
+    )
+    spec2 = MappingSpec(maps={**spec.maps, table: tm2}, base=spec.base)
+    triples = run_mapping(spec2, catalog, distinct=False, only_maps=[table])
+    plan = tuple(items)
+
+    def pivot(df: pd.DataFrame) -> pa.Table:
+        out = None
+        for pred, var in plan:
+            sel = df[df["pred"] == pred]
+            sel = pd.DataFrame(
+                {
+                    "subj": sel["subj"],
+                    var: sel["obj"],
+                    f"__k_{var}": sel["obj_kind"],
+                }
+            )
+            out = sel if out is None else out.merge(sel, on="subj", how="inner")
+        return to_clean_arrow(out.rename(columns={"subj": svar}))
+
+    bnd = triples.map_batches(pivot, batch_format="pandas")
+    new_vars = [svar] + [v for _, v in plan]
+    return bnd, new_vars, {v for _, v in plan}
+
+
 def get_pattern(
     catalog: Catalog,
     patterns: list[tuple],
@@ -314,7 +435,10 @@ def get_pattern(
             catalog, base=base, distinct_buckets=num_partitions, **kwargs
         )
 
-    return _bgp_join(stmt_fn, patterns, num_partitions, filters=filters)
+    units, rest = _star_groups(catalog, patterns, base)
+    return _bgp_join(
+        stmt_fn, rest, num_partitions, filters=filters, units=units
+    )
 
 
 def get_pattern_store(
@@ -358,9 +482,13 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
             raise ValueError(f"unsupported filter op {op!r}")
         spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    from .distinct import to_clean_arrow
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        # to_clean_arrow: this stage feeds the final distinct's hash
+        # shuffle — raw pandas blocks carry an unhashable schema there
         if not len(df):
-            return df
+            return to_clean_arrow(df)
         keep = pd.Series(True, index=df.index)
         for var, op, val in spec:
             if isinstance(val, bool) or not isinstance(val, (int, float)):
@@ -369,7 +497,7 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
             else:
                 num = pd.to_numeric(df[var], errors="coerce")
                 keep &= getattr(num, op)(val).fillna(False) & num.notna()
-        return df[keep]
+        return to_clean_arrow(df[keep])
 
     return acc.map_batches(f, batch_format="pandas")
 
@@ -379,10 +507,16 @@ def _bgp_join(
     patterns: list[tuple],
     num_partitions: int,
     filters: list[tuple] | None = None,
+    units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
 ) -> rd.Dataset:
     """Shared BGP core: per-pattern statement Datasets (``stmt_fn`` maps
     bound-term kwargs → triples) joined on shared variables. See
-    :func:`get_pattern` for the binding/term-kind semantics."""
+    :func:`get_pattern` for the binding/term-kind semantics.
+
+    ``units`` are pre-built binding Datasets ``(ds, vars, kind_vars)``
+    (e.g. fused star groups from :func:`_star_groups`); they fold FIRST,
+    so the usually-largest fused unit becomes the streamed accumulator
+    instead of a driver-materialized broadcast side."""
     import ray
 
     from ..terms import KIND_LITERAL
@@ -391,6 +525,9 @@ def _bgp_join(
     acc: rd.Dataset | None = None
     acc_vars: list[str] = []
     acc_kinds: set[str] = set()  # vars with a __k_<var> column in acc
+    unit_queue: list[tuple[rd.Dataset, list[str], set[str]]] = list(
+        units or []
+    )
     for s, p, o in patterns:
         kwargs: dict = {}
         slots: dict[str, str] = {}  # triple column -> var name
@@ -461,9 +598,16 @@ def _bgp_join(
                 out = out.filter(pc.fill_null(mask, False))
             return out
 
-        bnd = ds.map_batches(proj, batch_format="pyarrow")
-        new_vars = list(dict.fromkeys(slots.values()))
-        new_kinds = {obj_kind_var} if obj_kind_var is not None else set()
+        unit_queue.append(
+            (
+                ds.map_batches(proj, batch_format="pyarrow"),
+                list(dict.fromkeys(slots.values())),
+                {obj_kind_var} if obj_kind_var is not None else set(),
+            )
+        )
+
+    for bnd, new_vars, new_kinds in unit_queue:
+        new_kinds = set(new_kinds)
         if acc is None:
             acc, acc_vars, acc_kinds = bnd, new_vars, new_kinds
             continue

@@ -93,7 +93,9 @@ def q_dm_nation(sf_dir: str) -> rd.Dataset:
     # full spec so the FK parent (region) resolves; execute only nation's map
     spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
     return to_term_columns(
-        run_mapping(spec, cat, distinct_buckets=8, only_maps=["nation"])
+        # distinct=False: DM output is duplicate-free by construction
+        # (row-unique subjects × distinct predicates; engine/lookup.py)
+        run_mapping(spec, cat, distinct=False, only_maps=["nation"])
     )
 
 
@@ -144,7 +146,8 @@ def q_dm_events(sf_dir: str) -> rd.Dataset:
         maps={"events": tm, "customer": spec.maps["customer"]}, base=BASE
     )
     return to_term_columns(
-        run_mapping(spec, cat, distinct_buckets=16, only_maps=["events"])
+        # distinct=False: DM duplicate-free by construction (lookup.py)
+        run_mapping(spec, cat, distinct=False, only_maps=["events"])
     )
 
 
@@ -366,7 +369,8 @@ def q_bgp_store(sf_dir: str) -> rd.Dataset:
     )
     write_triplestore(
         run_mapping(
-            spec, cat, distinct_buckets=8, only_maps=["nation", "region"]
+            # distinct=False: the store sink dedups in its bucket shuffle
+            spec, cat, distinct=False, only_maps=["nation", "region"]
         ),
         out,
         num_buckets=8,
@@ -408,7 +412,8 @@ def q_store_contexts(sf_dir: str) -> rd.Dataset:
         + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
     write_triplestore(
-        run_mapping(spec, cat, distinct_buckets=4), out, num_buckets=4,
+        # distinct=False: the store sink dedups in its bucket shuffle
+        run_mapping(spec, cat, distinct=False), out, num_buckets=4,
         input_fp=fp,
     )
     return store_contexts(out)

@@ -435,3 +435,73 @@ def test_bgp_filter_semantics(ray_session, tiny_catalog=None):
         .to_pandas().sort_values("v").reset_index(drop=True)
     )
     assert got2.v.tolist() == ["10"]
+
+
+def test_dm_output_duplicate_free_without_distinct(ray_session, dm_catalog):
+    """The invariant get_statements' distinct=False default relies on:
+    DM output (PK subjects, no-PK bnode subjects, FK refs) carries no
+    duplicate triples even with the set-semantics stage disabled."""
+    spec = direct_mapping(dm_catalog, base=B)
+    lines = collect_ntriples(
+        run_mapping(spec, dm_catalog, distinct=False)
+    )
+    assert len(lines) == len(set(lines))
+    assert set(lines) == _golden_dm_lines()
+    # no-PK table: per-row skolem bnodes keep even duplicate ROWS distinct
+    nopk = Catalog(
+        root="",
+        tables={
+            "t": pa.table({"v": pa.array(["x", "x", "y"])})
+        },
+        layouts={"t": TableLayout()},
+    )
+    lines2 = collect_ntriples(
+        run_mapping(direct_mapping(nopk, base=B), nopk, distinct=False)
+    )
+    assert len(lines2) == len(set(lines2))  # 3 type + 3 value triples
+    assert len(lines2) == 6
+
+
+def test_star_fusion_matches_generic_bgp(ray_session, dm_catalog):
+    """Star-group fusion (one scan, within-batch pivot) must produce
+    exactly the generic per-pattern-join bindings — including dropping
+    subjects with a NULL in any fused pattern's column, and joining
+    correctly against a non-fused pattern on the shared subject var."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        _bgp_join,
+        _star_groups,
+        get_pattern,
+        get_statements,
+    )
+
+    pats = [
+        ("?d", B + "dm_dept#dname", "?n"),
+        ("?d", B + "dm_dept#city", "?c"),   # dept 2 has NULL city
+    ]
+
+    def stmt_fn(**kw):
+        return get_statements(dm_catalog, base=B, **kw)
+
+    units, rest = _star_groups(dm_catalog, pats, B)
+    assert len(units) == 1 and rest == []
+    fused = get_pattern(dm_catalog, pats, base=B).to_pandas()
+    generic = _bgp_join(stmt_fn, pats, 4).to_pandas()
+    key = sorted(fused.columns)
+    assert sorted(map(tuple, fused[key].values.tolist())) == sorted(
+        map(tuple, generic[key].values.tolist())
+    )
+    assert set(fused["n"]) == {"eng", "hr"}  # ops dropped (NULL city)
+
+    # star + non-fused pattern (employee side) joined on the shared var
+    pats3 = pats + [("?e", B + "dm_emp#ref-dept_id", "?d")]
+    # ?d appears as an OBJECT in the emp pattern → not fusable with it
+    units3, rest3 = _star_groups(dm_catalog, pats3, B)
+    assert len(units3) == 1 and len(rest3) == 1
+    fused3 = get_pattern(dm_catalog, pats3, base=B).to_pandas()
+    generic3 = _bgp_join(stmt_fn, pats3, 4).to_pandas()
+    key3 = sorted(fused3.columns)
+    assert sorted(map(tuple, fused3[key3].values.tolist())) == sorted(
+        map(tuple, generic3[key3].values.tolist())
+    )
+    # emps 1,2 → dept 1 (eng/NYC); emps 3,4 → dept 2, dropped (NULL city)
+    assert len(fused3) == 2
