@@ -363,9 +363,6 @@ def _fused_star_unit(
     expansion is row-local: all triples of a source row land in the
     batch that row was in, and DM subjects are row-unique. No shuffle,
     no broadcast, no driver materialization."""
-    import pandas as pd
-
-    from .distinct import to_clean_arrow
     from .runner import run_mapping
 
     wanted = {p for p, _ in items}
@@ -382,22 +379,34 @@ def _fused_star_unit(
     plan = tuple(items)
 
     def pivot(df: pd.DataFrame) -> pa.Table:
-        out = None
-        for pred, var in plan:
-            sel = df[df["pred"] == pred]
-            sel = pd.DataFrame(
-                {
-                    "subj": sel["subj"],
-                    var: sel["obj"],
-                    f"__k_{var}": sel["obj_kind"],
-                }
-            )
-            out = sel if out is None else out.merge(sel, on="subj", how="inner")
-        return to_clean_arrow(out.rename(columns={"subj": svar}))
+        return _star_pivot(df, plan, svar)
 
     bnd = triples.map_batches(pivot, batch_format="pandas")
     new_vars = [svar] + [v for _, v in plan]
     return bnd, new_vars, {v for _, v in plan}
+
+
+def _star_pivot(df, plan: tuple, svar: str) -> pa.Table:
+    """Merge one subject-complete triple frame into star bindings: one
+    column per (pred → var) item, inner-merged on the subject. Exact
+    iff every triple of a subject is inside ``df`` (row-local DM batch,
+    or whole subject-hash store buckets)."""
+    import pandas as pd
+
+    from .distinct import to_clean_arrow
+
+    out = None
+    for pred, var in plan:
+        sel = df[df["pred"] == pred]
+        sel = pd.DataFrame(
+            {
+                "subj": sel["subj"],
+                var: sel["obj"],
+                f"__k_{var}": sel["obj_kind"],
+            }
+        )
+        out = sel if out is None else out.merge(sel, on="subj", how="inner")
+    return to_clean_arrow(out.rename(columns={"subj": svar}))
 
 
 def get_pattern(
@@ -452,13 +461,102 @@ def get_pattern_store(
     pattern's bound terms become bucket pruning (bound subject → one
     ``bucket=`` dir) + parquet row filters via ``store_statements``; the
     BGP join machinery (term-kind-aware broadcast joins + distinct) is
-    shared."""
+    shared. Same-subject-var pattern groups fuse into one scan: the
+    store partitions by subject hash, so whole buckets are
+    subject-complete and pivot exactly (see :func:`_store_star_groups`).
+    """
     from ..sinks.triplestore import store_statements
 
     def stmt_fn(**kwargs):
         return store_statements(store_dir, **kwargs)
 
-    return _bgp_join(stmt_fn, patterns, num_partitions, filters=filters)
+    units, rest = _store_star_groups(store_dir, patterns)
+    return _bgp_join(
+        stmt_fn, rest, num_partitions, filters=filters, units=units
+    )
+
+
+def _store_star_groups(
+    store_dir: str, patterns: list[tuple]
+) -> tuple[list, list]:
+    """Store-side star-join pushdown: every same-subject-var pattern
+    with a bound predicate and a fresh object var joins inside ONE store
+    scan — one Ray task per bundle of ``bucket=`` dirs reads its parts
+    with a ``pred IN (…)`` row filter and pivots, which is exact because
+    a subject's triples never span buckets (subject-hash partitioning).
+    No per-pattern scans, no joins, no shuffle."""
+    groups: dict[str, list] = {}
+    leftover: list[tuple] = []
+    for pat in patterns:
+        s, p, o = pat
+        if (
+            _is_var(s)
+            and isinstance(p, str)
+            and not _is_var(p)
+            and _is_var(o)
+            and o != s
+        ):
+            grp = groups.setdefault(s[1:], [])
+            if any(o[1:] == ov for _, ov in grp):
+                leftover.append(pat)  # repeated object var → generic path
+            else:
+                grp.append((p, o[1:]))
+        else:
+            leftover.append(pat)
+    units = []
+    for svar, items in groups.items():
+        if len(items) < 2:  # no fusion win
+            p, ov = items[0]
+            leftover.append(("?" + svar, p, "?" + ov))
+            continue
+        units.append(_fused_store_star_unit(store_dir, svar, items))
+    return units, leftover
+
+
+def _fused_store_star_unit(
+    store_dir: str, svar: str, items: list[tuple[str, str]]
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    import os
+
+    preds = [p for p, _ in items]
+    plan = tuple(items)
+    new_vars = [svar] + [v for _, v in plan]
+    kinds = {v for _, v in plan}
+    bucket_dirs = [
+        os.path.join(store_dir, n)
+        for n in sorted(os.listdir(store_dir))
+        if n.startswith("bucket=") and os.path.isdir(os.path.join(store_dir, n))
+    ]
+    if not bucket_dirs:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()) for _ in new_vars]
+            + [pa.array([], pa.uint8()) for _ in sorted(kinds)],
+            names=new_vars + [f"__k_{v}" for v in sorted(kinds)],
+        )
+        return rd.from_arrow(empty), new_vars, kinds
+
+    def read_pivot(batch: dict) -> pa.Table:
+        parts: list[str] = []
+        for d in batch["dir"]:
+            d = str(d)
+            parts.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+        if not parts:
+            t = _empty()
+        else:
+            t = pads.dataset(parts).to_table(
+                filter=pc.field("pred").isin(preds),
+                columns=["subj", "pred", "obj", "obj_kind"],
+            )
+        return _star_pivot(t.to_pandas(), plan, svar)
+
+    ds = rd.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
+        read_pivot, batch_format="numpy"
+    )
+    return ds, new_vars, kinds
 
 
 _FILTER_OPS = {
@@ -508,6 +606,7 @@ def _bgp_join(
     num_partitions: int,
     filters: list[tuple] | None = None,
     units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> rd.Dataset:
     """Shared BGP core: per-pattern statement Datasets (``stmt_fn`` maps
     bound-term kwargs → triples) joined on shared variables. See
@@ -516,7 +615,14 @@ def _bgp_join(
     ``units`` are pre-built binding Datasets ``(ds, vars, kind_vars)``
     (e.g. fused star groups from :func:`_star_groups`); they fold FIRST,
     so the usually-largest fused unit becomes the streamed accumulator
-    instead of a driver-materialized broadcast side."""
+    instead of a driver-materialized broadcast side.
+
+    Join strategy per unit: the new side is collected to the driver for
+    a broadcast inner join UP TO ``broadcast_limit`` rows (point-lookup
+    profile — bindings are pushdown-pruned); past the limit it spills to
+    the engine's co-hash-shuffle ``hash_join`` (one shuffle, no driver
+    copy; the collected prefix is discarded and the side re-executes
+    lazily — the standard recompute-vs-hold trade)."""
     import ray
 
     from ..terms import KIND_LITERAL
@@ -612,17 +718,8 @@ def _bgp_join(
             acc, acc_vars, acc_kinds = bnd, new_vars, new_kinds
             continue
         shared = [v for v in new_vars if v in acc_vars]
-        right = pa.concat_tables(
-            list(bnd.iter_batches(batch_format="pyarrow", batch_size=None))
-            or [
-                pa.Table.from_arrays(
-                    [pa.array([], pa.string()) for _ in new_vars]
-                    + [pa.array([], pa.uint8()) for _ in sorted(new_kinds)],
-                    names=new_vars + [f"__k_{v}" for v in sorted(new_kinds)],
-                )
-            ]
-        )
-        # reconcile term kinds on shared vars BEFORE the lexical join
+        # reconcile term kinds on shared vars BEFORE the lexical join —
+        # metadata-only decisions, so they apply to either join strategy
         join_keys = list(shared)
         for v in shared:
             a_has, n_has = v in acc_kinds, v in new_kinds
@@ -639,11 +736,58 @@ def _bgp_join(
                 )
                 acc_kinds.discard(v)
             elif n_has:
-                c = f"__k_{v}"
-                right = right.filter(
-                    pc.not_equal(right.column(c), KIND_LITERAL)
-                ).drop_columns([c])
+                # acc binds v in a non-literal position: drop the new
+                # side's literal bindings, then its kind column
+                bnd = bnd.map_batches(
+                    lambda t, _c=f"__k_{v}": t.filter(
+                        pc.not_equal(t.column(_c), KIND_LITERAL)
+                    ).drop_columns([_c]),
+                    batch_format="pyarrow",
+                )
                 new_kinds.discard(v)
+        # collect the new side for the broadcast join, but stop at
+        # broadcast_limit: an analytics-sized side spills to the engine's
+        # co-hash-shuffle join instead of exhausting driver memory
+        batches, total, spill = [], 0, False
+        for b in bnd.iter_batches(batch_format="pyarrow", batch_size=None):
+            batches.append(b)
+            total += b.num_rows
+            if shared and total > broadcast_limit:
+                spill = True
+                break
+        if spill:
+            from .joins import hash_join
+
+            marker = "__bgp_m"
+            rds = bnd.map_batches(
+                lambda t, _m=marker: t.append_column(
+                    _m, pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+            acc = hash_join(
+                acc, rds, join_keys, join_keys,
+                num_partitions=max(num_partitions, 16),
+            )
+            acc = acc.map_batches(
+                lambda t, _m=marker: t.filter(
+                    t.column(_m).is_valid()
+                ).drop_columns([_m]),
+                batch_format="pyarrow",
+            )
+            acc_vars = list(dict.fromkeys(acc_vars + new_vars))
+            acc_kinds |= new_kinds
+            continue
+        right = pa.concat_tables(
+            batches
+            or [
+                pa.Table.from_arrays(
+                    [pa.array([], pa.string()) for _ in new_vars]
+                    + [pa.array([], pa.uint8()) for _ in sorted(new_kinds)],
+                    names=new_vars + [f"__k_{v}" for v in sorted(new_kinds)],
+                )
+            ]
+        )
         if not shared:
             # cross product via a constant join key
             k = "__cross"

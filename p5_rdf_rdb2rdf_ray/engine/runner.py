@@ -167,11 +167,166 @@ def plan_triples_map(
     )
 
 
+_IRI_SAFE_ALPHABET = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~%"
+)
+
+
+def _injective_subject(tm: TriplesMapSpec, catalog: Catalog) -> bool:
+    """True iff distinct logical rows provably mint distinct subjects."""
+    from ..functions.scalars import Template
+
+    sub = tm.subject
+    if sub.udf is not None:
+        return False
+    if sub.kind == BNODE:
+        # fresh-per-row skolem bnode (label embeds row identity); a
+        # VALUE-based bnode (template/column label) is not row-unique
+        return (
+            sub.skolem_scope is not None
+            and sub.template is None
+            and sub.column is None
+            and sub.constant is None
+        )
+    if sub.kind != "iri":
+        return False
+    if tm.sql is not None:
+        return False  # view rows carry no key guarantee
+    try:
+        layout = catalog.layout(tm.table)
+    except Exception:
+        return False
+    pk = set(layout.pkey or ())
+    if not pk:
+        return False
+    if sub.column is not None:
+        return set(layout.pkey) == {sub.column}
+    if sub.template is None:
+        return False
+    segs = Template(sub.template).segments
+    cols = {c for k, c in segs if k == "col"}
+    if not pk <= cols:
+        return False
+    # adjacent placeholders must be separated by literal text containing
+    # a character OUTSIDE the IRI-safe output alphabet (unreserved + %),
+    # so the filled string decomposes unambiguously → value equality
+    for i, (k, _) in enumerate(segs):
+        if k != "col" or i + 1 >= len(segs):
+            continue
+        nk, ntext = segs[i + 1]
+        if nk == "col":
+            return False
+        if i + 2 < len(segs) and segs[i + 2][0] == "col":
+            if not (set(ntext) - _IRI_SAFE_ALPHABET):
+                return False
+    return True
+
+
+def _subject_signature(tm: TriplesMapSpec) -> tuple[str, str]:
+    """(kind, constant-prefix) used for the cross-map disjointness test."""
+    from ..functions.scalars import Template
+
+    sub = tm.subject
+    if sub.kind == BNODE:
+        return ("bnode", sub.skolem_scope or "")
+    if sub.template is not None:
+        segs = Template(sub.template).segments
+        prefix = segs[0][1] if segs and segs[0][0] == "lit" else ""
+        return ("iri", prefix)
+    return ("iri", "")
+
+
+def _map_preds(tm: TriplesMapSpec) -> list[str] | None:
+    """All predicate constants a map emits; None if any is non-constant."""
+    from ..terms import RDF_TYPE
+
+    preds: list[str] = []
+    for p in tm.pos:
+        if p.pred.constant is None:
+            return None
+        preds.append(p.pred.constant)
+    for r in tm.refs:
+        if r.pred.constant is None:
+            return None
+        preds.append(r.pred.constant)
+    if tm.classes:
+        preds.append(RDF_TYPE)
+    return preds
+
+
+def is_duplicate_free(
+    spec: MappingSpec, catalog: Catalog, only_maps: list[str] | None = None
+) -> bool:
+    """Compile-time proof that a mapping run cannot emit the same
+    triple twice, so ``distinct="auto"`` may skip the set-semantics
+    shuffle entirely (the Trine model's dedup would be a no-op).
+
+    Conservative sufficient conditions (any doubt → False):
+
+    - per map: subject injective over logical rows (PK-covering
+      IRI-safe template with unambiguous separators, PK column, or a
+      fresh-per-row skolem bnode); every predicate a distinct constant
+      (rdf:type counted once via ``classes``); distinct class IRIs; no
+      ``rev``, no UDF object terms, no graph maps (W3C §11.1 union
+      duplicates are exactly what the distinct exists for);
+    - per RefObjectMap: the parent map's subject is itself injective
+      (two matching parent rows then mint two DIFFERENT objects —
+      distinct triples, never duplicates);
+    - across maps: a pair may share predicates only if their subject
+      spaces are provably disjoint (different term kinds, different
+      skolem scopes, or IRI template prefixes where neither is a
+      prefix of the other).
+
+    The Direct Mapping compiler's output satisfies all of these for
+    PK/no-PK tables, which is why the DM paths skip the shuffle.
+    """
+    names = list(spec.maps) if only_maps is None else list(only_maps)
+    maps = [spec.maps[n] for n in names]
+    sigs: list[tuple[str, str]] = []
+    pred_sets: list[set[str]] = []
+    for tm in maps:
+        if tm.graphs or any(p.graphs for p in tm.pos) or any(
+            r.graphs for r in tm.refs
+        ):
+            return False
+        if any(p.rev for p in tm.pos) or any(r.rev for r in tm.refs):
+            return False
+        if any(p.obj.udf is not None for p in tm.pos):
+            return False
+        if not _injective_subject(tm, catalog):
+            return False
+        preds = _map_preds(tm)
+        if preds is None or len(set(preds)) != len(preds):
+            return False
+        if len(set(tm.classes)) != len(tm.classes):
+            return False
+        for r in tm.refs:
+            parent = spec.maps.get(r.parent)
+            if parent is None or not _injective_subject(parent, catalog):
+                return False
+        sigs.append(_subject_signature(tm))
+        pred_sets.append(set(preds))
+    for i in range(len(maps)):
+        for j in range(i + 1, len(maps)):
+            if not (pred_sets[i] & pred_sets[j]):
+                continue  # no shared predicate → no shared triple
+            (k1, p1), (k2, p2) = sigs[i], sigs[j]
+            if k1 != k2:
+                continue  # bnode vs IRI subjects never collide
+            if k1 == "bnode":
+                if p1 != p2:
+                    continue  # skolem scope is embedded in the label
+                return False
+            if p1.startswith(p2) or p2.startswith(p1):
+                return False  # overlapping IRI spaces, shared preds
+    return True
+
+
 def run_mapping(
     spec: MappingSpec,
     catalog: Catalog,
     *,
-    distinct: bool = True,
+    distinct: bool | str = True,
     distinct_buckets: int = 64,
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
     hash_join_partitions: int = 32,
@@ -185,7 +340,14 @@ def run_mapping(
     ``only_maps`` restricts which triples maps EXECUTE while the full spec
     stays visible for RefObjectMap parent resolution (a map can reference a
     parent whose own triples are not wanted).
+
+    ``distinct="auto"`` runs :func:`is_duplicate_free` at compile time
+    and skips the set-semantics shuffle when the spec provably cannot
+    emit a duplicate triple — the biggest single shuffle of a mapping
+    run, elided for free on the common PK-subject mapping shape.
     """
+    if distinct == "auto":
+        distinct = not is_duplicate_free(spec, catalog, only_maps)
     run = (
         list(spec.maps.values())
         if only_maps is None

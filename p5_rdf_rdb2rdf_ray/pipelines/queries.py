@@ -216,7 +216,10 @@ def q_r2rml_orders(sf_dir: str) -> rd.Dataset:
         classes=(BASE + "Customer",),
     )
     spec = MappingSpec(maps={"orders": orders, "customers": customers}, base=BASE)
-    return to_term_columns(run_mapping(spec, cat, distinct_buckets=16))
+    # "auto" proves this spec duplicate-free at compile time (PK-covering
+    # templates, distinct constant preds, disjoint subject spaces) and
+    # skips the set-semantics shuffle — see engine.runner.is_duplicate_free
+    return to_term_columns(run_mapping(spec, cat, distinct="auto"))
 
 
 SQL_R2RML_ORDERS = f"""

@@ -505,3 +505,59 @@ def test_star_fusion_matches_generic_bgp(ray_session, dm_catalog):
     )
     # emps 1,2 → dept 1 (eng/NYC); emps 3,4 → dept 2, dropped (NULL city)
     assert len(fused3) == 2
+
+
+def test_bgp_hash_join_spill_matches_broadcast(ray_session, dm_catalog):
+    """Past broadcast_limit the BGP fold spills to the co-hash-shuffle
+    join; bindings must be identical to the broadcast plan (including
+    the non-literal reconciliation on the shared var, which in the
+    spill path filters the lazy side instead of the collected table)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import _bgp_join, get_statements
+
+    pats = [
+        ("?d", B + "dm_dept#dname", "?n"),
+        ("?e", B + "dm_emp#ref-dept_id", "?d"),  # ?d re-bound as object
+    ]
+
+    def stmt_fn(**kw):
+        return get_statements(dm_catalog, base=B, **kw)
+
+    bc = _bgp_join(stmt_fn, pats, 4).to_pandas()
+    sp = _bgp_join(stmt_fn, pats, 4, broadcast_limit=1).to_pandas()
+    key = sorted(bc.columns)
+    assert sorted(map(tuple, bc[key].values.tolist())) == sorted(
+        map(tuple, sp[key].values.tolist())
+    )
+    assert len(bc) == 4  # emps 1,2 → dept 1; emps 3,4 → dept 2
+
+
+def test_store_star_fusion_matches_source(ray_session, dm_catalog, tmp_path):
+    """Store-side star fusion (one whole-bucket scan + pivot) gives the
+    same bindings as the source-table planner, and still joins correctly
+    against a non-fused pattern."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        _store_star_groups,
+        get_pattern,
+        get_pattern_store,
+    )
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    out = str(tmp_path / "store")
+    spec = direct_mapping(dm_catalog, base=B)
+    write_triplestore(run_mapping(spec, dm_catalog), out, num_buckets=4)
+    pats = [
+        ("?d", B + "dm_dept#dname", "?n"),
+        ("?d", B + "dm_dept#city", "?c"),
+        ("?e", B + "dm_emp#ref-dept_id", "?d"),
+    ]
+    units, rest = _store_star_groups(out, pats)
+    assert len(units) == 1 and len(rest) == 1
+    want = {
+        (r["d"], r["n"], r["c"], r["e"])
+        for r in get_pattern(dm_catalog, pats, base=B).take_all()
+    }
+    got = {
+        (r["d"], r["n"], r["c"], r["e"])
+        for r in get_pattern_store(out, pats).take_all()
+    }
+    assert got == want and len(got) == 2  # dept 2 dropped (NULL city)

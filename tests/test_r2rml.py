@@ -281,3 +281,69 @@ def test_sqlquery_coercion_matches_duckdb(ray_session, tmp_path):
     except Exception:
         raised = True
     assert raised  # DuckDB raises a conversion error, not a pyarrow one
+
+
+def test_is_duplicate_free_analysis(ray_session):
+    """Compile-time dup-free proof: accepts the provable shapes, rejects
+    every rule violation, and 'auto' matches distinct=True output."""
+    from dataclasses import replace as rep
+
+    from p5_rdf_rdb2rdf_ray.engine.runner import is_duplicate_free, run_mapping
+    from p5_rdf_rdb2rdf_ray.mapping.spec import (
+        IRI,
+        LITERAL,
+        MappingSpec,
+        PredObjSpec,
+        TermMapSpec,
+        TriplesMapSpec,
+    )
+    from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples
+    from p5_rdf_rdb2rdf_ray.sources.catalog import TableLayout
+
+    B2 = "http://x.org/"
+    cat = Catalog(
+        root="",
+        tables={"book": BOOKS},
+        layouts={"book": TableLayout(pkey=("book_id",))},
+    )
+    pom = lambda pred, col: PredObjSpec(
+        pred=TermMapSpec(kind=IRI, constant=B2 + pred),
+        obj=TermMapSpec(kind=LITERAL, column=col),
+    )
+    good = TriplesMapSpec(
+        name="m", table="book",
+        subject=TermMapSpec(kind=IRI, template=B2 + "b/{book_id}"),
+        classes=(B2 + "Book",),
+        pos=(pom("title", "title"), pom("au", "author_id")),
+    )
+    spec = MappingSpec(maps={"m": good}, base=B2)
+    assert is_duplicate_free(spec, cat)
+
+    # rule violations, one by one
+    bad_cases = [
+        rep(good, pos=(pom("p", "title"), pom("p", "author_id"))),  # dup pred
+        rep(good, subject=TermMapSpec(kind=IRI, template=B2 + "b/{title}")),  # non-PK
+        rep(good, subject=TermMapSpec(kind=IRI, template=B2 + "{book_id}{title}")),  # ambiguous
+        rep(good, subject=TermMapSpec(kind=IRI, constant=B2 + "one")),  # constant subj
+        rep(good, pos=(PredObjSpec(pred=TermMapSpec(kind=IRI, constant=B2 + "p"),
+                                   obj=TermMapSpec(kind=LITERAL, column="title"),
+                                   graphs=(TermMapSpec(kind=IRI, constant=B2 + "g"),)),)),  # graphMap
+    ]
+    for tm in bad_cases:
+        assert not is_duplicate_free(MappingSpec(maps={"m": tm}, base=B2), cat)
+
+    # cross-map: shared rdf:type + overlapping subject prefixes → False
+    twin = rep(good, name="m2", subject=TermMapSpec(kind=IRI, template=B2 + "b/x{book_id}"))
+    assert not is_duplicate_free(
+        MappingSpec(maps={"m": good, "m2": twin}, base=B2), cat
+    )
+    # disjoint prefixes → True
+    other = rep(good, name="m2", subject=TermMapSpec(kind=IRI, template=B2 + "c/{book_id}"))
+    assert is_duplicate_free(
+        MappingSpec(maps={"m": good, "m2": other}, base=B2), cat
+    )
+
+    # empirical: auto == distinct=True for the accepted spec
+    a = sorted(collect_ntriples(run_mapping(spec, cat, distinct="auto")))
+    b = sorted(collect_ntriples(run_mapping(spec, cat, distinct=True)))
+    assert a == b and len(a) == len(set(a))
