@@ -1163,14 +1163,17 @@ def q_graph_diff_events(sf_dir: str) -> rd.Dataset:
         )
         return MappingSpec(maps={"ev": tm}, base=BASE)
 
-    new = run_mapping(spec_for(None), cat, distinct_buckets=8)
+    # distinct=False on both sides: graph_diff's tagged set-op dedups
+    # each side itself (per-block combiner + post-shuffle merge), so the
+    # upstream set-semantics shuffles would be two redundant exchanges
+    new = run_mapping(spec_for(None), cat, distinct=False)
     old = run_mapping(
         spec_for(
             "SELECT event_id, event_type FROM events"
             " WHERE event_type <> 'click'"
         ),
         cat,
-        distinct_buckets=8,
+        distinct=False,
     )
     return to_term_columns(graph_diff(new, old, num_buckets=8))
 

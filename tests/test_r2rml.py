@@ -347,3 +347,72 @@ def test_is_duplicate_free_analysis(ray_session):
     a = sorted(collect_ntriples(run_mapping(spec, cat, distinct="auto")))
     b = sorted(collect_ntriples(run_mapping(spec, cat, distinct=True)))
     assert a == b and len(a) == len(set(a))
+
+
+def test_duplicate_free_proof_never_false_positive(ray_session):
+    """Soundness grid for the distinct="auto" optimizer: over a lattice
+    of spec shapes, whenever the proof says duplicate-free, the actual
+    run (with the distinct stage DISABLED) must contain no duplicate
+    triples. (Completeness is not required — False just keeps the
+    shuffle — but a false True would silently break set semantics.)"""
+    from dataclasses import replace as rep
+
+    from p5_rdf_rdb2rdf_ray.engine.runner import is_duplicate_free, run_mapping
+    from p5_rdf_rdb2rdf_ray.mapping.spec import (
+        BNODE,
+        IRI,
+        LITERAL,
+        MappingSpec,
+        PredObjSpec,
+        TermMapSpec,
+        TriplesMapSpec,
+    )
+    from p5_rdf_rdb2rdf_ray.sinks.ntriples import collect_ntriples
+    from p5_rdf_rdb2rdf_ray.sources.catalog import TableLayout
+
+    B2 = "http://y.org/"
+    # duplicate VALUES in a non-key column make non-injective subjects
+    # actually collide at runtime, not just in theory
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "grp": pa.array(["a", "a", "b"]),
+        }
+    )
+    cat = Catalog(
+        root="", tables={"t": t}, layouts={"t": TableLayout(pkey=("id",))}
+    )
+    subjects = [
+        TermMapSpec(kind=IRI, template=B2 + "t/{id}"),        # injective
+        TermMapSpec(kind=IRI, template=B2 + "g/{grp}"),       # collides
+        TermMapSpec(kind=IRI, template=B2 + "{id}{grp}"),     # ambiguous
+        TermMapSpec(kind=IRI, constant=B2 + "one"),           # constant
+        TermMapSpec(kind=BNODE, skolem_scope="t"),            # row bnode
+    ]
+    pom = lambda pred, col: PredObjSpec(
+        pred=TermMapSpec(kind=IRI, constant=B2 + pred),
+        obj=TermMapSpec(kind=LITERAL, column=col),
+    )
+    pred_sets = [
+        (pom("p1", "grp"),),
+        (pom("p1", "grp"), pom("p1", "id")),  # duplicate predicate
+        (pom("p1", "grp"), pom("p2", "id")),
+    ]
+    checked = accepted = 0
+    for sub in subjects:
+        for pos in pred_sets:
+            for classes in ((), (B2 + "T",)):
+                tm = TriplesMapSpec(
+                    name="m", table="t", subject=sub, classes=classes, pos=pos
+                )
+                spec = MappingSpec(maps={"m": tm}, base=B2)
+                checked += 1
+                if not is_duplicate_free(spec, cat):
+                    continue
+                accepted += 1
+                lines = collect_ntriples(
+                    run_mapping(spec, cat, distinct=False)
+                )
+                assert len(lines) == len(set(lines)), (sub, pos, classes)
+    # the grid must exercise both outcomes
+    assert accepted >= 4 and accepted < checked
