@@ -316,14 +316,11 @@ def _star_groups(
     leftover: list[tuple] = []
     for pat in patterns:
         s, p, o = pat
+        obj_ok = (_is_var(o) and o != s) or (
+            isinstance(o, tuple) and o and o[0] == "lit"
+        )
         table = None
-        if (
-            _is_var(s)
-            and isinstance(p, str)
-            and not _is_var(p)
-            and _is_var(o)
-            and o != s
-        ):
+        if _is_var(s) and isinstance(p, str) and not _is_var(p) and obj_ok:
             dec = decode_predicate(p, base)
             decr = decode_ref_predicate(p, base)
             if dec is not None and dec[0] in known:
@@ -335,15 +332,20 @@ def _star_groups(
             continue
         key = (s[1:], table)
         grp = groups.setdefault(key, [])
-        if any(o[1:] == ov for _, ov in grp):
+        item = o[1:] if _is_var(o) else o  # var name | ("lit", value)
+        if isinstance(item, str) and any(
+            it == item for _, it in grp if isinstance(it, str)
+        ):
             leftover.append(pat)  # repeated object var → generic path
         else:
-            grp.append((p, o[1:]))
+            grp.append((p, item))
     units = []
     for (svar, table), items in groups.items():
         if len(items) < 2:  # no fusion win — back to the generic path
-            p, ovar = items[0]
-            leftover.append(("?" + svar, p, "?" + ovar))
+            p, it = items[0]
+            leftover.append(
+                ("?" + svar, p, "?" + it if isinstance(it, str) else it)
+            )
             continue
         units.append(_fused_star_unit(catalog, base, svar, table, items))
     return units, leftover
@@ -382,29 +384,39 @@ def _fused_star_unit(
         return _star_pivot(df, plan, svar)
 
     bnd = triples.map_batches(pivot, batch_format="pandas")
-    new_vars = [svar] + [v for _, v in plan]
-    return bnd, new_vars, {v for _, v in plan}
+    obj_vars = [v for _, v in plan if isinstance(v, str)]
+    return bnd, [svar] + obj_vars, set(obj_vars)
 
 
 def _star_pivot(df, plan: tuple, svar: str) -> pa.Table:
     """Merge one subject-complete triple frame into star bindings: one
-    column per (pred → var) item, inner-merged on the subject. Exact
-    iff every triple of a subject is inside ``df`` (row-local DM batch,
-    or whole subject-hash store buckets)."""
+    column per (pred → var) item, inner-merged on the subject; a
+    ``("lit", value)`` item filters subjects by lexical equality on the
+    emitted term (exactly :func:`get_statements`' bound-object semantic
+    gate) and binds nothing. Exact iff every triple of a subject is
+    inside ``df`` (row-local DM batch, or whole subject-hash store
+    buckets)."""
     import pandas as pd
 
+    from ..terms import KIND_LITERAL
     from .distinct import to_clean_arrow
 
     out = None
-    for pred, var in plan:
+    for pred, o in plan:
         sel = df[df["pred"] == pred]
-        sel = pd.DataFrame(
-            {
-                "subj": sel["subj"],
-                var: sel["obj"],
-                f"__k_{var}": sel["obj_kind"],
-            }
-        )
+        if isinstance(o, tuple):  # ("lit", value) existence filter
+            sel = sel[
+                (sel["obj"] == str(o[1]))
+                & (sel["obj_kind"] == KIND_LITERAL)
+            ][["subj"]]
+        else:
+            sel = pd.DataFrame(
+                {
+                    "subj": sel["subj"],
+                    o: sel["obj"],
+                    f"__k_{o}": sel["obj_kind"],
+                }
+            )
         out = sel if out is None else out.merge(sel, on="subj", how="inner")
     return to_clean_arrow(out.rename(columns={"subj": svar}))
 
@@ -489,25 +501,27 @@ def _store_star_groups(
     leftover: list[tuple] = []
     for pat in patterns:
         s, p, o = pat
-        if (
-            _is_var(s)
-            and isinstance(p, str)
-            and not _is_var(p)
-            and _is_var(o)
-            and o != s
-        ):
+        obj_ok = (_is_var(o) and o != s) or (
+            isinstance(o, tuple) and o and o[0] == "lit"
+        )
+        if _is_var(s) and isinstance(p, str) and not _is_var(p) and obj_ok:
             grp = groups.setdefault(s[1:], [])
-            if any(o[1:] == ov for _, ov in grp):
+            item = o[1:] if _is_var(o) else o
+            if isinstance(item, str) and any(
+                it == item for _, it in grp if isinstance(it, str)
+            ):
                 leftover.append(pat)  # repeated object var → generic path
             else:
-                grp.append((p, o[1:]))
+                grp.append((p, item))
         else:
             leftover.append(pat)
     units = []
     for svar, items in groups.items():
         if len(items) < 2:  # no fusion win
-            p, ov = items[0]
-            leftover.append(("?" + svar, p, "?" + ov))
+            p, it = items[0]
+            leftover.append(
+                ("?" + svar, p, "?" + it if isinstance(it, str) else it)
+            )
             continue
         units.append(_fused_store_star_unit(store_dir, svar, items))
     return units, leftover
@@ -520,8 +534,9 @@ def _fused_store_star_unit(
 
     preds = [p for p, _ in items]
     plan = tuple(items)
-    new_vars = [svar] + [v for _, v in plan]
-    kinds = {v for _, v in plan}
+    obj_vars = [v for _, v in plan if isinstance(v, str)]
+    new_vars = [svar] + obj_vars
+    kinds = set(obj_vars)
     bucket_dirs = [
         os.path.join(store_dir, n)
         for n in sorted(os.listdir(store_dir))

@@ -561,3 +561,38 @@ def test_store_star_fusion_matches_source(ray_session, dm_catalog, tmp_path):
         for r in get_pattern_store(out, pats).take_all()
     }
     assert got == want and len(got) == 2  # dept 2 dropped (NULL city)
+
+
+def test_star_fusion_bound_literal(ray_session, dm_catalog):
+    """A ("lit", value) pattern fuses into its subject's star group as an
+    existence filter with the same lexical-equality semantics as the
+    generic bound-object gate (typed literals match on lexical form)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        _star_groups,
+        get_pattern,
+        get_statements,
+        _bgp_join,
+    )
+
+    pats = [
+        ("?e", B + "dm_emp#ename", "?n"),
+        ("?e", B + "dm_emp#dept_id", ("lit", "1")),  # int column, lexical "1"
+    ]
+    units, rest = _star_groups(dm_catalog, pats, B)
+    assert len(units) == 1 and rest == []
+    got = get_pattern(dm_catalog, pats, base=B).to_pandas()
+    assert sorted(got["n"]) == ["a", "b"]  # emps 1,2 are in dept 1
+
+    def stmt_fn(**kw):
+        return get_statements(dm_catalog, base=B, **kw)
+
+    generic = _bgp_join(stmt_fn, pats, 4).to_pandas()
+    assert sorted(generic["n"]) == sorted(got["n"])
+    # non-matching lexical form ("01" is not the canonical int lexical)
+    none = get_pattern(
+        dm_catalog,
+        [("?e", B + "dm_emp#ename", "?n"),
+         ("?e", B + "dm_emp#dept_id", ("lit", "01"))],
+        base=B,
+    ).to_pandas()
+    assert len(none) == 0
