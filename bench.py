@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "langid_docs",
     "window_events",
     "asof_events_orders",
+    "range_join_orders",
     "near_dedup_docs",
     "clean_corpus_docs",
     "decontaminate_docs",

@@ -1233,6 +1233,55 @@ FROM events e ASOF JOIN o
 """
 
 
+def q_range_join_orders(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join: each order matched to the price band
+    whose [lo, hi) contains its total price. Bands are derived from
+    nation keys (25 disjoint 20k-wide cells covering the price domain)
+    so the oracle runs over the same stock tables."""
+    import pyarrow as pa
+
+    from ..stages.asof import range_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    bands = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "band_id": t.column("n_nationkey").cast(pa.int64()),
+                "lo": pc_mul(t.column("n_nationkey"), 20000.0),
+                "hi": pc_mul(
+                    pa.compute.add(t.column("n_nationkey"), 1), 20000.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        orders, bands,
+        value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        left_cols=["o_orderkey"], right_cols=["band_id"],
+        bucket_width=20000.0, num_partitions=8,
+        out_dtypes={"o_orderkey": "int64", "band_id": "int64"},
+    )
+
+
+def pc_mul(arr, x: float):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.multiply(arr.cast(pa.float64()), x)
+
+
+SQL_RANGE_JOIN_ORDERS = """
+SELECT o.o_orderkey, b.band_id
+FROM orders o JOIN (
+  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+         CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+         (CAST(n_nationkey AS DOUBLE) + 1) * 20000.0 AS hi
+  FROM nation
+) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+"""
+
+
 def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
     """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
     from ..stages.textstats import winnow_fingerprints
@@ -1763,6 +1812,7 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
+    "range_join_orders": q_range_join_orders,
     "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -1818,6 +1868,7 @@ ORACLES = {
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
+    "range_join_orders": SQL_RANGE_JOIN_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "near_dedup_docs": SQL_NEAR_DEDUP_DOCS,

@@ -1379,3 +1379,36 @@ def test_quantile_summary_merge_is_weight_aware():
     # median of the merged population (100k zeros + 100 ones) is 0
     assert v[len(v) // 2] == 0.0
     assert np.isclose(w * len(v), 100_100, rtol=0.02)
+
+
+def test_range_join_semantics(ray_session):
+    """Interval-join semantics: lo inclusive / hi exclusive, intervals
+    spanning many grid cells match once (no duplicate from replication),
+    overlapping intervals multiply, empty/degenerate intervals drop."""
+    from p5_rdf_rdb2rdf_ray.stages.asof import range_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"id": [1, 2, 3, 4], "v": [0.0, 9.99, 10.0, 55.0]})
+    ).repartition(3)
+    right = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "r": ["a", "b", "wide", "empty"],
+                "lo": [0.0, 10.0, 5.0, 7.0],
+                "hi": [10.0, 20.0, 60.0, 7.0],  # empty: hi == lo
+            }
+        )
+    )
+    out = range_join(
+        left, right, "v", "lo", "hi",
+        left_cols=["id"], right_cols=["r"],
+        bucket_width=4.0, num_partitions=4,
+        out_dtypes={"id": "int64"},
+    ).to_pandas()
+    pairs = sorted(map(tuple, out[["id", "r"]].values.tolist()))
+    assert pairs == [
+        (1, "a"),            # v=0 in [0,10)
+        (2, "a"), (2, "wide"),  # v=9.99 in [0,10) and [5,60)
+        (3, "b"), (3, "wide"),  # v=10 excluded from [0,10), in [10,20)
+        (4, "wide"),         # v=55 only in [5,60) — spans 14 cells, ONE row
+    ]
