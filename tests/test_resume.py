@@ -322,3 +322,54 @@ def test_store_contexts(ray_session, tmp_path):
     empty = str(tmp_path / "empty_store")
     os.makedirs(empty)
     assert store_contexts(empty).to_pandas().empty
+
+
+def test_compact_crash_windows_heal(ray_session, tmp_path):
+    """Both compaction crash windows heal on re-run: (a) a stale staged
+    ``.inprogress`` file is never read and a re-run still compacts; (b)
+    a crash after the staged rename but before old-part removal leaves
+    transient duplicates that the next compaction dedups away."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        compact_triplestore,
+        merge_triplestore,
+        write_triplestore,
+    )
+
+    txa = generate_transcripts(12, seed=6)
+    txb = generate_transcripts(8, seed=66)
+    store = str(tmp_path / "store")
+    write_triplestore(build_kg(rd.from_arrow(txa), distinct=False), store,
+                      num_buckets=4, input_fp="a", resume=False)
+    merge_triplestore(build_kg(rd.from_arrow(txb), distinct=False), store,
+                      input_fp="b")
+    before = set(collect_ntriples(read_triplestore(store)))
+    buckets = sorted(glob.glob(os.path.join(store, "bucket=*")))
+    multi = [
+        d for d in buckets
+        if len(glob.glob(os.path.join(d, "part-*.parquet"))) > 1
+    ]
+    assert multi
+
+    # window (a): stale staged file from a pre-commit crash
+    victim = multi[0]
+    stale = os.path.join(victim, "part-deadbeef.parquet.inprogress")
+    pq.write_table(
+        pq.read_table(glob.glob(os.path.join(victim, "part-*.parquet"))[0]),
+        stale,
+    )
+    assert set(collect_ntriples(read_triplestore(store))) == before
+
+    # window (b): duplicate a committed part (rename done, removal not)
+    dup_src = glob.glob(os.path.join(multi[-1], "part-*.parquet"))[0]
+    pq.write_table(pq.read_table(dup_src),
+                   os.path.join(multi[-1], "part-ffffffff.parquet"))
+
+    compact_triplestore(store)
+    # stale staged file ignored by readers and by compaction commits
+    assert set(collect_ntriples(read_triplestore(store))) == before
+    for d in buckets:
+        assert len(glob.glob(os.path.join(d, "part-*.parquet"))) <= 1
