@@ -299,39 +299,43 @@ class _BroadcastInner:
         return t.join(self.right, keys=self.keys, join_type="inner")
 
 
-def _star_groups(
-    catalog: Catalog, patterns: list[tuple], base: str
-) -> tuple[list, list]:
-    """Star-join pushdown planner: patterns that share one subject
-    variable and whose bound predicates decode to the SAME Direct-Mapping
-    table are served by ONE scan of that table (subject minted once, one
-    binding column per pattern) instead of one scan + one broadcast join
-    per pattern. Eligible: var subject, bound column/ref predicate, var
-    object distinct from the subject and from the group's other object
-    vars. Bound-object patterns stay on the generic path — its parquet
-    value pushdown is the better plan for them. Returns
-    ``(fused_units, leftover_patterns)``."""
-    known = set(catalog.table_names())
+# variable names the star pivot cannot bind without clobbering its own
+# working columns (the triple schema + hidden __-prefixed columns) —
+# such patterns stay on the generic path, which handles them correctly
+_RESERVED_BINDING_NAMES = frozenset(
+    ["subj", "pred", "obj", "obj_kind", "lang", "datatype", "graph"]
+)
+
+
+def _fusable_var(name: str) -> bool:
+    return name not in _RESERVED_BINDING_NAMES and not name.startswith("__")
+
+
+def _group_star_patterns(patterns: list[tuple], resolve) -> tuple[list, list]:
+    """Shared star-group planner core. ``resolve(pred)`` returns the
+    group scope (the DM table for source BGPs, a constant for the store)
+    or None when the predicate cannot be served by a fused scan.
+    Eligible patterns: var subject, bound predicate, and a var object
+    distinct from the subject and the group's other object vars — or a
+    ``("lit", value)`` bound literal (joins the group as an existence
+    filter). Returns ``([(svar, scope, items)], leftover_patterns)``;
+    groups of one pattern fall back to the generic path."""
     groups: dict[tuple[str, str], list] = {}
     leftover: list[tuple] = []
     for pat in patterns:
         s, p, o = pat
-        obj_ok = (_is_var(o) and o != s) or (
+        obj_ok = (_is_var(o) and o != s and _fusable_var(o[1:])) or (
             isinstance(o, tuple) and o and o[0] == "lit"
         )
-        table = None
+        if _is_var(s) and not _fusable_var(s[1:]):
+            obj_ok = False
+        scope = None
         if _is_var(s) and isinstance(p, str) and not _is_var(p) and obj_ok:
-            dec = decode_predicate(p, base)
-            decr = decode_ref_predicate(p, base)
-            if dec is not None and dec[0] in known:
-                table = dec[0]
-            elif decr is not None and decr[0] in known:
-                table = decr[0]
-        if table is None:
+            scope = resolve(p)
+        if scope is None:
             leftover.append(pat)
             continue
-        key = (s[1:], table)
-        grp = groups.setdefault(key, [])
+        grp = groups.setdefault((s[1:], scope), [])
         item = o[1:] if _is_var(o) else o  # var name | ("lit", value)
         if isinstance(item, str) and any(
             it == item for _, it in grp if isinstance(it, str)
@@ -339,15 +343,44 @@ def _star_groups(
             leftover.append(pat)  # repeated object var → generic path
         else:
             grp.append((p, item))
-    units = []
-    for (svar, table), items in groups.items():
+    fused = []
+    for (svar, scope), items in groups.items():
         if len(items) < 2:  # no fusion win — back to the generic path
             p, it = items[0]
             leftover.append(
                 ("?" + svar, p, "?" + it if isinstance(it, str) else it)
             )
             continue
-        units.append(_fused_star_unit(catalog, base, svar, table, items))
+        fused.append((svar, scope, items))
+    return fused, leftover
+
+
+def _star_groups(
+    catalog: Catalog, patterns: list[tuple], base: str
+) -> tuple[list, list]:
+    """Star-join pushdown planner: patterns that share one subject
+    variable and whose bound predicates decode to the SAME Direct-Mapping
+    table are served by ONE scan of that table (subject minted once, one
+    binding column per pattern) instead of one scan + one broadcast join
+    per pattern. Bound-IRI-object patterns stay on the generic path —
+    its parquet value pushdown is the better plan for them. Returns
+    ``(fused_units, leftover_patterns)``."""
+    known = set(catalog.table_names())
+
+    def resolve(p: str) -> str | None:
+        dec = decode_predicate(p, base)
+        if dec is not None and dec[0] in known:
+            return dec[0]
+        decr = decode_ref_predicate(p, base)
+        if decr is not None and decr[0] in known:
+            return decr[0]
+        return None
+
+    fused, leftover = _group_star_patterns(patterns, resolve)
+    units = [
+        _fused_star_unit(catalog, base, svar, table, items)
+        for svar, table, items in fused
+    ]
     return units, leftover
 
 
@@ -360,12 +393,13 @@ def _fused_star_unit(
 ) -> tuple[rd.Dataset, list[str], set[str]]:
     """ONE scan serves every pattern of a star group: the DM map
     restricted to the group's predicates runs once (no distinct — DM is
-    duplicate-free), and a per-batch pivot inner-merges the bindings on
-    the subject WITHIN each batch. That merge is exact because the
-    expansion is row-local: all triples of a source row land in the
-    batch that row was in, and DM subjects are row-unique. No shuffle,
-    no broadcast, no driver materialization."""
-    from .runner import run_mapping
+    duplicate-free), and the pivot inner-merges the bindings on the
+    subject INSIDE the expansion UDF (``plan_triples_map(post_batch=)``)
+    — fused in the same task so Ray's output block splitting can never
+    separate a source row's triples before the merge; DM subjects are
+    row-unique, so the within-batch merge is exact. No shuffle, no
+    broadcast, no driver materialization."""
+    from .runner import plan_triples_map
 
     wanted = {p for p, _ in items}
     spec = direct_mapping(catalog, base=base)
@@ -377,13 +411,12 @@ def _fused_star_unit(
         classes=(),
     )
     spec2 = MappingSpec(maps={**spec.maps, table: tm2}, base=spec.base)
-    triples = run_mapping(spec2, catalog, distinct=False, only_maps=[table])
     plan = tuple(items)
 
-    def pivot(df: pd.DataFrame) -> pa.Table:
-        return _star_pivot(df, plan, svar)
+    def pivot(t: pa.Table) -> pa.Table:
+        return _star_pivot(t.to_pandas(), plan, svar)
 
-    bnd = triples.map_batches(pivot, batch_format="pandas")
+    bnd = plan_triples_map(tm2, spec2, catalog, post_batch=pivot)
     obj_vars = [v for _, v in plan if isinstance(v, str)]
     return bnd, [svar] + obj_vars, set(obj_vars)
 
@@ -497,33 +530,11 @@ def _store_star_groups(
     with a ``pred IN (…)`` row filter and pivots, which is exact because
     a subject's triples never span buckets (subject-hash partitioning).
     No per-pattern scans, no joins, no shuffle."""
-    groups: dict[str, list] = {}
-    leftover: list[tuple] = []
-    for pat in patterns:
-        s, p, o = pat
-        obj_ok = (_is_var(o) and o != s) or (
-            isinstance(o, tuple) and o and o[0] == "lit"
-        )
-        if _is_var(s) and isinstance(p, str) and not _is_var(p) and obj_ok:
-            grp = groups.setdefault(s[1:], [])
-            item = o[1:] if _is_var(o) else o
-            if isinstance(item, str) and any(
-                it == item for _, it in grp if isinstance(it, str)
-            ):
-                leftover.append(pat)  # repeated object var → generic path
-            else:
-                grp.append((p, item))
-        else:
-            leftover.append(pat)
-    units = []
-    for svar, items in groups.items():
-        if len(items) < 2:  # no fusion win
-            p, it = items[0]
-            leftover.append(
-                ("?" + svar, p, "?" + it if isinstance(it, str) else it)
-            )
-            continue
-        units.append(_fused_store_star_unit(store_dir, svar, items))
+    fused, leftover = _group_star_patterns(patterns, lambda p: "store")
+    units = [
+        _fused_store_star_unit(store_dir, svar, items)
+        for svar, _scope, items in fused
+    ]
     return units, leftover
 
 

@@ -70,8 +70,17 @@ def plan_triples_map(
     *,
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
     hash_join_partitions: int = 32,
+    post_batch=None,
 ) -> rd.Dataset:
-    """One triples map → a Dataset of triple rows (no distinct yet)."""
+    """One triples map → a Dataset of triple rows (no distinct yet).
+
+    ``post_batch`` (pa.Table → pa.Table) fuses a consumer into the SAME
+    map UDF as the triple expansion. This is the only way a downstream
+    step can rely on row-locality of the expansion: Ray splits map
+    OUTPUT blocks at ``target_max_block_size``, and the expansion emits
+    pattern-major, so a split can separate one source row's triples
+    across blocks — inside the UDF the full expansion of the batch is
+    still in hand (the BGP star pivot depends on this)."""
     subj, needs_rowid = _resolve_subject(tmap, catalog)
     tmap = replace(tmap, subject=subj)
 
@@ -162,9 +171,15 @@ def plan_triples_map(
             )
 
     compiled = CompiledMap(tmap)
-    return ds.map_batches(
-        compiled, batch_format="pyarrow", zero_copy_batch=True
-    )
+    if post_batch is None:
+        return ds.map_batches(
+            compiled, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def fused(t: pa.Table, _c=compiled, _p=post_batch) -> pa.Table:
+        return _p(_c(t))
+
+    return ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _IRI_SAFE_ALPHABET = frozenset(
@@ -181,9 +196,13 @@ def _injective_subject(tm: TriplesMapSpec, catalog: Catalog) -> bool:
         return False
     if sub.kind == BNODE:
         # fresh-per-row skolem bnode (label embeds row identity); a
-        # VALUE-based bnode (template/column label) is not row-unique
+        # VALUE-based bnode (template/column label) is not row-unique,
+        # and neither are explicit skolem_cols (caller-chosen columns
+        # with no uniqueness guarantee — e.g. the flagship's mention
+        # bnodes): only the pk/rowid-resolved scope-only form qualifies
         return (
             sub.skolem_scope is not None
+            and not sub.skolem_cols
             and sub.template is None
             and sub.column is None
             and sub.constant is None
@@ -208,8 +227,16 @@ def _injective_subject(tm: TriplesMapSpec, catalog: Catalog) -> bool:
     if not pk <= cols:
         return False
     # adjacent placeholders must be separated by literal text containing
-    # a character OUTSIDE the IRI-safe output alphabet (unreserved + %),
-    # so the filled string decomposes unambiguously → value equality
+    # an ASCII character OUTSIDE the IRI-safe output alphabet
+    # (unreserved + %), so the filled string decomposes unambiguously →
+    # value equality. ASCII-only test: iri_safe_encode leaves RFC 3987
+    # ucschar (non-ASCII) verbatim in VALUES, so a non-ASCII separator
+    # can also appear inside a value and does not delimit.
+    def _hard_sep(text: str) -> bool:
+        return any(
+            ord(ch) < 128 and ch not in _IRI_SAFE_ALPHABET for ch in text
+        )
+
     for i, (k, _) in enumerate(segs):
         if k != "col" or i + 1 >= len(segs):
             continue
@@ -217,7 +244,7 @@ def _injective_subject(tm: TriplesMapSpec, catalog: Catalog) -> bool:
         if nk == "col":
             return False
         if i + 2 < len(segs) and segs[i + 2][0] == "col":
-            if not (set(ntext) - _IRI_SAFE_ALPHABET):
+            if not _hard_sep(ntext):
                 return False
     return True
 

@@ -551,13 +551,13 @@ def compact_triplestore(out_dir: str) -> dict:
             continue
         d, staged, old_parts, rows = r
         final = staged[: -len(".inprogress")]
-        # commit order: new part visible FIRST, then old parts removed —
-        # a crash in between shows duplicates at worst transiently, and
-        # re-running compaction heals it (set semantics restore on read
-        # via the per-bucket dedup of the next compact/merge)
+        # commit order: new part visible FIRST, manifest SECOND, old
+        # parts removed LAST. A crash in either window leaves >1 part in
+        # the bucket, so the next compact_triplestore run re-compacts it
+        # (dedup restores set semantics) and rewrites the manifest —
+        # removing old parts before the manifest would instead strand a
+        # single-part bucket with a stale manifest that no re-run heals.
         os.replace(os.path.join(d, staged), os.path.join(d, final))
-        for p in old_parts:
-            os.remove(os.path.join(d, p))
         mpath = os.path.join(d, "_MANIFEST.json")
         manifest = {}
         if os.path.exists(mpath):
@@ -573,6 +573,8 @@ def compact_triplestore(out_dir: str) -> dict:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mpath)
+        for p in old_parts:
+            os.remove(os.path.join(d, p))
         compacted.append(os.path.basename(d))
         rows_total += rows
     return {"buckets_compacted": compacted, "rows_in_compacted": rows_total}
@@ -650,21 +652,9 @@ def lookup_store(
     return pads.dataset(parts).to_table(filter=flt)
 
 
-def _store_parts(out_dir: str) -> list[str]:
-    """All committed part files of a store, in stable order."""
-    parts = []
-    for name in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, name)
-        if name.startswith("bucket=") and os.path.isdir(d):
-            parts.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
-    return parts
-
-
 def read_triplestore(out_dir: str) -> rd.Dataset:
+    # _store_parts (defined below, subject-pruning variant) lists all
+    # committed parts when no subject is bound
     return rd.read_parquet(_store_parts(out_dir))
 
 

@@ -596,3 +596,41 @@ def test_star_fusion_bound_literal(ray_session, dm_catalog):
         base=B,
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_star_fusion_survives_block_splits(ray_session, dm_catalog):
+    """The pivot is fused into the expansion UDF, so Ray's output block
+    splitting (forced here with a tiny target_max_block_size) can never
+    separate a source row's triples before the within-batch merge."""
+    import ray.data as rdd
+
+    ctx = rdd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 1024  # force aggressive output splits
+    try:
+        from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+        pats = [
+            ("?e", B + "dm_emp#ename", "?n"),
+            ("?e", B + "dm_emp#dept_id", "?dk"),
+        ]
+        got = get_pattern(dm_catalog, pats, base=B).to_pandas()
+        assert sorted(got["n"]) == ["a", "b", "c", "d"]  # emp 5: NULL dept
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_star_fusion_reserved_var_falls_back(ray_session, dm_catalog):
+    """An object variable named like a triple column (?subj) must not be
+    fused (the pivot's working frame would clobber it) — the generic
+    path serves it with correct bindings."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import _star_groups, get_pattern
+
+    pats = [
+        ("?d", B + "dm_dept#dname", "?subj"),
+        ("?d", B + "dm_dept#city", "?c"),
+    ]
+    units, rest = _star_groups(dm_catalog, pats, B)
+    assert not units and len(rest) == 2  # ?subj blocks the whole group's win
+    got = get_pattern(dm_catalog, pats, base=B).to_pandas()
+    assert sorted(got["subj"]) == ["eng", "hr"]

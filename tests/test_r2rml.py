@@ -416,3 +416,55 @@ def test_duplicate_free_proof_never_false_positive(ray_session):
                 assert len(lines) == len(set(lines)), (sub, pos, classes)
     # the grid must exercise both outcomes
     assert accepted >= 4 and accepted < checked
+
+
+def test_duplicate_free_proof_rejects_new_holes(ray_session):
+    """Two proof holes found by review: (a) explicit skolem_cols carry
+    no row-uniqueness guarantee; (b) a non-ASCII separator is NOT an
+    unambiguous delimiter because iri_safe_encode leaves ucschar
+    verbatim inside values."""
+    from p5_rdf_rdb2rdf_ray.engine.runner import is_duplicate_free
+    from p5_rdf_rdb2rdf_ray.mapping.spec import (
+        BNODE,
+        IRI,
+        LITERAL,
+        MappingSpec,
+        PredObjSpec,
+        TermMapSpec,
+        TriplesMapSpec,
+    )
+    from p5_rdf_rdb2rdf_ray.sources.catalog import TableLayout
+
+    B2 = "http://z.org/"
+    cat = Catalog(
+        root="",
+        tables={"t": pa.table({"a": ["x"], "b": ["y"], "g": ["v"]})},
+        layouts={"t": TableLayout(pkey=("a", "b"))},
+    )
+    pom = (
+        PredObjSpec(
+            pred=TermMapSpec(kind=IRI, constant=B2 + "p"),
+            obj=TermMapSpec(kind=LITERAL, column="g"),
+        ),
+    )
+    # (a) value-based skolem bnode over a non-unique column
+    tm = TriplesMapSpec(
+        name="m", table="t",
+        subject=TermMapSpec(kind=BNODE, skolem_scope="t", skolem_cols=("g",)),
+        pos=pom,
+    )
+    assert not is_duplicate_free(MappingSpec(maps={"m": tm}, base=B2), cat)
+    # (b) ucschar separator between adjacent placeholders
+    tm2 = TriplesMapSpec(
+        name="m", table="t",
+        subject=TermMapSpec(kind=IRI, template=B2 + "{a}é{b}"),
+        pos=pom,
+    )
+    assert not is_duplicate_free(MappingSpec(maps={"m": tm2}, base=B2), cat)
+    # control: an ASCII reserved-char separator still proves
+    tm3 = TriplesMapSpec(
+        name="m", table="t",
+        subject=TermMapSpec(kind=IRI, template=B2 + "{a}/{b}"),
+        pos=pom,
+    )
+    assert is_duplicate_free(MappingSpec(maps={"m": tm3}, base=B2), cat)

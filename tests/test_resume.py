@@ -372,4 +372,11 @@ def test_compact_crash_windows_heal(ray_session, tmp_path):
     # stale staged file ignored by readers and by compaction commits
     assert set(collect_ntriples(read_triplestore(store))) == before
     for d in buckets:
-        assert len(glob.glob(os.path.join(d, "part-*.parquet"))) <= 1
+        parts = glob.glob(os.path.join(d, "part-*.parquet"))
+        assert len(parts) <= 1
+        # commit order guarantees the manifest always lists live parts
+        # after a re-run (manifest written BEFORE old-part removal)
+        mpath = os.path.join(d, "_MANIFEST.json")
+        if parts and os.path.exists(mpath):
+            man = json.load(open(mpath))
+            assert man["parts"] == [os.path.basename(parts[0])]
