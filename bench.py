@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "join_orders_customer",
     "anti_join_customers",
     "bgp_filter",
+    "bgp_optional",
     "graph_diff_events",
     "bgp_store",
     "store_contexts",

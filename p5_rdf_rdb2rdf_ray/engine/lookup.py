@@ -282,11 +282,12 @@ class _BroadcastInner:
     usage profile; Ray's Dataset.join is avoided (it breaks on empty
     right partitions)."""
 
-    def __init__(self, right_ref, keys):
+    def __init__(self, right_ref, keys, join_type: str = "inner"):
         import ray
 
         self.right = ray.get(right_ref)
         self.keys = list(keys)
+        self.join_type = join_type
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -296,7 +297,7 @@ class _BroadcastInner:
                         name, pa.array([], self.right.schema.field(name).type)
                     )
             return t
-        return t.join(self.right, keys=self.keys, join_type="inner")
+        return t.join(self.right, keys=self.keys, join_type=self.join_type)
 
 
 # variable names the star pivot cannot bind without clobbering its own
@@ -460,6 +461,7 @@ def get_pattern(
     base: str = "http://example.com/base/",
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
+    optional: list[tuple] | None = None,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -490,8 +492,12 @@ def get_pattern(
         )
 
     units, rest = _star_groups(catalog, patterns, base)
+    o_units, o_rest = (
+        _star_groups(catalog, optional, base) if optional else ([], [])
+    )
     return _bgp_join(
-        stmt_fn, rest, num_partitions, filters=filters, units=units
+        stmt_fn, rest, num_partitions, filters=filters, units=units,
+        optional=o_rest, optional_units=o_units,
     )
 
 
@@ -500,6 +506,7 @@ def get_pattern_store(
     patterns: list[tuple],
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
+    optional: list[tuple] | None = None,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -516,8 +523,12 @@ def get_pattern_store(
         return store_statements(store_dir, **kwargs)
 
     units, rest = _store_star_groups(store_dir, patterns)
+    o_units, o_rest = (
+        _store_star_groups(store_dir, optional) if optional else ([], [])
+    )
     return _bgp_join(
-        stmt_fn, rest, num_partitions, filters=filters, units=units
+        stmt_fn, rest, num_partitions, filters=filters, units=units,
+        optional=o_rest, optional_units=o_units,
     )
 
 
@@ -615,6 +626,9 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
             return to_clean_arrow(df)
         keep = pd.Series(True, index=df.index)
         for var, op, val in spec:
+            # SPARQL type-error semantics: an unbound (NULL — possible
+            # for OPTIONAL-group vars) binding never passes a FILTER
+            keep &= df[var].notna()
             if isinstance(val, bool) or not isinstance(val, (int, float)):
                 col = df[var].astype(str)
                 keep &= getattr(col, op)(str(val))
@@ -626,17 +640,22 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
     return acc.map_batches(f, batch_format="pandas")
 
 
-def _bgp_join(
+_NO_MATCH = object()  # a fully-bound pattern matched nothing
+
+
+def _bgp_acc(
     stmt_fn,
     patterns: list[tuple],
     num_partitions: int,
-    filters: list[tuple] | None = None,
     units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     broadcast_limit: int = 1_000_000,
-) -> rd.Dataset:
-    """Shared BGP core: per-pattern statement Datasets (``stmt_fn`` maps
-    bound-term kwargs → triples) joined on shared variables. See
-    :func:`get_pattern` for the binding/term-kind semantics.
+):
+    """Shared BGP accumulation: per-pattern statement Datasets
+    (``stmt_fn`` maps bound-term kwargs → triples) joined on shared
+    variables → ``(acc, vars, kind_vars)``; ``acc`` is None for an
+    empty pattern list and ``_NO_MATCH`` when a fully-bound pattern
+    matched nothing. See :func:`get_pattern` for the binding/term-kind
+    semantics.
 
     ``units`` are pre-built binding Datasets ``(ds, vars, kind_vars)``
     (e.g. fused star groups from :func:`_star_groups`); they fold FIRST,
@@ -652,7 +671,6 @@ def _bgp_join(
     import ray
 
     from ..terms import KIND_LITERAL
-    from .distinct import distinct_rows
 
     acc: rd.Dataset | None = None
     acc_vars: list[str] = []
@@ -682,7 +700,7 @@ def _bgp_join(
         if not slots:
             # fully bound pattern = existence filter
             if ds.count() == 0:
-                return rd.from_arrow(pa.table({}))
+                return _NO_MATCH, [], set()
             continue
 
         # does any var repeat across subj/pred AND obj within this pattern?
@@ -838,8 +856,131 @@ def _bgp_join(
             )
         acc_vars = list(dict.fromkeys(acc_vars + new_vars))
         acc_kinds |= new_kinds
-    if acc is None:
+    return acc, acc_vars, acc_kinds
+
+
+def _typed_empty_bindings(vars_: list[str], kinds: set[str]) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], pa.string()) for _ in vars_]
+        + [pa.array([], pa.uint8()) for _ in sorted(kinds)],
+        names=list(vars_) + [f"__k_{v}" for v in sorted(kinds)],
+    )
+
+
+def _bgp_join(
+    stmt_fn,
+    patterns: list[tuple],
+    num_partitions: int,
+    filters: list[tuple] | None = None,
+    units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    broadcast_limit: int = 1_000_000,
+    optional: list[tuple] | None = None,
+    optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+) -> rd.Dataset:
+    """Required BGP ⟕ optional BGP group → FILTER → distinct bindings.
+
+    ``optional`` (+ ``optional_units``) form ONE left-outer group
+    [graft extension beyond the reference Store's BGP surface —
+    SPARQL-OPTIONAL-shaped]: required solutions keep their row when the
+    group matches nothing, with the group's exclusive variables NULL.
+    Restriction (raises ValueError): every shared variable must carry
+    term-kind visibility on BOTH sides or NEITHER — a mixed pair cannot
+    be joined term-correctly without splitting required rows.
+    """
+    import ray
+
+    from .distinct import distinct_rows
+
+    acc, acc_vars, acc_kinds = _bgp_acc(
+        stmt_fn, patterns, num_partitions, units, broadcast_limit
+    )
+    if acc is _NO_MATCH or acc is None:
         return rd.from_arrow(pa.table({}))
+
+    if optional or optional_units:
+        oacc, ovars, okinds = _bgp_acc(
+            stmt_fn, optional or [], num_partitions, optional_units,
+            broadcast_limit,
+        )
+        if oacc is _NO_MATCH:
+            # a fully-bound pattern in the group matched nothing → the
+            # whole group is unmatched for every required solution: its
+            # exclusive variables (derived statically) extend as NULLs
+            ovars = [
+                t[1:]
+                for pat in (optional or [])
+                for t in pat
+                if _is_var(t)
+            ]
+            for _, uvars, _k in optional_units or []:
+                ovars.extend(uvars)
+            add = tuple(
+                v for v in dict.fromkeys(ovars) if v not in acc_vars
+            )
+            if add:
+                def null_extend(t: pa.Table, _a=add) -> pa.Table:
+                    for v in _a:
+                        t = t.append_column(
+                            v, pa.nulls(t.num_rows, pa.string())
+                        )
+                    return t
+
+                acc = acc.map_batches(null_extend, batch_format="pyarrow")
+                acc_vars = list(dict.fromkeys(acc_vars + list(add)))
+            oacc = None
+        if oacc is not None:
+            shared = [v for v in ovars if v in acc_vars]
+            for v in shared:
+                if (v in acc_kinds) != (v in okinds):
+                    raise ValueError(
+                        f"optional group shares ?{v} with mixed term-kind "
+                        "visibility; bind it in a non-literal position on "
+                        "both sides (or an object position on both)"
+                    )
+            if not shared:
+                raise ValueError(
+                    "optional group shares no variable with the required "
+                    "patterns (a left cross product is never intended)"
+                )
+            join_keys = list(shared) + [
+                f"__k_{v}" for v in shared if v in okinds
+            ]
+            batches, total, spill = [], 0, False
+            for b in oacc.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                batches.append(b)
+                total += b.num_rows
+                if total > broadcast_limit:
+                    spill = True
+                    break
+            if spill:
+                from .joins import hash_join
+
+                acc = hash_join(  # hash_join is LEFT OUTER already
+                    acc, oacc, join_keys, join_keys,
+                    num_partitions=max(num_partitions, 16),
+                )
+            else:
+                right = (
+                    pa.concat_tables(batches)
+                    if batches
+                    else _typed_empty_bindings(ovars, okinds)
+                )
+                rref = ray.put(right)
+                acc = acc.map_batches(
+                    _BroadcastInner,
+                    fn_constructor_kwargs={
+                        "right_ref": rref,
+                        "keys": join_keys,
+                        "join_type": "left outer",
+                    },
+                    batch_format="pyarrow",
+                    concurrency=(1, 4),
+                )
+            acc_vars = list(dict.fromkeys(acc_vars + ovars))
+            acc_kinds |= okinds
+
     if filters:
         acc = _apply_binding_filters(acc, filters)
     kind_cols = sorted(f"__k_{v}" for v in acc_kinds)

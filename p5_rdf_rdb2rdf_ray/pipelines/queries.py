@@ -389,6 +389,34 @@ def q_bgp_store(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bgp_optional(sf_dir: str) -> rd.Dataset:
+    """BGP with an OPTIONAL (left-outer) group [graft extension]: every
+    customer keeps its row; the nation-key binding appears only where
+    the group's BUILDING-segment existence filter matches (NULL
+    otherwise) — SPARQL-OPTIONAL-shaped over the Direct Mapping."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [("?c", BASE + "customer#c_custkey", "?k")],
+        base=BASE,
+        optional=[
+            ("?c", BASE + "customer#c_mktsegment", ("lit", "BUILDING")),
+            ("?c", BASE + "customer#c_nationkey", "?nk"),
+        ],
+    )
+
+
+SQL_BGP_OPTIONAL = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_custkey AS VARCHAR) AS k,
+       CASE WHEN c_mktsegment = 'BUILDING'
+            THEN CAST(c_nationkey AS VARCHAR) END AS nk
+FROM customer
+"""
+
+
 def q_store_contexts(sf_dir: str) -> rd.Dataset:
     """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
     RDF::Trine::Store interface]: write the rr:graphMap quads of
@@ -1784,6 +1812,7 @@ QUERIES = {
     "bgp_nation_region": q_bgp_nation_region,
     "bgp_filter": q_bgp_filter,
     "bgp_store": q_bgp_store,
+    "bgp_optional": q_bgp_optional,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
@@ -1844,6 +1873,7 @@ ORACLES = {
     "bgp_nation_region": SQL_BGP_NATION_REGION,
     "bgp_filter": SQL_BGP_FILTER,
     "bgp_store": SQL_BGP_NATION_REGION,
+    "bgp_optional": SQL_BGP_OPTIONAL,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,

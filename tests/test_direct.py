@@ -634,3 +634,55 @@ def test_star_fusion_reserved_var_falls_back(ray_session, dm_catalog):
     assert not units and len(rest) == 2  # ?subj blocks the whole group's win
     got = get_pattern(dm_catalog, pats, base=B).to_pandas()
     assert sorted(got["subj"]) == ["eng", "hr"]
+
+
+def test_bgp_optional_group(ray_session, dm_catalog, tmp_path):
+    """OPTIONAL (left-outer) group semantics: required rows survive an
+    unmatched group with NULL group vars; matched rows bind; the store
+    variant agrees; a group sharing no variable raises."""
+    import pandas as pd
+
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern, get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    req = [("?d", B + "dm_dept#dname", "?n")]
+    opt = [("?d", B + "dm_dept#city", "?c")]  # dept 2 (ops) has NULL city
+    out = (
+        get_pattern(dm_catalog, req, base=B, optional=opt)
+        .to_pandas().sort_values("n").reset_index(drop=True)
+    )
+    assert list(out["n"]) == ["eng", "hr", "ops"]
+    assert list(out["c"])[:2] == ["NYC", "SFO"] and pd.isna(out["c"][2])
+
+    # group rendered unmatched by a bound literal: every var NULL
+    out2 = get_pattern(
+        dm_catalog, req, base=B,
+        optional=[("?d", B + "dm_dept#city", ("lit", "LA")),
+                  ("?d", B + "dm_dept#dept_id", "?k")],
+    ).to_pandas()
+    assert len(out2) == 3 and out2["k"].isna().all()
+
+    # FILTER on an optional var drops NULL bindings (SPARQL type error)
+    out3 = get_pattern(
+        dm_catalog, req, base=B, optional=opt, filters=[("?c", "!=", "NYC")]
+    ).to_pandas()
+    assert sorted(out3["n"]) == ["hr"]
+
+    # store-served variant agrees
+    store = str(tmp_path / "store")
+    write_triplestore(
+        run_mapping(direct_mapping(dm_catalog, base=B), dm_catalog),
+        store, num_buckets=4,
+    )
+    got = (
+        get_pattern_store(store, req, optional=opt)
+        .to_pandas().sort_values("n").reset_index(drop=True)
+    )
+    assert got[["n"]].equals(out[["n"]])
+    assert list(got["c"].fillna("-")) == list(out["c"].fillna("-"))
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        get_pattern(
+            dm_catalog, req, base=B,
+            optional=[("?x", B + "dm_emp#ename", "?y")],
+        )
