@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "anti_join_customers",
     "bgp_filter",
     "bgp_optional",
+    "bgp_union",
     "graph_diff_events",
     "bgp_store",
     "store_contexts",

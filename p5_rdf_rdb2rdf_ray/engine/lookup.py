@@ -501,6 +501,96 @@ def get_pattern(
     )
 
 
+def get_pattern_union(
+    catalog: Catalog,
+    groups: list[list[tuple]],
+    base: str = "http://example.com/base/",
+    num_partitions: int = 4,
+    filters: list[tuple] | None = None,
+) -> rd.Dataset:
+    """SPARQL-UNION-shaped alternation over the Direct Mapping [graft
+    extension]: the DISTINCT solutions of ANY group, aligned on the
+    union of the groups' variables (a variable absent from a group is
+    NULL in that group's solutions). Each group plans independently
+    (star fusion included); alignment is map-only; one final distinct.
+
+    Term-kind alignment: a variable that carries a kind column in some
+    group gets one in every group that binds it — filled from the
+    binding's surface form (``_:`` prefix = bnode, else IRI; subject/
+    predicate positions never bind literals) — so identical terms from
+    different groups collapse in the distinct.
+    """
+    from ..terms import KIND_BNODE, KIND_IRI
+    from .distinct import distinct_rows
+
+    def stmt_fn(**kwargs):
+        return get_statements(
+            catalog, base=base, distinct_buckets=num_partitions, **kwargs
+        )
+
+    parts: list[tuple[rd.Dataset, list[str], set[str]]] = []
+    for pats in groups:
+        units, rest = _star_groups(catalog, pats, base)
+        acc, vars_, kinds = _bgp_acc(stmt_fn, rest, num_partitions, units)
+        if acc is _NO_MATCH or acc is None:
+            continue
+        parts.append((acc, vars_, kinds))
+    if not parts:
+        return rd.from_arrow(pa.table({}))
+
+    all_vars = list(dict.fromkeys(v for _, vs, _k in parts for v in vs))
+    all_kinds = sorted(set().union(*(k for _, _v, k in parts)))
+
+    def align(t: pa.Table, _vars, _kinds) -> pa.Table:
+        cols, names = [], []
+        for v in all_vars:
+            if v in _vars:
+                cols.append(t.column(v).combine_chunks() if t.num_rows
+                            else pa.array([], pa.string()))
+            else:
+                cols.append(pa.nulls(t.num_rows, pa.string()))
+            names.append(v)
+        for v in all_kinds:
+            kc = f"__k_{v}"
+            if v in _kinds:
+                arr = (t.column(kc).combine_chunks() if t.num_rows
+                       else pa.array([], pa.uint8()))
+            elif v in _vars:
+                # bound in a non-literal position: derive kind from the
+                # surface form so cross-group identical terms collapse
+                s = cols[names.index(v)]
+                arr = pc.if_else(
+                    pc.starts_with(pc.fill_null(s, ""), "_:"),
+                    pa.scalar(KIND_BNODE, pa.uint8()),
+                    pa.scalar(KIND_IRI, pa.uint8()),
+                )
+                arr = pc.if_else(pc.is_valid(s), arr, pa.nulls(len(s), pa.uint8()))
+            else:
+                arr = pa.nulls(t.num_rows, pa.uint8())
+            cols.append(arr)
+            names.append(kc)
+        return pa.Table.from_arrays(cols, names=names)
+
+    aligned = [
+        acc.map_batches(
+            lambda t, _v=tuple(vs), _k=frozenset(ks): align(t, _v, _k),
+            batch_format="pyarrow",
+        )
+        for acc, vs, ks in parts
+    ]
+    out = aligned[0] if len(aligned) == 1 else aligned[0].union(*aligned[1:])
+    if filters:
+        out = _apply_binding_filters(out, filters)
+    kind_cols = [f"__k_{v}" for v in all_kinds]
+    out = distinct_rows(out, all_vars + kind_cols, num_buckets=num_partitions)
+    if kind_cols:
+        out = out.map_batches(
+            lambda t, _k=tuple(kind_cols): t.drop_columns(list(_k)),
+            batch_format="pyarrow",
+        )
+    return out
+
+
 def get_pattern_store(
     store_dir: str,
     patterns: list[tuple],

@@ -417,6 +417,42 @@ FROM customer
 """
 
 
+def q_bgp_union(sf_dir: str) -> rd.Dataset:
+    """BGP UNION (alternation) [graft extension]: region-1 nations bind
+    their name, region-2 nations bind their region node — solutions
+    aligned on the variable union with NULLs where a group does not
+    bind (SPARQL-UNION-shaped)."""
+    from ..engine.lookup import get_pattern_union
+
+    cat = catalog_for(sf_dir)
+    return get_pattern_union(
+        cat,
+        [
+            [
+                ("?n", BASE + "nation#n_name", "?nn"),
+                ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+            ],
+            [
+                ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+                ("?n", BASE + "nation#n_regionkey", ("lit", "2")),
+            ],
+        ],
+        base=BASE,
+    )
+
+
+SQL_BGP_UNION = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       n_name AS nn, CAST(NULL AS VARCHAR) AS r
+FROM nation WHERE n_regionkey = 1
+UNION
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey,
+       CAST(NULL AS VARCHAR),
+       '{BASE}region/r_regionkey=' || n_regionkey
+FROM nation WHERE n_regionkey = 2
+"""
+
+
 def q_store_contexts(sf_dir: str) -> rd.Dataset:
     """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
     RDF::Trine::Store interface]: write the rr:graphMap quads of
@@ -1813,6 +1849,7 @@ QUERIES = {
     "bgp_filter": q_bgp_filter,
     "bgp_store": q_bgp_store,
     "bgp_optional": q_bgp_optional,
+    "bgp_union": q_bgp_union,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
@@ -1874,6 +1911,7 @@ ORACLES = {
     "bgp_filter": SQL_BGP_FILTER,
     "bgp_store": SQL_BGP_NATION_REGION,
     "bgp_optional": SQL_BGP_OPTIONAL,
+    "bgp_union": SQL_BGP_UNION,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,

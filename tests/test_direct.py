@@ -686,3 +686,29 @@ def test_bgp_optional_group(ray_session, dm_catalog, tmp_path):
             dm_catalog, req, base=B,
             optional=[("?x", B + "dm_emp#ename", "?y")],
         )
+
+
+def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
+    """UNION groups align on the variable union (NULL where unbound),
+    and identical terms from different groups collapse in the distinct
+    even when only one group carried an explicit term-kind column."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern_union
+
+    # both groups produce the SAME (d) binding: group 1 binds d as a
+    # SUBJECT (no kind column), group 2 binds d as an OBJECT of the emp
+    # ref (kind column present) — the surface-form kind fill must make
+    # them collapse to one solution per dept
+    out = get_pattern_union(
+        dm_catalog,
+        [
+            [("?d", B + "dm_dept#dept_id", "?k")],
+            [("?e", B + "dm_emp#ref-dept_id", "?d")],
+        ],
+        base=B,
+    ).to_pandas()
+    # group1: 3 depts with k bound; group2: 4 emp refs (depts 1,2 × 2
+    # emps) with e bound, k NULL
+    assert len(out) == 3 + 4
+    # distinct collapses duplicate (d, NULL k, NULL e) rows within groups
+    only_d = out[out["k"].isna() & out["e"].notna()]
+    assert len(only_d) == 4
