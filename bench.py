@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "bgp_filter",
     "bgp_optional",
     "bgp_union",
+    "bgp_aggregate",
     "graph_diff_events",
     "bgp_store",
     "store_contexts",

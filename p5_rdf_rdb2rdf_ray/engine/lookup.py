@@ -520,17 +520,50 @@ def get_pattern_union(
     predicate positions never bind literals) — so identical terms from
     different groups collapse in the distinct.
     """
-    from ..terms import KIND_BNODE, KIND_IRI
-    from .distinct import distinct_rows
 
     def stmt_fn(**kwargs):
         return get_statements(
             catalog, base=base, distinct_buckets=num_partitions, **kwargs
         )
 
+    def plan_group(pats):
+        return _star_groups(catalog, pats, base)
+
+    return _bgp_union(stmt_fn, plan_group, groups, num_partitions, filters)
+
+
+def get_pattern_store_union(
+    store_dir: str,
+    groups: list[list[tuple]],
+    num_partitions: int = 4,
+    filters: list[tuple] | None = None,
+) -> rd.Dataset:
+    """:func:`get_pattern_union` served from a materialized store (the
+    store star fusion and pushdown of :func:`get_pattern_store`)."""
+    from ..sinks.triplestore import store_statements
+
+    def stmt_fn(**kwargs):
+        return store_statements(store_dir, **kwargs)
+
+    def plan_group(pats):
+        return _store_star_groups(store_dir, pats)
+
+    return _bgp_union(stmt_fn, plan_group, groups, num_partitions, filters)
+
+
+def _bgp_union(
+    stmt_fn,
+    plan_group,
+    groups: list[list[tuple]],
+    num_partitions: int,
+    filters: list[tuple] | None,
+) -> rd.Dataset:
+    from ..terms import KIND_BNODE, KIND_IRI
+    from .distinct import distinct_rows
+
     parts: list[tuple[rd.Dataset, list[str], set[str]]] = []
     for pats in groups:
-        units, rest = _star_groups(catalog, pats, base)
+        units, rest = plan_group(pats)
         acc, vars_, kinds = _bgp_acc(stmt_fn, rest, num_partitions, units)
         if acc is _NO_MATCH or acc is None:
             continue

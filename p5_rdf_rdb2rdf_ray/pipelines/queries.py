@@ -453,6 +453,32 @@ FROM nation WHERE n_regionkey = 2
 """
 
 
+def q_bgp_aggregate(sf_dir: str) -> rd.Dataset:
+    """SPARQL GROUP-BY-shaped composition [graft extension]: BGP
+    bindings (customer → nation node) feed the engine's combiner-first
+    grouped aggregate directly — the query surfaces compose; nothing
+    special-cased."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    bindings = get_pattern(
+        cat,
+        [("?c", BASE + "customer#ref-c_nationkey", "?n")],
+        base=BASE,
+    )
+    return grouped_aggregate(
+        bindings, keys=["n"], aggs={"n_customers": ("c", "count")},
+        num_partitions=8,
+    )
+
+
+SQL_BGP_AGGREGATE = f"""
+SELECT '{BASE}nation/n_nationkey=' || c_nationkey AS n,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY 1
+"""
+
+
 def q_store_contexts(sf_dir: str) -> rd.Dataset:
     """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
     RDF::Trine::Store interface]: write the rr:graphMap quads of
@@ -1850,6 +1876,7 @@ QUERIES = {
     "bgp_store": q_bgp_store,
     "bgp_optional": q_bgp_optional,
     "bgp_union": q_bgp_union,
+    "bgp_aggregate": q_bgp_aggregate,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
     "q1_pricing": q_q1_pricing,
@@ -1912,6 +1939,7 @@ ORACLES = {
     "bgp_store": SQL_BGP_NATION_REGION,
     "bgp_optional": SQL_BGP_OPTIONAL,
     "bgp_union": SQL_BGP_UNION,
+    "bgp_aggregate": SQL_BGP_AGGREGATE,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,
     "q1_pricing": SQL_Q1,

@@ -712,3 +712,30 @@ def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
     # distinct collapses duplicate (d, NULL k, NULL e) rows within groups
     only_d = out[out["k"].isna() & out["e"].notna()]
     assert len(only_d) == 4
+
+
+def test_store_union_matches_source_union(ray_session, dm_catalog, tmp_path):
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        get_pattern_store_union,
+        get_pattern_union,
+    )
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    store = str(tmp_path / "store")
+    write_triplestore(
+        run_mapping(direct_mapping(dm_catalog, base=B), dm_catalog),
+        store, num_buckets=4,
+    )
+    groups = [
+        [("?d", B + "dm_dept#dname", "?x")],
+        [("?d", B + "dm_dept#city", "?x")],
+    ]
+    want = {
+        (r["d"], r["x"])
+        for r in get_pattern_union(dm_catalog, groups, base=B).take_all()
+    }
+    got = {
+        (r["d"], r["x"])
+        for r in get_pattern_store_union(store, groups).take_all()
+    }
+    assert got == want and len(got) == 5  # 3 names + 2 non-null cities
