@@ -688,12 +688,11 @@ def _fused_store_star_unit(
         if n.startswith("bucket=") and os.path.isdir(os.path.join(store_dir, n))
     ]
     if not bucket_dirs:
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.string()) for _ in new_vars]
-            + [pa.array([], pa.uint8()) for _ in sorted(kinds)],
-            names=new_vars + [f"__k_{v}" for v in sorted(kinds)],
+        return (
+            rd.from_arrow(_typed_empty_bindings(new_vars, kinds)),
+            new_vars,
+            kinds,
         )
-        return rd.from_arrow(empty), new_vars, kinds
 
     def read_pivot(batch: dict) -> pa.Table:
         parts: list[str] = []
@@ -732,35 +731,43 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
     is not a number drop, mirroring SPARQL type-error semantics), a
     string ``value`` compares lexically. [graft extension beyond the
     reference Store's BGP surface]"""
-    import pandas as pd
-
     spec = []
     for var, op, val in filters:
         if op not in _FILTER_OPS:
             raise ValueError(f"unsupported filter op {op!r}")
         spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
 
-    from .distinct import to_clean_arrow
+    def f(t: pa.Table) -> pa.Table:
+        # Arrow in/out: this stage feeds the final distinct's hash
+        # shuffle, and a pandas round-trip would widen nullable uint8
+        # __k_* kind columns to float64 ONLY in blocks containing NULLs
+        # (possible with OPTIONAL groups) — identical solutions would
+        # then hash into different partitions and survive the distinct.
+        # Only the filtered VARIABLE columns (always strings) go through
+        # pandas, for the mask computation alone.
+        import numpy as np
+        import pandas as pd
 
-    def f(df: pd.DataFrame) -> pa.Table:
-        # to_clean_arrow: this stage feeds the final distinct's hash
-        # shuffle — raw pandas blocks carry an unhashable schema there
-        if not len(df):
-            return to_clean_arrow(df)
-        keep = pd.Series(True, index=df.index)
+        if t.num_rows == 0:
+            return t
+        keep = np.ones(t.num_rows, bool)
         for var, op, val in spec:
+            s = t.column(var).to_pandas()
             # SPARQL type-error semantics: an unbound (NULL — possible
             # for OPTIONAL-group vars) binding never passes a FILTER
-            keep &= df[var].notna()
+            keep &= s.notna().to_numpy()
             if isinstance(val, bool) or not isinstance(val, (int, float)):
-                col = df[var].astype(str)
-                keep &= getattr(col, op)(str(val))
+                keep &= getattr(s.astype(str), op)(str(val)).to_numpy()
             else:
-                num = pd.to_numeric(df[var], errors="coerce")
-                keep &= getattr(num, op)(val).fillna(False) & num.notna()
-        return to_clean_arrow(df[keep])
+                num = pd.to_numeric(s, errors="coerce")
+                keep &= (
+                    getattr(num, op)(val).fillna(False) & num.notna()
+                ).to_numpy()
+        # strip schema metadata: an unhashable pandas-metadata dict from
+        # any upstream pandas lineage defeats the shuffle's schema dedup
+        return t.filter(pa.array(keep)).replace_schema_metadata(None)
 
-    return acc.map_batches(f, batch_format="pandas")
+    return acc.map_batches(f, batch_format="pyarrow")
 
 
 _NO_MATCH = object()  # a fully-bound pattern matched nothing
@@ -946,14 +953,7 @@ def _bgp_acc(
             acc_kinds |= new_kinds
             continue
         right = pa.concat_tables(
-            batches
-            or [
-                pa.Table.from_arrays(
-                    [pa.array([], pa.string()) for _ in new_vars]
-                    + [pa.array([], pa.uint8()) for _ in sorted(new_kinds)],
-                    names=new_vars + [f"__k_{v}" for v in sorted(new_kinds)],
-                )
-            ]
+            batches or [_typed_empty_bindings(new_vars, new_kinds)]
         )
         if not shared:
             # cross product via a constant join key
@@ -1028,7 +1028,10 @@ def _bgp_join(
         if oacc is _NO_MATCH:
             # a fully-bound pattern in the group matched nothing → the
             # whole group is unmatched for every required solution: its
-            # exclusive variables (derived statically) extend as NULLs
+            # exclusive variables (derived statically) extend as NULLs.
+            # The structural no-shared-variable check still applies —
+            # it must not be data-dependent (raise vs succeed depending
+            # on store contents).
             ovars = [
                 t[1:]
                 for pat in (optional or [])
@@ -1037,6 +1040,11 @@ def _bgp_join(
             ]
             for _, uvars, _k in optional_units or []:
                 ovars.extend(uvars)
+            if not (set(ovars) & set(acc_vars)):
+                raise ValueError(
+                    "optional group shares no variable with the required "
+                    "patterns (a left cross product is never intended)"
+                )
             add = tuple(
                 v for v in dict.fromkeys(ovars) if v not in acc_vars
             )

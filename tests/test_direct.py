@@ -739,3 +739,46 @@ def test_store_union_matches_source_union(ray_session, dm_catalog, tmp_path):
         for r in get_pattern_store_union(store, groups).take_all()
     }
     assert got == want and len(got) == 5  # 3 names + 2 non-null cities
+
+
+def test_bgp_optional_filter_distinct_across_blocks(ray_session, dm_catalog):
+    """Regression: the FILTER stage must not round-trip the nullable
+    __k_* kind columns through pandas — blocks containing NULL kinds
+    would widen to float64, hash differently from uint8 blocks, and the
+    same logical solution would survive the final distinct twice."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+    req = [("?d", B + "dm_dept#dname", "?n")]
+    opt = [("?d", B + "dm_dept#city", "?c")]
+    out = get_pattern(
+        dm_catalog, req, base=B, optional=opt, filters=[("?n", "!=", "zzz")]
+    ).to_pandas()
+    # 3 logical solutions, exactly once each (mixed NULL/non-NULL kinds)
+    assert len(out) == 3
+    assert sorted(out["n"]) == ["eng", "hr", "ops"]
+
+    # spill path (broadcast_limit=1) for the OPTIONAL left-outer join
+    from p5_rdf_rdb2rdf_ray.engine.lookup import _bgp_join, get_statements
+
+    def stmt_fn(**kw):
+        return get_statements(dm_catalog, base=B, **kw)
+
+    sp = _bgp_join(
+        stmt_fn, req, 4, optional=opt, broadcast_limit=1
+    ).to_pandas().sort_values("n").reset_index(drop=True)
+    bc = _bgp_join(
+        stmt_fn, req, 4, optional=opt
+    ).to_pandas().sort_values("n").reset_index(drop=True)
+    assert list(sp["n"]) == list(bc["n"])
+    assert list(sp["c"].fillna("-")) == list(bc["c"].fillna("-"))
+
+    # the no-shared-variable error is structural, not data-dependent:
+    # it raises even when a fully-bound group pattern matches nothing
+    with pytest.raises(ValueError, match="shares no variable"):
+        get_pattern(
+            dm_catalog, req, base=B,
+            optional=[
+                (B + "dm_dept/dept_id=1", B + "dm_dept#dname", ("lit", "NO")),
+                ("?x", B + "dm_emp#ename", "?y"),
+            ],
+        )
