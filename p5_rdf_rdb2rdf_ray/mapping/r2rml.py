@@ -76,6 +76,20 @@ def _term_map(
             _r("BlankNode"): BNODE,
             _r("Literal"): LITERAL,
         }[tt[1]]
+        # W3C-R2RML §7.4.1 term-type constraints: a subject map must be
+        # rr:IRI or rr:BlankNode; predicate and graph maps must be
+        # rr:IRI. [R: R2RML.pm enforces the same; a literal subject is
+        # not RDF]
+        if position == "subject" and kind == LITERAL:
+            raise R2RMLError(
+                "rr:termType rr:Literal is not allowed on a subject map "
+                "(W3C-R2RML §7.4.1)"
+            )
+        if position in ("predicate", "graph") and kind != IRI:
+            raise R2RMLError(
+                f"rr:termType on a {position} map must be rr:IRI "
+                "(W3C-R2RML §7.4.1)"
+            )
     elif position == "object":
         if column is not None or lang is not None or datatype is not None:
             kind = LITERAL

@@ -468,3 +468,40 @@ def test_duplicate_free_proof_rejects_new_holes(ray_session):
         pos=pom,
     )
     assert is_duplicate_free(MappingSpec(maps={"m": tm3}, base=B2), cat)
+
+
+def test_invalid_term_types_rejected(cat, ray_session):
+    """W3C-R2RML §7.4.1: literal subject maps and non-IRI predicate or
+    graph maps are invalid — the compiler must reject, not emit."""
+    from p5_rdf_rdb2rdf_ray.mapping.r2rml import R2RMLError
+
+    bad_subject = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://ex.com/> .
+    <#m> rr:logicalTable [ rr:tableName "books" ] ;
+      rr:subjectMap [ rr:column "title" ; rr:termType rr:Literal ] ;
+      rr:predicateObjectMap [ rr:predicate ex:p ;
+                              rr:objectMap [ rr:column "title" ] ] .
+    """
+    bad_pred = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://ex.com/> .
+    <#m> rr:logicalTable [ rr:tableName "books" ] ;
+      rr:subjectMap [ rr:template "http://ex.com/b/{book_id}" ] ;
+      rr:predicateObjectMap [
+        rr:predicateMap [ rr:column "title" ; rr:termType rr:BlankNode ] ;
+        rr:objectMap [ rr:column "title" ] ] .
+    """
+    for ttl in (bad_subject, bad_pred):
+        with pytest.raises(R2RMLError, match="7.4.1"):
+            compile_r2rml(ttl, base=EX)
+    # control: valid BlankNode subject still compiles
+    ok = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://ex.com/> .
+    <#m> rr:logicalTable [ rr:tableName "books" ] ;
+      rr:subjectMap [ rr:template "n{book_id}" ; rr:termType rr:BlankNode ] ;
+      rr:predicateObjectMap [ rr:predicate ex:p ;
+                              rr:objectMap [ rr:column "title" ] ] .
+    """
+    compile_r2rml(ok, base=EX)
