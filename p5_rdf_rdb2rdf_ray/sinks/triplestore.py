@@ -748,13 +748,19 @@ def store_statements(
     predicate: str | None = None,
     obj: str | None = None,
     obj_literal: str | None = None,
+    graph: str | None = None,
+    default_graph: bool = False,
 ) -> rd.Dataset:
     """Lazy Dataset of store triples matching the bound terms — the
-    Store ``get_statements`` surface served from the MATERIALIZED graph
-    (the source-table variant lives in ``engine/lookup.py``). A bound
-    subject prunes to one bucket directory; every bound term becomes a
-    parquet row filter pushed into the distributed read (term semantics:
-    ``obj`` matches IRIs/bnodes only, ``obj_literal`` literals only)."""
+    Store ``get_statements($s,$p,$o,$g)`` surface served from the
+    MATERIALIZED graph (the source-table variant lives in
+    ``engine/lookup.py``). A bound subject prunes to one bucket
+    directory; every bound term becomes a parquet row filter pushed
+    into the distributed read (term semantics: ``obj`` matches
+    IRIs/bnodes only, ``obj_literal`` literals only; ``graph`` a named
+    context, ``default_graph=True`` the nil context — quads with NULL
+    graph [R: Store.pm get_statements takes the context as its fourth
+    bound term])."""
     import pyarrow.compute as pc
 
     from ..terms import KIND_LITERAL, TRIPLE_SCHEMA
@@ -784,4 +790,10 @@ def store_statements(
             (pc.field("obj") == obj_literal)
             & (pc.field("obj_kind") == KIND_LITERAL)
         )
+    if graph is not None and default_graph:
+        raise ValueError("bind graph= OR default_graph=True, not both")
+    if graph is not None:
+        conj(pc.field("graph") == graph)
+    elif default_graph:
+        conj(pc.field("graph").is_null())
     return rd.read_parquet(parts, filter=flt)

@@ -380,3 +380,39 @@ def test_compact_crash_windows_heal(ray_session, tmp_path):
         if parts and os.path.exists(mpath):
             man = json.load(open(mpath))
             assert man["parts"] == [os.path.basename(parts[0])]
+
+
+def test_store_statements_graph_bound(ray_session, tmp_path):
+    """get_statements context parity: a bound named graph and the nil
+    (default) context each select exactly their quads."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        store_statements,
+        write_triplestore,
+    )
+
+    out = str(tmp_path / "store")
+    quads = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["s1", "s1", "s2", "s3"],
+                "pred": ["p"] * 4,
+                "obj": ["o1", "o2", "o3", "o4"],
+                "obj_kind": pa.array([0] * 4, pa.uint8()),
+                "lang": pa.array([None] * 4, pa.string()),
+                "datatype": pa.array([None] * 4, pa.string()),
+                "graph": pa.array(["g1", None, "g1", "g2"], pa.string()),
+            }
+        )
+    )
+    write_triplestore(quads, out, num_buckets=4, input_fp="g")
+    g1 = store_statements(out, graph="g1").to_pandas()
+    assert sorted(g1["obj"]) == ["o1", "o3"]
+    dflt = store_statements(out, default_graph=True).to_pandas()
+    assert list(dflt["obj"]) == ["o2"]
+    # composes with a bound subject (bucket pruning + graph filter)
+    s1g1 = store_statements(out, subject="s1", graph="g1").to_pandas()
+    assert list(s1g1["obj"]) == ["o1"]
+    with pytest.raises(ValueError):
+        store_statements(out, graph="g1", default_graph=True)
