@@ -61,7 +61,15 @@ class RDB2RDF:
 
     def process(self, catalog: Catalog, **run_kwargs: Any) -> rd.Dataset:
         """→ lazy Dataset of triple rows (the reference returns a populated
-        in-memory model; we return the stream)."""
+        in-memory model; we return the stream).
+
+        ``distinct`` defaults to ``"auto"``: the set-semantics shuffle —
+        the dominant exchange of a mapping run — is elided whenever
+        :func:`..engine.runner.is_duplicate_free` PROVES the compiled
+        spec cannot emit a duplicate (always true for Direct Mapping;
+        true for R2RML specs with injective PK subjects and distinct
+        constant predicates). Pass ``distinct=True`` to force it."""
+        run_kwargs.setdefault("distinct", "auto")
         ds = run_mapping(self.spec(catalog), catalog, **run_kwargs)
         if self.mapper == "DirectMapping" and self._kwargs.get("rdfs"):
             extra = rdfs_schema_triples(
