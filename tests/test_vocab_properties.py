@@ -72,5 +72,61 @@ try:
         hits_true = np.isin(qs, rs)
         assert (out | ~hits_true).all()  # member ⇒ hit
 
+    _SUBJ = st.sampled_from(["s1", "s2", "s3", "s4"])
+    _VAL = st.sampled_from(["a", "b", "_:x", "http://e/1", "é", ""])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                _SUBJ,
+                st.sampled_from(["p1", "p2", "p3"]),
+                _VAL,
+                st.sampled_from([0, 2]),  # IRI | literal kind
+            ),
+            min_size=0,
+            max_size=20,
+            unique_by=lambda r: (r[0], r[1]),  # DM: one triple per (s, p)
+        ),
+        lit_val=_VAL,
+        use_lit=st.booleans(),
+    )
+    def test_star_pivot_matches_naive_join(rows, lit_val, use_lit):
+        """The within-frame star pivot == a naive nested-loop inner join
+        over (pred → var / bound-literal) items, for any subject-complete
+        triple frame (NULL-city-style absences, unicode, bnode prefixes,
+        literal-vs-IRI kinds)."""
+        from p5_rdf_rdb2rdf_ray.engine.lookup import _star_pivot
+
+        df = pd.DataFrame(
+            {
+                "subj": [r[0] for r in rows],
+                "pred": [r[1] for r in rows],
+                "obj": [r[2] for r in rows],
+                "obj_kind": pd.array([r[3] for r in rows], dtype="uint8"),
+            }
+        )
+        plan = (("p1", "v1"), ("p2", ("lit", lit_val)) if use_lit else ("p2", "v2"))
+        t = _star_pivot(df, plan, "s")
+        got = set()
+        for i in range(t.num_rows):
+            row = {c: t.column(c)[i].as_py() for c in t.column_names}
+            got.add((row["s"], row["v1"], row.get("v2")))
+        by_subj: dict = {}
+        for s, p, o, k in rows:
+            by_subj.setdefault(s, {})[p] = (o, k)
+        want = set()
+        for s, preds in by_subj.items():
+            if "p1" not in preds:
+                continue
+            if use_lit:
+                if preds.get("p2", (None, None)) == (lit_val, 2):
+                    want.add((s, preds["p1"][0], None))
+            else:
+                if "p2" in preds:
+                    want.add((s, preds["p1"][0], preds["p2"][0]))
+        assert got == want
+
+
 except ImportError:  # pragma: no cover — hypothesis is in the sandbox
     pass
