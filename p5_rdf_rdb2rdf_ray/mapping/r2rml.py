@@ -52,6 +52,14 @@ class R2RMLError(ValueError):
     pass
 
 
+def _iri_of(term: Term, what: str) -> str:
+    """§7.4.1 shortcut guard: rr:subject / rr:predicate / rr:graph
+    shortcuts denote constant IRIs — a literal there is invalid RDF."""
+    if term[0] != "iri":
+        raise R2RMLError(f"{what} must be an IRI (W3C-R2RML §7.4.1)")
+    return term[1]
+
+
 def _term_map(
     g: Graph,
     node: Term,
@@ -100,6 +108,14 @@ def _term_map(
 
     const_val: str | None = None
     if constant is not None:
+        # W3C-R2RML §7.4.1: constants on subject/predicate/graph maps
+        # must be IRIs — a literal (or bnode) constant there would emit
+        # invalid RDF, so reject at compile like the termType checks
+        if position != "object" and constant[0] != "iri":
+            raise R2RMLError(
+                f"rr:constant on a {position} map must be an IRI "
+                "(W3C-R2RML §7.4.1)"
+            )
         if constant[0] == "iri":
             const_val = constant[1]
         elif constant[0] == "lit":
@@ -151,7 +167,7 @@ def _graph_maps(g: Graph, node: Term, base: str) -> tuple:
         if gshort == ("iri", _r("defaultGraph")):
             out.append(None)
         else:
-            out.append(TermMapSpec(kind=IRI, constant=_name_of(gshort)))
+            out.append(TermMapSpec(kind=IRI, constant=_iri_of(gshort, "rr:graph")))
     return tuple(out)
 
 
@@ -186,7 +202,7 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
             s_short = g.obj(node, _r("subject"))
             if s_short is None:
                 raise R2RMLError(f"{name}: no subjectMap/subject")
-            subject = TermMapSpec(kind=IRI, constant=_name_of(s_short))
+            subject = TermMapSpec(kind=IRI, constant=_iri_of(s_short, "rr:subject"))
             classes = ()
             graphs = ()
 
@@ -197,7 +213,7 @@ def compile_r2rml(turtle_text: str, base: str = "http://example.com/base/") -> M
             for pm in g.objects(pom, _r("predicateMap")):
                 preds.append(_term_map(g, pm, "predicate", base))
             for p_short in g.objects(pom, _r("predicate")):
-                preds.append(TermMapSpec(kind=IRI, constant=_name_of(p_short)))
+                preds.append(TermMapSpec(kind=IRI, constant=_iri_of(p_short, "rr:predicate")))
             pom_graphs = _graph_maps(g, pom, base)
 
             objs: list[TermMapSpec] = []

@@ -765,6 +765,10 @@ def store_statements(
 
     from ..terms import KIND_LITERAL, TRIPLE_SCHEMA
 
+    if graph is not None and default_graph:
+        # validate BEFORE the empty-store early return — the contract
+        # violation must not be state-dependent
+        raise ValueError("bind graph= OR default_graph=True, not both")
     parts = _store_parts(out_dir, subject)
     if not parts:
         return rd.from_arrow(
@@ -790,8 +794,6 @@ def store_statements(
             (pc.field("obj") == obj_literal)
             & (pc.field("obj_kind") == KIND_LITERAL)
         )
-    if graph is not None and default_graph:
-        raise ValueError("bind graph= OR default_graph=True, not both")
     if graph is not None:
         conj(pc.field("graph") == graph)
     elif default_graph:

@@ -505,3 +505,47 @@ def test_invalid_term_types_rejected(cat, ray_session):
                               rr:objectMap [ rr:column "title" ] ] .
     """
     compile_r2rml(ok, base=EX)
+
+
+def test_literal_constants_rejected_on_non_object_maps(cat, ray_session):
+    """W3C 7.4.1 completion: literal rr:constant on subject/predicate/
+    graph maps (and the rr:subject/rr:predicate/rr:graph shortcuts) is
+    rejected at compile, not silently concatenated into a broken IRI."""
+    from p5_rdf_rdb2rdf_ray.mapping.r2rml import R2RMLError
+
+    cases = [
+        # literal constant in a subjectMap
+        """<#m> rr:logicalTable [ rr:tableName "books" ] ;
+           rr:subjectMap [ rr:constant "not an iri" ] ;
+           rr:predicateObjectMap [ rr:predicate ex:p ;
+                                   rr:objectMap [ rr:column "title" ] ] .""",
+        # literal constant in a predicateMap
+        """<#m> rr:logicalTable [ rr:tableName "books" ] ;
+           rr:subjectMap [ rr:template "http://ex.com/b/{book_id}" ] ;
+           rr:predicateObjectMap [
+             rr:predicateMap [ rr:constant "lit pred" ] ;
+             rr:objectMap [ rr:column "title" ] ] .""",
+        # literal in the rr:subject shortcut
+        """<#m> rr:logicalTable [ rr:tableName "books" ] ;
+           rr:subject "lit subject" ;
+           rr:predicateObjectMap [ rr:predicate ex:p ;
+                                   rr:objectMap [ rr:column "title" ] ] .""",
+        # literal in a graphMap constant
+        """<#m> rr:logicalTable [ rr:tableName "books" ] ;
+           rr:subjectMap [ rr:template "http://ex.com/b/{book_id}" ;
+                           rr:graphMap [ rr:constant "lit graph" ] ] ;
+           rr:predicateObjectMap [ rr:predicate ex:p ;
+                                   rr:objectMap [ rr:column "title" ] ] .""",
+    ]
+    prefix = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://ex.com/> .
+    """
+    for body in cases:
+        with pytest.raises(R2RMLError, match="7.4.1"):
+            compile_r2rml(prefix + body, base=EX)
+    # literal constant OBJECTS remain valid (c08 also covers this)
+    ok = prefix + """<#m> rr:logicalTable [ rr:tableName "books" ] ;
+      rr:subjectMap [ rr:template "http://ex.com/b/{book_id}" ] ;
+      rr:predicateObjectMap [ rr:predicate ex:p ; rr:object "yes" ] ."""
+    compile_r2rml(ok, base=EX)
