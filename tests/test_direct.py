@@ -782,3 +782,22 @@ def test_bgp_optional_filter_distinct_across_blocks(ray_session, dm_catalog):
                 ("?x", B + "dm_emp#ename", "?y"),
             ],
         )
+
+
+def test_dm_over_json_table(ray_session, tmp_path):
+    """Direct Mapping over a JSON-lines logical table (the third
+    catalog-resolvable source format; the CSV twin is above)."""
+    import os
+
+    d = str(tmp_path / "jsoncat")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "dm_pets.json"), "w") as f:
+        f.write('{"pet_id": 1, "name": "rex", "legs": 4}\n')
+        f.write('{"pet_id": 2, "name": "tweety", "legs": 2}\n')
+    cat = Catalog(root=d, layouts={"dm_pets": TableLayout(pkey=("pet_id",))})
+    spec = direct_mapping(cat, base=B)
+    got = set(collect_ntriples(run_mapping(spec, cat, distinct=False)))
+    xint = "http://www.w3.org/2001/XMLSchema#integer"
+    assert f'<{B}dm_pets/pet_id=1> <{B}dm_pets#name> "rex" .' in got
+    assert f'<{B}dm_pets/pet_id=2> <{B}dm_pets#legs> "2"^^<{xint}> .' in got
+    assert len(got) == 8
