@@ -57,6 +57,17 @@ class Catalog:
             for ext in self._EXTS:
                 for p in glob.glob(os.path.join(self.root, f"*{ext}")):
                     names.add(os.path.splitext(os.path.basename(p))[0])
+            # sharded-directory tables: a directory of parquet files IS
+            # the table (the at-scale layout; one file per input shard).
+            # Skip dirs named like `t.parquet` — the extension glob above
+            # already registered those as table `t`.
+            for p in glob.glob(os.path.join(self.root, "*")):
+                if (
+                    os.path.isdir(p)
+                    and not p.endswith(self._EXTS)
+                    and glob.glob(os.path.join(p, "*.parquet"))
+                ):
+                    names.add(os.path.basename(p))
         return sorted(names)
 
     def schema(self, table: str) -> pa.Schema:
@@ -79,11 +90,14 @@ class Catalog:
 
     def _path(self, table: str) -> str:
         """Resolve a logical table to a file/dir path: .parquet preferred,
-        then .csv / .json (the DBI-ish 'any table the catalog can see')."""
+        then .csv / .json, then a DIRECTORY of parquet shards — the shape
+        every at-scale table actually has (one file per input shard)."""
         base = os.path.join(self.root, table)
         for ext in self._EXTS:
             if os.path.exists(base + ext):
                 return base + ext
+        if os.path.isdir(base):
+            return base
         return base + ".parquet"
 
     def files(self, table: str) -> list[str]:

@@ -801,3 +801,28 @@ def test_dm_over_json_table(ray_session, tmp_path):
     assert f'<{B}dm_pets/pet_id=1> <{B}dm_pets#name> "rex" .' in got
     assert f'<{B}dm_pets/pet_id=2> <{B}dm_pets#legs> "2"^^<{xint}> .' in got
     assert len(got) == 8
+
+
+def test_dm_over_sharded_directory_table(ray_session, tmp_path):
+    """A DIRECTORY of parquet shards is a logical table (the at-scale
+    layout): catalog resolution, schema, DM, and lookup all see it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "cat")
+    os.makedirs(os.path.join(d, "dm_shards"))
+    for i, ids in enumerate(([1, 2], [3])):
+        pq.write_table(
+            pa.table({"sid": pa.array(ids, pa.int64()),
+                      "v": [f"v{x}" for x in ids]}),
+            os.path.join(d, "dm_shards", f"part-{i}.parquet"),
+        )
+    cat = Catalog(root=d, layouts={"dm_shards": TableLayout(pkey=("sid",))})
+    assert "dm_shards" in cat.table_names()
+    assert len(cat.files("dm_shards")) == 2
+    got = set(collect_ntriples(
+        run_mapping(direct_mapping(cat, base=B), cat, distinct=False)
+    ))
+    assert f'<{B}dm_shards/sid=3> <{B}dm_shards#v> "v3" .' in got
+    assert len(got) == 9  # 3 rows x (type + 2 cols)
