@@ -218,12 +218,14 @@ def main() -> None:
         return
 
     _init_ray(NUM_CPUS)
-    # untimed warm-ups: worker/page-cache ramp dominates short runs
-    # (measured back-to-back same-session runs: 15.7 → 11.7 → 7.6 s and
-    # 7.8 → 6.8 → 6.3 → 5.9 s with identical code); TWO warm-ups put the
-    # timed run at the steady-state plateau, which is what the 100-TB
-    # shape sustains
-    run_flagship(NUM_CPUS)
+    # warm-ups: worker/page-cache ramp dominates short runs (measured
+    # back-to-back same-session runs: 15.7 → 11.7 → 7.6 s and 7.8 → 6.8
+    # → 6.3 → 5.9 s with identical code); TWO warm-ups put the timed run
+    # at the steady-state plateau, which is what the 100-TB shape
+    # sustains. The FIRST (cold) run's time is also reported
+    # (flagship_cold_sec) so the warmed headline stays comparable and
+    # honest across rounds.
+    cold = run_flagship(NUM_CPUS)
     run_flagship(NUM_CPUS)
     fl = run_flagship(NUM_CPUS)
     qs = run_queries()
@@ -248,6 +250,11 @@ def main() -> None:
                 "queries": qs,
                 "turns_per_s": round(fl["turns_per_s"], 1),
                 "triples_per_s": round(fl["triples_per_s"], 1),
+                # disclosure: flagship_kg above is the WARMED steady-state
+                # run (two untimed warm-ups); the first-run cold time is
+                # reported alongside so cross-round comparisons stay honest
+                "flagship_cold_sec": round(cold["sec"], 3),
+                "flagship_warmed": True,
                 "shingle_max_df": df_stats["max_df"],
                 "sf": os.path.basename(SF_DIR.rstrip("/")),
                 "num_cpus": NUM_CPUS,

@@ -926,9 +926,20 @@ def _bgp_acc(
         for b in bnd.iter_batches(batch_format="pyarrow", batch_size=None):
             batches.append(b)
             total += b.num_rows
-            if shared and total > broadcast_limit:
+            if total > broadcast_limit:
                 spill = True
                 break
+        if spill and not shared:
+            # a variable-disjoint (cross-product) side has no join key to
+            # hash-spill on — co-hashing a constant key would pile the
+            # whole side onto one partition, so fail loudly instead of
+            # silently materializing past broadcast_limit on the driver
+            raise ValueError(
+                "BGP cross-product side (no shared variable with the "
+                f"accumulated bindings) exceeds broadcast_limit="
+                f"{broadcast_limit} rows; reorder the patterns to share "
+                "a variable or raise broadcast_limit explicitly"
+            )
         if spill:
             from .joins import hash_join
 

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
-from ..stages.dedup import _hash_series, _semi_join, near_dedup_docs
+from ..stages.dedup import _FP2_KEY, _hash_series, _semi_join, near_dedup_docs
 from ..stages.textstats import TOKEN_RX, LanguageID
 
 
@@ -100,14 +100,19 @@ def _exact_verdicts(
     surv: rd.Dataset, text_col: str, id_col: str, num_partitions: int
 ) -> rd.Dataset:
     """(id_col, rep_id) for EVERY survivor — min doc id per identical
-    text. Only (fp_h, id) cross the shuffle; a fingerprint never spans
-    blocks after the key repartition, so the per-block min is global."""
+    text. Only the 128-bit fingerprint (fp_h, fp_h2) + id cross the
+    shuffle; partitioning on fp_h alone still co-locates every group
+    (fp_h2 only refines WITHIN a partition), so the per-block min is
+    global. Two independent siphashes because 64-bit birthday collisions
+    are no longer negligible at the 10^9-doc design point."""
 
     def fp(df: pd.DataFrame) -> pa.Table:
+        t = df[text_col].fillna("")
         return to_clean_arrow(
             pd.DataFrame(
                 {
-                    "fp_h": _hash_series(df[text_col].fillna("")),
+                    "fp_h": _hash_series(t),
+                    "fp_h2": _hash_series(t, _FP2_KEY),
                     id_col: df[id_col],
                 }
             )
@@ -121,7 +126,9 @@ def _exact_verdicts(
         out = pd.DataFrame(
             {
                 id_col: df[id_col],
-                "rep_id": df.groupby("fp_h")[id_col].transform("min"),
+                "rep_id": df.groupby(["fp_h", "fp_h2"])[id_col].transform(
+                    "min"
+                ),
             }
         )
         return to_clean_arrow(out)

@@ -6,1861 +6,20 @@ Every builder takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``;
 names!) over the pre-registered parquet views. Entries without an oracle
 (non-SQL-expressible: LSH internals, SimHash, language-ID heuristics) get
 the driver's rows-only check.
+
+Builders and their SQL twins live in ``queries_kg`` (RDB2RDF core),
+``queries_rel`` (relational analytics) and ``queries_data``
+(training-data extras); this module only assembles the registry dicts.
+ORDERING CONTRACT: every oracled entry precedes every rows-only entry —
+the round-3 driver stopped after 50 of 60 entries, so the strongest
+checks must come first.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pyarrow.parquet as pq
-import ray.data as rd
-
-from ..engine.lookup import count_statements, get_statements
-from ..engine.runner import run_mapping
-from ..mapping.direct import direct_mapping
-from ..mapping.spec import (
-    IRI,
-    LITERAL,
-    MappingSpec,
-    PredObjSpec,
-    RefObjectSpec,
-    TermMapSpec,
-    TriplesMapSpec,
-)
-from ..sinks.ntriples import to_term_columns
-from ..sources.catalog import Catalog, TableLayout
-from ..stages.dedup import (
-    exact_dedup,
-    minhash_pairs,
-    ngram_jaccard_pairs,
-    simhash_pairs,
-)
-from ..stages.groupagg import grouped_aggregate, top_k
-from ..stages.similarity import ann_topk, embedding_neardup_pairs
-from ..stages.textstats import (
-    fingerprints,
-    language_id,
-    quality_features,
-    token_counts,
-)
-
-BASE = "http://example.com/base/"
-XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
-XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-
-
-def catalog_for(sf_dir: str) -> Catalog:
-    """TPC-H-ish layouts: the declared-key stand-in for DBI introspection."""
-    return Catalog(
-        root=sf_dir,
-        layouts={
-            "region": TableLayout(pkey=("r_regionkey",)),
-            "nation": TableLayout(
-                pkey=("n_nationkey",),
-                fkeys=((("n_regionkey",), "region", ("r_regionkey",)),),
-            ),
-            "customer": TableLayout(
-                pkey=("c_custkey",),
-                fkeys=((("c_nationkey",), "nation", ("n_nationkey",)),),
-            ),
-            "supplier": TableLayout(pkey=("s_suppkey",)),
-            "part": TableLayout(pkey=("p_partkey",)),
-            "orders": TableLayout(
-                pkey=("o_orderkey",),
-                fkeys=((("o_custkey",), "customer", ("c_custkey",)),),
-            ),
-            "events": TableLayout(
-                pkey=("event_id",),
-                fkeys=((("user_id",), "customer", ("c_custkey",)),),
-            ),
-            "documents": TableLayout(pkey=("doc_id",)),
-            "embeddings": TableLayout(pkey=("vec_id",)),
-        },
-    )
-
-
-def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-# ---------------------------------------------------------------------------
-# KG / RDB2RDF core
-
-
-def q_dm_nation(sf_dir: str) -> rd.Dataset:
-    """Direct Mapping of nation (PK subject, literals, FK ref to region)."""
-    cat = catalog_for(sf_dir)
-    # full spec so the FK parent (region) resolves; execute only nation's map
-    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
-    return to_term_columns(
-        # distinct=False: DM output is duplicate-free by construction
-        # (row-unique subjects × distinct predicates; engine/lookup.py)
-        run_mapping(spec, cat, distinct=False, only_maps=["nation"])
-    )
-
-
-SQL_DM_NATION = f"""
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}nation>' AS obj FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
-         '<{BASE}nation#n_nationkey>',
-         '"' || n_nationkey || '"^^<{XSD_INT}>' FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
-         '<{BASE}nation#n_name>', '"' || n_name || '"' FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
-         '<{BASE}nation#n_regionkey>',
-         '"' || n_regionkey || '"^^<{XSD_INT}>' FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
-         '<{BASE}nation#ref-n_regionkey>',
-         '<{BASE}region/r_regionkey=' || n_regionkey || '>' FROM nation
-) t
-"""
-
-
-_TS_CANON = (
-    "regexp_replace(strftime({col}, '%Y-%m-%dT%H:%M:%S.%f'), '\\.?0+$', '')"
-)
-
-
-def q_dm_events(sf_dir: str) -> rd.Dataset:
-    """Direct Mapping of events: int64 PK, timestamp canon, FK→customer.
-
-    The value/props columns are excluded (double/json lexical forms are
-    checked by scalar unit tests, not the SQL oracle).
-    """
-    cat = catalog_for(sf_dir)
-    spec = direct_mapping(cat, tables=["events", "customer"], base=BASE)
-    tm = spec.maps["events"]
-    keep = {"event_id", "ts", "user_id", "event_type"}
-    from dataclasses import replace
-
-    tm = replace(
-        tm, pos=tuple(p for p in tm.pos if p.obj.column in keep)
-    )
-    spec = MappingSpec(
-        maps={"events": tm, "customer": spec.maps["customer"]}, base=BASE
-    )
-    return to_term_columns(
-        # distinct=False: DM duplicate-free by construction (lookup.py)
-        run_mapping(spec, cat, distinct=False, only_maps=["events"])
-    )
-
-
-SQL_DM_EVENTS = f"""
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}events/event_id=' || event_id || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}events>' AS obj FROM events
-  UNION ALL
-  SELECT '<{BASE}events/event_id=' || event_id || '>',
-         '<{BASE}events#event_id>', '"' || event_id || '"^^<{XSD_INT}>'
-  FROM events
-  UNION ALL
-  SELECT '<{BASE}events/event_id=' || event_id || '>',
-         '<{BASE}events#ts>',
-         '"' || {_TS_CANON.format(col='ts')} || '"^^<{XSD_DT}>' FROM events
-  UNION ALL
-  SELECT '<{BASE}events/event_id=' || event_id || '>',
-         '<{BASE}events#user_id>', '"' || user_id || '"^^<{XSD_INT}>'
-  FROM events
-  UNION ALL
-  SELECT '<{BASE}events/event_id=' || event_id || '>',
-         '<{BASE}events#event_type>', '"' || event_type || '"' FROM events
-  UNION ALL
-  SELECT '<{BASE}events/event_id=' || event_id || '>',
-         '<{BASE}events#ref-user_id>',
-         '<{BASE}customer/c_custkey=' || user_id || '>' FROM events
-) t
-"""
-
-
-def q_r2rml_orders(sf_dir: str) -> rd.Dataset:
-    """R2RML-style mapping: template subject, constant predicates, literal
-    + dateTime objects, refObjectMap to customer (join fast path)."""
-    cat = catalog_for(sf_dir)
-    order_subj = TermMapSpec(kind=IRI, template=BASE + "order/{o_orderkey}")
-    cust_subj = TermMapSpec(kind=IRI, template=BASE + "customer/{c_custkey}")
-    orders = TriplesMapSpec(
-        name="orders",
-        table="orders",
-        subject=order_subj,
-        classes=(BASE + "Order",),
-        pos=(
-            PredObjSpec(
-                pred=TermMapSpec(kind=IRI, constant=BASE + "status"),
-                obj=TermMapSpec(kind=LITERAL, column="o_orderstatus"),
-            ),
-            PredObjSpec(
-                pred=TermMapSpec(kind=IRI, constant=BASE + "priority"),
-                obj=TermMapSpec(kind=LITERAL, column="o_orderpriority"),
-            ),
-            PredObjSpec(
-                pred=TermMapSpec(kind=IRI, constant=BASE + "orderDate"),
-                obj=TermMapSpec(kind=LITERAL, column="o_orderdate"),
-            ),
-        ),
-        refs=(
-            RefObjectSpec(
-                pred=TermMapSpec(kind=IRI, constant=BASE + "customer"),
-                parent="customers",
-                join=(("o_custkey", "c_custkey"),),
-            ),
-        ),
-    )
-    customers = TriplesMapSpec(
-        name="customers", table="customer", subject=cust_subj,
-        classes=(BASE + "Customer",),
-    )
-    spec = MappingSpec(maps={"orders": orders, "customers": customers}, base=BASE)
-    # "auto" proves this spec duplicate-free at compile time (PK-covering
-    # templates, distinct constant preds, disjoint subject spaces) and
-    # skips the set-semantics shuffle — see engine.runner.is_duplicate_free
-    return to_term_columns(run_mapping(spec, cat, distinct="auto"))
-
-
-SQL_R2RML_ORDERS = f"""
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}order/' || o_orderkey || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}Order>' AS obj FROM orders
-  UNION ALL
-  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}status>',
-         '"' || o_orderstatus || '"' FROM orders
-  UNION ALL
-  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}priority>',
-         '"' || o_orderpriority || '"' FROM orders
-  UNION ALL
-  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}orderDate>',
-         '"' || {_TS_CANON.format(col='o_orderdate')} || '"^^<{XSD_DT}>'
-  FROM orders
-  UNION ALL
-  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}customer>',
-         '<{BASE}customer/' || o_custkey || '>' FROM orders
-  UNION ALL
-  SELECT DISTINCT '<{BASE}customer/' || c_custkey || '>',
-         '<{RDF_TYPE}>', '<{BASE}Customer>' FROM customer
-) t
-"""
-
-
-def q_lookup_nation(sf_dir: str) -> rd.Dataset:
-    """Pushdown point lookup: all triples of one DM subject (21c)."""
-    cat = catalog_for(sf_dir)
-    return to_term_columns(
-        get_statements(
-            cat, subject=BASE + "nation/n_nationkey=3", base=BASE,
-            distinct_buckets=2,
-        )
-    )
-
-
-SQL_LOOKUP_NATION = SQL_DM_NATION.rstrip().rstrip(
-    ""
-) + " WHERE subj = '<" + BASE + "nation/n_nationkey=3>'"
-
-
-def q_lookup_nation_by_value(sf_dir: str) -> rd.Dataset:
-    """Bound-OBJECT pushdown lookup (Store parity, [R: DirectMapping/
-    Store.pm :: get_statements with bound $o]): bound column predicate +
-    literal object → parquet value-WHERE; plus a bound ref predicate +
-    parent-node object → FK-column WHERE, unioned."""
-    cat = catalog_for(sf_dir)
-    by_val = get_statements(
-        cat, predicate=BASE + "nation#n_name", obj_literal="NATION_3",
-        base=BASE, distinct_buckets=2,
-    )
-    by_ref = get_statements(
-        cat, predicate=BASE + "nation#ref-n_regionkey",
-        obj=BASE + "region/r_regionkey=1", base=BASE, distinct_buckets=2,
-    )
-    return to_term_columns(by_val.union(by_ref))
-
-
-SQL_LOOKUP_NATION_BY_VALUE = f"""
-SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
-       '<{BASE}nation#n_name>' AS pred, '"' || n_name || '"' AS obj
-FROM nation WHERE n_name = 'NATION_3'
-UNION ALL
-SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
-       '<{BASE}nation#ref-n_regionkey>',
-       '<{BASE}region/r_regionkey=' || n_regionkey || '>'
-FROM nation WHERE n_regionkey = 1
-"""
-
-
-def q_bgp_nation_region(sf_dir: str) -> rd.Dataset:
-    """Store get_pattern parity [R: DirectMapping/Store.pm :: get_pattern]:
-    a 3-pattern BGP with shared variables — nations joined to their
-    regions (IRI bindings) plus the region name (literal binding),
-    restricted to region 1 by a bound literal."""
-    from ..engine.lookup import get_pattern
-
-    cat = catalog_for(sf_dir)
-    return get_pattern(
-        cat,
-        [
-            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
-            ("?r", BASE + "region#r_name", "?rn"),
-            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
-        ],
-        base=BASE,
-    )
-
-
-SQL_BGP_NATION_REGION = f"""
-SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
-       '{BASE}region/r_regionkey=' || r_regionkey AS r,
-       r_name AS rn
-FROM nation JOIN region ON n_regionkey = r_regionkey
-WHERE n_regionkey = 1
-"""
-
-
-def q_bgp_filter(sf_dir: str) -> rd.Dataset:
-    """BGP + SPARQL-style FILTER over the bindings [graft extension]:
-    customers joined to their nation node, a numeric filter on the
-    nation-key literal (>= 15) and a lexical one on the market segment."""
-    from ..engine.lookup import get_pattern
-
-    cat = catalog_for(sf_dir)
-    return get_pattern(
-        cat,
-        [
-            ("?c", BASE + "customer#c_nationkey", "?nk"),
-            ("?c", BASE + "customer#c_mktsegment", "?seg"),
-            ("?c", BASE + "customer#ref-c_nationkey", "?n"),
-        ],
-        base=BASE,
-        filters=[("?nk", ">=", 15), ("?seg", "==", "BUILDING")],
-    )
-
-
-SQL_BGP_FILTER = f"""
-SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
-       CAST(c_nationkey AS VARCHAR) AS nk,
-       c_mktsegment AS seg,
-       '{BASE}nation/n_nationkey=' || c_nationkey AS n
-FROM customer
-WHERE c_nationkey >= 15 AND c_mktsegment = 'BUILDING'
-"""
-
-
-def q_bgp_store(sf_dir: str) -> rd.Dataset:
-    """The same BGP as bgp_nation_region, but served from the
-    MATERIALIZED triple store: DM triples for nation+region are written
-    to a bucket-partitioned store first (resumable — a repeat run with
-    the same input fingerprint skips the write), then
-    :func:`get_pattern_store` plans each pattern with bucket pruning +
-    parquet filter pushdown. Same oracle as bgp_nation_region."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..engine.lookup import get_pattern_store
-    from ..sinks.triplestore import fingerprint_files, write_triplestore
-
-    cat = catalog_for(sf_dir)
-    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
-    fp = fingerprint_files(cat.files("nation") + cat.files("region"))
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "p5kg_bgp_store_"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
-    write_triplestore(
-        run_mapping(
-            # distinct=False: the store sink dedups in its bucket shuffle
-            spec, cat, distinct=False, only_maps=["nation", "region"]
-        ),
-        out,
-        num_buckets=8,
-        input_fp=fp,
-    )
-    return get_pattern_store(
-        out,
-        [
-            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
-            ("?r", BASE + "region#r_name", "?rn"),
-            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
-        ],
-    )
-
-
-def q_bgp_optional(sf_dir: str) -> rd.Dataset:
-    """BGP with an OPTIONAL (left-outer) group [graft extension]: every
-    customer keeps its row; the nation-key binding appears only where
-    the group's BUILDING-segment existence filter matches (NULL
-    otherwise) — SPARQL-OPTIONAL-shaped over the Direct Mapping."""
-    from ..engine.lookup import get_pattern
-
-    cat = catalog_for(sf_dir)
-    return get_pattern(
-        cat,
-        [("?c", BASE + "customer#c_custkey", "?k")],
-        base=BASE,
-        optional=[
-            ("?c", BASE + "customer#c_mktsegment", ("lit", "BUILDING")),
-            ("?c", BASE + "customer#c_nationkey", "?nk"),
-        ],
-    )
-
-
-SQL_BGP_OPTIONAL = f"""
-SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
-       CAST(c_custkey AS VARCHAR) AS k,
-       CASE WHEN c_mktsegment = 'BUILDING'
-            THEN CAST(c_nationkey AS VARCHAR) END AS nk
-FROM customer
-"""
-
-
-def q_bgp_union(sf_dir: str) -> rd.Dataset:
-    """BGP UNION (alternation) [graft extension]: region-1 nations bind
-    their name, region-2 nations bind their region node — solutions
-    aligned on the variable union with NULLs where a group does not
-    bind (SPARQL-UNION-shaped)."""
-    from ..engine.lookup import get_pattern_union
-
-    cat = catalog_for(sf_dir)
-    return get_pattern_union(
-        cat,
-        [
-            [
-                ("?n", BASE + "nation#n_name", "?nn"),
-                ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
-            ],
-            [
-                ("?n", BASE + "nation#ref-n_regionkey", "?r"),
-                ("?n", BASE + "nation#n_regionkey", ("lit", "2")),
-            ],
-        ],
-        base=BASE,
-    )
-
-
-SQL_BGP_UNION = f"""
-SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
-       n_name AS nn, CAST(NULL AS VARCHAR) AS r
-FROM nation WHERE n_regionkey = 1
-UNION
-SELECT '{BASE}nation/n_nationkey=' || n_nationkey,
-       CAST(NULL AS VARCHAR),
-       '{BASE}region/r_regionkey=' || n_regionkey
-FROM nation WHERE n_regionkey = 2
-"""
-
-
-def q_bgp_aggregate(sf_dir: str) -> rd.Dataset:
-    """SPARQL GROUP-BY-shaped composition [graft extension]: BGP
-    bindings (customer → nation node) feed the engine's combiner-first
-    grouped aggregate directly — the query surfaces compose; nothing
-    special-cased."""
-    from ..engine.lookup import get_pattern
-
-    cat = catalog_for(sf_dir)
-    bindings = get_pattern(
-        cat,
-        [("?c", BASE + "customer#ref-c_nationkey", "?n")],
-        base=BASE,
-    )
-    return grouped_aggregate(
-        bindings, keys=["n"], aggs={"n_customers": ("c", "count")},
-        num_partitions=8,
-    )
-
-
-SQL_BGP_AGGREGATE = f"""
-SELECT '{BASE}nation/n_nationkey=' || c_nationkey AS n,
-       CAST(count(*) AS BIGINT) AS n_customers
-FROM customer GROUP BY 1
-"""
-
-
-def q_store_contexts(sf_dir: str) -> rd.Dataset:
-    """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
-    RDF::Trine::Store interface]: write the rr:graphMap quads of
-    ``_NATION_GRAPH_TTL`` to a bucket-partitioned store (resumable —
-    identical input fingerprint skips the write), then list the distinct
-    named graphs. Default-graph quads (null graph) are not contexts."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..mapping.r2rml import compile_r2rml
-    from ..sinks.triplestore import (
-        fingerprint_files,
-        store_contexts,
-        write_triplestore,
-    )
-
-    cat = catalog_for(sf_dir)
-    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
-    fp = fingerprint_files(cat.files("nation"))
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "p5kg_ctx_store_"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
-    write_triplestore(
-        # distinct=False: the store sink dedups in its bucket shuffle
-        run_mapping(spec, cat, distinct=False), out, num_buckets=4,
-        input_fp=fp,
-    )
-    return store_contexts(out)
-
-
-# Named contexts = the two constant graphs + one template graph per
-# distinct n_regionkey; rr:defaultGraph quads carry a NULL graph and are
-# excluded by get_contexts semantics.
-SQL_STORE_CONTEXTS = f"""
-SELECT graph FROM (
-  SELECT '{BASE}gMeta' AS graph
-  UNION ALL SELECT '{BASE}gNames'
-  UNION ALL SELECT DISTINCT '{BASE}graph/' || n_regionkey FROM nation
-) t
-"""
-
-
-def q_count_statements(sf_dir: str):
-    """Store ``count_statements`` parity: per-pattern triple counts as a
-    small table (subject-bound, predicate-bound, unbound)."""
-    import pyarrow as pa
-
-    cat = catalog_for(sf_dir)
-    n_subj = count_statements(
-        cat, subject=BASE + "nation/n_nationkey=3", base=BASE
-    )
-    n_pred = count_statements(
-        cat, predicate=BASE + "nation#n_name", base=BASE
-    )
-    return pa.table(
-        {
-            "pattern": pa.array(["subject_bound", "predicate_bound"]),
-            "n": pa.array([n_subj, n_pred], pa.int64()),
-        }
-    )
-
-
-# a DM nation row emits 5 triples: rdf:type + 3 column literals + 1 FK ref
-SQL_COUNT_STATEMENTS = """
-SELECT 'subject_bound' AS pattern, CAST(count(*) * 5 AS BIGINT) AS n
-FROM nation WHERE n_nationkey = 3
-UNION ALL
-SELECT 'predicate_bound', CAST(count(*) AS BIGINT) FROM nation
-"""
-
-
-def q_r2rml_sqlquery(sf_dir: str) -> rd.Dataset:
-    """R2RML ``rr:sqlQuery`` logical table (SURVEY §2 #2): an arbitrary
-    SQL view as the triples-map source (big-customer slice)."""
-    cat = catalog_for(sf_dir)
-    view = TriplesMapSpec(
-        name="bigcust",
-        table="__sql__",
-        sql="SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000",
-        subject=TermMapSpec(kind=IRI, template=BASE + "bigcustomer/{c_custkey}"),
-        classes=(BASE + "BigCustomer",),
-        pos=(
-            PredObjSpec(
-                pred=TermMapSpec(kind=IRI, constant=BASE + "name"),
-                obj=TermMapSpec(kind=LITERAL, column="c_name"),
-            ),
-        ),
-    )
-    spec = MappingSpec(maps={"bigcust": view}, base=BASE)
-    return to_term_columns(run_mapping(spec, cat, distinct_buckets=4))
-
-
-# the reference's primary entry point is a Turtle mapping doc
-# [R: R2RML.pm :: new]; this entry drives compile_r2rml + rr:graphMap
-# end-to-end through the DuckDB gate (quads: subj/pred/obj/graph columns)
-_NATION_GRAPH_TTL = f"""
-@prefix rr: <http://www.w3.org/ns/r2rml#> .
-@prefix ex: <{BASE}> .
-
-<#NationMap>
-  rr:logicalTable [ rr:tableName "nation" ];
-  rr:subjectMap [
-      rr:template "{BASE}nation-g/{{n_nationkey}}";
-      rr:class ex:Nation;
-      rr:graphMap [ rr:constant ex:gMeta ];
-  ];
-  rr:predicateObjectMap [
-      rr:predicate ex:name;
-      rr:objectMap [ rr:column "n_name"; rr:language "en" ];
-      rr:graphMap [ rr:constant ex:gNames ];
-  ];
-  rr:predicateObjectMap [
-      rr:predicate ex:region;
-      rr:objectMap [ rr:template "{BASE}region-g/{{n_regionkey}}" ];
-      rr:graphMap [ rr:template "{BASE}graph/{{n_regionkey}}" ];
-      rr:graphMap [ rr:constant rr:defaultGraph ];
-  ] .
-"""
-
-
-def q_r2rml_turtle_graph(sf_dir: str) -> rd.Dataset:
-    """Turtle front-end end-to-end (SURVEY §3.1) with rr:graphMap quads:
-    parse an actual ``rr:`` mapping doc, run it, emit the graph column.
-    W3C §11.1 UNION semantics exercised: class triples → subject graph
-    (gMeta); name POM → {gMeta, gNames}; region POM → {gMeta,
-    graph/{{rk}}, explicit rr:defaultGraph} — 1+2+3 = 6 quads per row."""
-    from ..mapping.r2rml import compile_r2rml
-
-    cat = catalog_for(sf_dir)
-    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
-    return to_term_columns(
-        run_mapping(spec, cat, distinct_buckets=4), with_graph=True
-    )
-
-
-SQL_R2RML_TURTLE_GRAPH = f"""
-SELECT subj, pred, obj, graph FROM (
-  SELECT '<{BASE}nation-g/' || n_nationkey || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}Nation>' AS obj,
-         '<{BASE}gMeta>' AS graph
-  FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}name>',
-         '"' || n_name || '"@en', g
-  FROM nation, (VALUES ('<{BASE}gMeta>'), ('<{BASE}gNames>')) AS gs(g)
-  UNION ALL
-  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
-         '<{BASE}region-g/' || n_regionkey || '>',
-         '<{BASE}gMeta>'
-  FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
-         '<{BASE}region-g/' || n_regionkey || '>',
-         '<{BASE}graph/' || n_regionkey || '>'
-  FROM nation
-  UNION ALL
-  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
-         '<{BASE}region-g/' || n_regionkey || '>',
-         CAST(NULL AS VARCHAR)
-  FROM nation
-) t
-"""
-
-
-# rr:inverseExpression point lookup (W3C-R2RML §7.7): the subject term is
-# inverted against the template, the inverse expression instantiated with
-# the recovered value and used as a WHERE over the rr:sqlQuery logical
-# table — seeing through the string concatenation no plain equality
-# filter could [R: R2RML.pm accepts rr:inverseExpression on term maps].
-_INVERSE_TTL = f"""
-@prefix rr: <http://www.w3.org/ns/r2rml#> .
-@prefix ex: <{BASE}> .
-
-<#SuppCode>
-  rr:logicalTable [ rr:sqlQuery \"\"\"
-    SELECT s_suppkey, 'SUP-' || CAST(s_suppkey AS VARCHAR) AS code, s_name
-    FROM supplier
-  \"\"\" ];
-  rr:subjectMap [
-      rr:template "{BASE}sup/{{code}}";
-      rr:inverseExpression
-        "{{s_suppkey}} = CAST(substr({{code}}, 5) AS INTEGER)";
-  ];
-  rr:predicateObjectMap [
-      rr:predicate ex:name;
-      rr:objectMap [ rr:column "s_name" ];
-  ].
-"""
-
-
-def q_r2rml_inverse_lookup(sf_dir: str) -> rd.Dataset:
-    """Bound-subject point lookup over an R2RML mapping whose subject is a
-    DERIVED column (engine.lookup.r2rml_lookup + rr:inverseExpression)."""
-    from ..engine.lookup import r2rml_lookup
-    from ..mapping.r2rml import compile_r2rml
-
-    cat = catalog_for(sf_dir)
-    spec = compile_r2rml(_INVERSE_TTL, base=BASE)
-    return to_term_columns(
-        r2rml_lookup(spec, cat, BASE + "sup/SUP-3", distinct_buckets=2)
-    )
-
-
-SQL_R2RML_INVERSE_LOOKUP = f"""
-SELECT '<{BASE}sup/SUP-' || s_suppkey || '>' AS subj,
-       '<{BASE}name>' AS pred,
-       '"' || s_name || '"' AS obj
-FROM supplier WHERE s_suppkey = 3
-"""
-
-
-SQL_R2RML_SQLQUERY = f"""
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}bigcustomer/' || c_custkey || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}BigCustomer>' AS obj
-  FROM customer WHERE c_acctbal > 5000
-  UNION ALL
-  SELECT '<{BASE}bigcustomer/' || c_custkey || '>', '<{BASE}name>',
-         '"' || c_name || '"'
-  FROM customer WHERE c_acctbal > 5000
-) t
-"""
-
-
-# ---------------------------------------------------------------------------
-# relational operators
-
-
-def q_q1_pricing(sf_dir: str) -> rd.Dataset:
-    """TPC-H-Q1-style grouped aggregate (partial-agg combiner + hash
-    shuffle). Aggregates chosen exact-reproducible (integral sums)."""
-    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    return grouped_aggregate(
-        li,
-        keys=["l_returnflag", "l_linestatus"],
-        aggs={
-            "sum_qty": ("l_quantity", "sum"),
-            "avg_qty": ("l_quantity", "mean"),
-            "count_order": ("l_quantity", "count"),
-        },
-        num_partitions=8,
-    )
-
-
-SQL_Q1 = """
-SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       avg(l_quantity) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q_top10_orders(sf_dir: str) -> rd.Dataset:
-    """Global top-k without full sort (per-block prune + tiny merge)."""
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return top_k(
-        o, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False]
-    )
-
-
-SQL_TOP10_ORDERS = """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-"""
-
-
-def q_purchase_events(sf_dir: str) -> rd.Dataset:
-    """Filter + project with expression pushdown."""
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
-    return ev.filter(expr="event_type == 'purchase'").select_columns(
-        ["event_id", "user_id", "value"]
-    )
-
-
-SQL_PURCHASE_EVENTS = """
-SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
-"""
-
-
-def q_brand_stats(sf_dir: str) -> rd.Dataset:
-    """Broadcast join (small part side) + grouped aggregate."""
-    import pyarrow as pa
-    import ray
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    )
-    ref = ray.put(part)
-
-    class Join:
-        def __init__(self):
-            self.part = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            return b.join(self.part, keys=["l_partkey"], right_keys=["p_partkey"])
-
-    joined = li.map_batches(Join, batch_format="pyarrow", concurrency=(1, 8))
-    return grouped_aggregate(
-        joined,
-        keys=["p_brand"],
-        aggs={"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
-        num_partitions=8,
-    )
-
-
-SQL_BRAND_STATS = """
-SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-"""
-
-
-def q_segment_orders(sf_dir: str) -> rd.Dataset:
-    """Hash join (Ray Dataset.join) + grouped aggregate."""
-    from ..engine.distinct import ensure_hash_shuffle
-    from ..engine.joins import hash_join
-
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    ensure_hash_shuffle(o)
-    joined = hash_join(o, c, ["o_custkey"], ["c_custkey"], num_partitions=8)
-    return grouped_aggregate(
-        joined, keys=["c_mktsegment"], aggs={"n_orders": ("o_orderkey", "count")},
-        num_partitions=8,
-    )
-
-
-SQL_SEGMENT_ORDERS = """
-SELECT c_mktsegment, count(*) AS n_orders
-FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
-    from ..engine.distinct import distinct_rows
-
-    ev = _read(sf_dir, "events", ["event_type"])
-    return distinct_rows(ev, ["event_type"], num_buckets=4)
-
-
-SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
-
-
-# ---------------------------------------------------------------------------
-# training-data extras: dedup / similarity / text analysis
-
-
-def q_dedup_exact_docs(sf_dir: str) -> rd.Dataset:
-    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_DEDUP_EXACT_DOCS = """
-SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY text
-"""
-
-
-def q_token_counts_docs(sf_dir: str) -> rd.Dataset:
-    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_TOKEN_COUNTS_DOCS = r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
-            AS BIGINT) AS n_bpe_tokens
-FROM documents
-"""
-
-
-def q_quality_docs(sf_dir: str) -> rd.Dataset:
-    return quality_features(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_QUALITY_DOCS = r"""
-WITH t AS (
-  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents
-)
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(w) AS BIGINT) AS n_words,
-       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
-       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-         / greatest(length(text), 1) AS punct_ratio,
-       CAST(len(list_filter(w, x -> x IN
-         ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
-         / greatest(len(w), 1) AS stop_ratio
-FROM t
-"""
-
-
-def q_user_sessions(sf_dir: str) -> rd.Dataset:
-    """Gap-based sessionization over the events stream (windowed custom
-    operator: repartition by user + vectorized in-block windowing)."""
-    from ..stages.sessions import sessionize
-
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
-    return sessionize(ev, gap_s=1800.0, num_partitions=8)
-
-
-SQL_USER_SESSIONS = """
-WITH o AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-s AS (
-  SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM o
-)
-SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-       CAST(count(*) AS BIGINT) AS n_events,
-       min(ts) AS t_start, max(ts) AS t_end
-FROM s GROUP BY user_id, session_idx
-"""
-
-
-def q_window_events(sf_dir: str) -> rd.Dataset:
-    """Tumbling 1-hour window aggregate per user (windowed custom op —
-    combiner + one grouped shuffle; window id is row-local). The value
-    sum runs over integer cents so the result is order-independent
-    (float sums are not associative — the hash gate needs exactness)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..stages.sessions import tumbling_window
-
-    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
-
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["value_cents"] = np.floor(
-            df["value"].to_numpy() * 100 + 0.5
-        ).astype("int64")
-        return df[["user_id", "ts", "value_cents"]]
-
-    return tumbling_window(
-        ev.map_batches(cents, batch_format="pandas"),
-        window_s=3600, value_col="value_cents", value_dtype="int64",
-        num_partitions=8,
-    )
-
-
-SQL_WINDOW_EVENTS = """
-SELECT user_id,
-       to_timestamp((epoch_us(ts) // 3600000000) * 3600) AT TIME ZONE 'UTC'
-         AS window_start,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_value
-FROM events GROUP BY 1, 2
-"""
-
-
-def q_hopping_window_events(sf_dir: str) -> rd.Dataset:
-    """Overlapping 1-hour windows hopping every 15 min (each event lands
-    in 4 windows) — the sliding-window aggregate; same integer-cents
-    exactness trick as ``window_events``."""
-    import numpy as np
-    import pandas as pd
-
-    from ..stages.sessions import hopping_window
-
-    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
-
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["value_cents"] = np.floor(
-            df["value"].to_numpy() * 100 + 0.5
-        ).astype("int64")
-        return df[["user_id", "ts", "value_cents"]]
-
-    return hopping_window(
-        ev.map_batches(cents, batch_format="pandas"),
-        window_s=3600, hop_s=900,
-        value_col="value_cents", value_dtype="int64",
-        num_partitions=8,
-    )
-
-
-SQL_HOPPING_WINDOW_EVENTS = """
-SELECT user_id,
-       to_timestamp(((epoch_us(ts) // 900000000) - j) * 900)
-         AT TIME ZONE 'UTC' AS window_start,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_value
-FROM events, LATERAL (SELECT unnest(range(0, 4)) AS j) t
-GROUP BY 1, 2
-"""
-
-
-def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
-    """Corpus-wide word-bigram vocabulary (combiner + one shuffle on the
-    n-gram), min_count=2."""
-    from ..stages.vocab import ngram_counts
-
-    return ngram_counts(
-        _read(sf_dir, "documents", ["text"]),
-        n=2, min_count=2, num_partitions=16,
-    )
-
-
-def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
-    """HyperLogLog estimate of the distinct-bigram vocabulary size —
-    the shuffle-free scale companion of ``ngram_counts`` (rows-only:
-    a register-array estimator is not SQL-expressible; accuracy vs the
-    exact vocabulary is pinned by tests/test_stages.py::
-    test_approx_vocab_matches_exact_vocab)."""
-    from ..stages.sketches import approx_ndistinct_ngrams
-
-    return approx_ndistinct_ngrams(
-        _read(sf_dir, "documents", ["text"]), n=2, p=12,
-    )
-
-
-SQL_NGRAM_COUNTS_DOCS = """
-SELECT ngram, "count" FROM (
-  SELECT arr[i] || ' ' || arr[i+1] AS ngram, CAST(count(*) AS BIGINT) AS "count"
-  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS arr FROM documents) d,
-       LATERAL (SELECT unnest(range(1, len(arr))) AS i) t
-  GROUP BY 1
-) WHERE "count" >= 2
-"""
-
-
-def q_tfidf_docs(sf_dir: str) -> rd.Dataset:
-    """Per-document top-3 terms by tf-idf (tf row-local; df via one term
-    shuffle; score ``tf * (N / df)`` — IEEE-exact, no log)."""
-    import pyarrow.parquet as _pq
-
-    from ..stages.vocab import tfidf_top_terms
-
-    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return tfidf_top_terms(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        n_docs=n_docs, k=3, num_partitions=16,
-    )
-
-
-SQL_TFIDF_DOCS = """
-WITH toks AS (
-  SELECT doc_id, arr[i] AS term
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS arr
-        FROM documents) d,
-       LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) t
-),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-       FROM toks GROUP BY 1, 2),
-df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
-SELECT doc_id, term, tf, df, tfidf FROM (
-  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         tf.tf * (n.n / df.df) AS tfidf,
-         row_number() OVER (
-           PARTITION BY tf.doc_id
-           ORDER BY tf.tf * (n.n / df.df) DESC, tf.term
-         ) AS rn
-  FROM tf JOIN df USING (term), n
-) WHERE rn <= 3
-"""
-
-
-def q_chunk_docs(sf_dir: str) -> rd.Dataset:
-    """Fixed-64-token document chunking (sequence-packing prep) — pure
-    batch-wise flat map, no shuffle."""
-    from ..stages.vocab import chunk_docs
-
-    return chunk_docs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
-    )
-
-
-SQL_CHUNK_DOCS = """
-SELECT doc_id, i AS chunk_idx,
-       array_to_string(arr[(i * 64 + 1):((i + 1) * 64)], ' ') AS chunk_text,
-       CAST(least(64, len(arr) - i * 64) AS BIGINT) AS n_tokens
-FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
-     LATERAL (SELECT unnest(range(0, (len(arr) + 63) // 64)) AS i) t
-"""
-
-
-def q_join_orders_customer(sf_dir: str) -> rd.Dataset:
-    """The general big×big LEFT OUTER equi-join surface
-    (`engine.joins.hash_join`: union-tag, ONE co-hash shuffle, whole-
-    partition Acero join — no Dataset.join empty-partition crash),
-    exercised directly rather than through a refObjectMap."""
-    from ..engine.joins import hash_join
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    return hash_join(
-        orders, cust, ["o_custkey"], ["c_custkey"], num_partitions=16
-    )
-
-
-SQL_JOIN_ORDERS_CUSTOMER = """
-SELECT o_orderkey, o_custkey, c_name, c_nationkey
-FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-"""
-
-
-def q_anti_join_customers(sf_dir: str) -> rd.Dataset:
-    """Anti-join: customers with no events (`engine.distinct.except_rows`
-    — per-side dedup combiner, union-tag, one hash shuffle)."""
-    import pyarrow as pa
-
-    from ..engine.distinct import except_rows
-
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    active = _read(sf_dir, "events", ["user_id"]).map_batches(
-        lambda t: pa.table({"c_custkey": t.column("user_id")}),
-        batch_format="pyarrow",
-    )
-    return except_rows(cust, active, ["c_custkey"], num_buckets=8)
-
-
-SQL_ANTI_JOIN_CUSTOMERS = """
-SELECT DISTINCT c_custkey FROM customer
-EXCEPT
-SELECT user_id FROM events
-"""
-
-
-def q_multimodal_features(sf_dir: str) -> rd.Dataset:
-    """Multimodal actor-pool plumbing as a driver-visible pipeline: the
-    documents' text bytes stand in for opaque binary payloads (this
-    container has no decoder libraries — the feature kernel is the
-    clearly-marked deterministic stub, auto-upgrading to PIL when
-    importable), flowing through the real MEDIA_SCHEMA → actor-pool
-    extract → fixed-size feature vectors. Rows-only (sha256-derived
-    features are not SQL-expressible); exact values pinned by pytest."""
-    import pyarrow as pa
-
-    from ..stages.multimodal import MEDIA_SCHEMA, extract_features
-
-    def to_media(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = t.num_rows
-        kinds = pa.array(
-            ["image", "audio", "video"][i % 3]
-            for i in t.column("doc_id").to_pylist()
-        )
-        return pa.table(
-            {
-                "media_id": t.column("doc_id").cast(pa.int64()),
-                "kind": kinds,
-                "payload": pc.cast(
-                    t.column("text").cast(pa.string()), pa.binary()
-                ),
-                "mime": pa.array(["application/octet-stream"] * n),
-                "width": pa.array([64] * n, pa.int32()),
-                "height": pa.array([64] * n, pa.int32()),
-                "duration_ms": pa.array([1000] * n, pa.int32()),
-            },
-            schema=MEDIA_SCHEMA,
-        )
-
-    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        to_media, batch_format="pyarrow"
-    )
-    return extract_features(media, out_dim=16, batch_size=64)
-
-
-def q_quantiles_docs(sf_dir: str):
-    """Token-count quantiles over the corpus (threshold selection for
-    quality filters) — distributed value histogram, driver-side pick,
-    DuckDB quantile_disc semantics."""
-    from ..stages.groupagg import column_quantiles
-
-    tc = token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
-    df = column_quantiles(
-        tc, "n_tokens", [0.1, 0.5, 0.9, 0.99], num_partitions=8
-    )
-    df["value"] = df["value"].astype("int64")
-    return df
-
-
-SQL_QUANTILES_DOCS = """
-WITH t AS (
-  SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v
-  FROM documents
-)
-SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
-UNION ALL
-SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
-UNION ALL
-SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
-UNION ALL
-SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM t
-"""
-
-
-def q_approx_quantiles_docs(sf_dir: str):
-    """Mergeable quantile summary over document byte lengths — the
-    fixed-size scale path beside the exact ``quantiles_docs`` histogram
-    (which assumes distinct values ≪ rows). With n ≤ s the summary
-    keeps every value, so the sf0.01 gate compares EXACT quantile_disc
-    values; the bounded rank error at n ≫ s is pinned by
-    tests/test_stages.py::test_approx_quantiles_rank_error."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..stages.sketches import approx_quantiles
-
-    lens = _read(sf_dir, "documents", ["text"]).map_batches(
-        lambda t: pa.table(
-            {"blen": pc.binary_length(t.column("text")).cast(pa.float64())}
-        ),
-        batch_format="pyarrow",
-    )
-    return approx_quantiles(lens, "blen", [0.1, 0.5, 0.9], s=1024)
-
-
-SQL_APPROX_QUANTILES_DOCS = """
-WITH t AS (SELECT CAST(strlen(text) AS DOUBLE) AS v FROM documents)
-SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
-UNION ALL
-SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
-UNION ALL
-SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
-"""
-
-
-def q_pack_chunks_docs(sf_dir: str) -> rd.Dataset:
-    """Chunk-then-pack sequence prep: 64-token chunks greedily packed
-    into ≤256-token sequences. Greedy packing is iterative (each pack
-    boundary depends on the previous one) — no SQL oracle; invariants
-    (budget, consecutiveness, determinism) are pinned by pytest."""
-    from ..stages.vocab import chunk_docs, pack_chunks
-
-    ch = chunk_docs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
-    )
-    return pack_chunks(ch, budget_tokens=256, num_partitions=8)
-
-
-def q_graph_diff_events(sf_dir: str) -> rd.Dataset:
-    """KG snapshot delta: triples of the full events graph EXCEPT the
-    graph built over the non-click slice (rr:sqlQuery logical table) —
-    exactly the click-event triples. One union-tag shuffle
-    (`engine.distinct.graph_diff`)."""
-    from ..engine.distinct import graph_diff
-
-    cat = catalog_for(sf_dir)
-
-    def spec_for(sql: str | None) -> MappingSpec:
-        tm = TriplesMapSpec(
-            name="ev",
-            table="events" if sql is None else "__sql__",
-            sql=sql,
-            subject=TermMapSpec(kind=IRI, template=BASE + "ev/{event_id}"),
-            classes=(BASE + "Event",),
-            pos=(
-                PredObjSpec(
-                    pred=TermMapSpec(kind=IRI, constant=BASE + "etype"),
-                    obj=TermMapSpec(kind=LITERAL, column="event_type"),
-                ),
-            ),
-        )
-        return MappingSpec(maps={"ev": tm}, base=BASE)
-
-    # distinct=False on both sides: graph_diff's tagged set-op dedups
-    # each side itself (per-block combiner + post-shuffle merge), so the
-    # upstream set-semantics shuffles would be two redundant exchanges
-    new = run_mapping(spec_for(None), cat, distinct=False)
-    old = run_mapping(
-        spec_for(
-            "SELECT event_id, event_type FROM events"
-            " WHERE event_type <> 'click'"
-        ),
-        cat,
-        distinct=False,
-    )
-    return to_term_columns(graph_diff(new, old, num_buckets=8))
-
-
-SQL_GRAPH_DIFF_EVENTS = f"""
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj FROM events
-  UNION ALL
-  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
-         '"' || event_type || '"' FROM events
-) a
-EXCEPT
-SELECT subj, pred, obj FROM (
-  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
-         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj
-  FROM events WHERE event_type <> 'click'
-  UNION ALL
-  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
-         '"' || event_type || '"' FROM events WHERE event_type <> 'click'
-) b
-"""
-
-
-def q_asof_events_orders(sf_dir: str) -> rd.Dataset:
-    """As-of join (backward): each event matched to the customer's
-    latest order placed at-or-before the event timestamp. The right
-    side is first reduced to one row per (custkey, orderdate) — max
-    orderkey — so the as-of pick is deterministic on both engines."""
-    from ..stages.asof import asof_join
-
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    od = grouped_aggregate(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
-        keys=["o_custkey", "o_orderdate"],
-        aggs={"o_orderkey": ("o_orderkey", "max")},
-        num_partitions=8,
-    )
-    return asof_join(
-        ev, od,
-        key_left="user_id", key_right="o_custkey",
-        ts_left="ts", ts_right="o_orderdate",
-        left_cols=["event_id", "user_id", "ts"],
-        right_cols=["o_orderkey", "o_orderdate"],
-        num_partitions=8,
-    )
-
-
-SQL_ASOF_EVENTS_ORDERS = """
-WITH o AS (
-  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-  FROM orders GROUP BY 1, 2
-)
-SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
-FROM events e ASOF JOIN o
-  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-"""
-
-
-def q_range_join_orders(sf_dir: str) -> rd.Dataset:
-    """Range (interval) join: each order matched to the price band
-    whose [lo, hi) contains its total price. Bands are derived from
-    nation keys (25 disjoint 20k-wide cells covering the price domain)
-    so the oracle runs over the same stock tables."""
-    import pyarrow as pa
-
-    from ..stages.asof import range_join
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    bands = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
-        lambda t: pa.table(
-            {
-                "band_id": t.column("n_nationkey").cast(pa.int64()),
-                "lo": pc_mul(t.column("n_nationkey"), 20000.0),
-                "hi": pc_mul(
-                    pa.compute.add(t.column("n_nationkey"), 1), 20000.0
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    return range_join(
-        orders, bands,
-        value_col="o_totalprice", lo_col="lo", hi_col="hi",
-        left_cols=["o_orderkey"], right_cols=["band_id"],
-        bucket_width=20000.0, num_partitions=8,
-        out_dtypes={"o_orderkey": "int64", "band_id": "int64"},
-    )
-
-
-def pc_mul(arr, x: float):
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    return pc.multiply(arr.cast(pa.float64()), x)
-
-
-SQL_RANGE_JOIN_ORDERS = """
-SELECT o.o_orderkey, b.band_id
-FROM orders o JOIN (
-  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
-         CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
-         (CAST(n_nationkey AS DOUBLE) + 1) * 20000.0 AS hi
-  FROM nation
-) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-"""
-
-
-def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
-    """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
-    from ..stages.textstats import winnow_fingerprints
-
-    return winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
-    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_FINGERPRINT_DOCS = "SELECT doc_id, md5(text) AS fp FROM documents"
-
-
-def q_langid_docs(sf_dir: str) -> rd.Dataset:
-    # heuristic model — rows-only check (no SQL oracle)
-    return language_id(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-_SHINGLE_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
-  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT da AS doc_a, db AS doc_b,
-       CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jacc
-FROM inter
-JOIN sz sa ON sa.doc_id = da
-JOIN sz sb ON sb.doc_id = db
-WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= {tau}
-"""
-
-
-def q_jaccard_pairs_docs(sf_dir: str) -> rd.Dataset:
-    return ngram_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
-    )
-
-
-SQL_JACCARD_PAIRS_DOCS = _SHINGLE_SQL.format(tau=0.6)
-
-
-def q_minhash_pairs_docs(sf_dir: str) -> rd.Dataset:
-    # LSH (32 bands × 2 rows) recall at τ=0.6 is 1 - (1-τ²)^32 ≈ 1 - 6e-7:
-    # the verified output equals the exact-Jaccard oracle in practice
-    return minhash_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
-    )
-
-
-SQL_MINHASH_PAIRS_DOCS = SQL_JACCARD_PAIRS_DOCS
-
-
-def q_near_dedup_docs(sf_dir: str) -> rd.Dataset:
-    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
-    canonical min-id representative per component, one row per doc.
-    Oracle: the exact-Jaccard pair graph closed by a recursive CTE."""
-    from ..stages.dedup import near_dedup_docs
-
-    return near_dedup_docs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
-    )
-
-
-SQL_NEAR_DEDUP_DOCS = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
-  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT da AS doc_a, db AS doc_b
-  FROM inter
-  JOIN sz sa ON sa.doc_id = da
-  JOIN sz sb ON sb.doc_id = db
-  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-rep AS (
-  SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a
-)
-SELECT d.doc_id,
-       CAST(coalesce(r.rep_id, d.doc_id) AS BIGINT) AS rep_id,
-       coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
-FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
-"""
-
-
-def q_simhash_pairs_docs(sf_dir: str) -> rd.Dataset:
-    # rows-only: 64-bit SimHash bucketing is not SQL-expressible
-    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
-
-
-def _query_vectors(sf_dir: str, n: int = 5):
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t.column("vec_id"))
-    mask = ids < n
-    m = np.vstack(
-        [np.asarray(v, np.float64) for v, keep in zip(t.column("embedding").to_pylist(), mask) if keep]
-    )
-    return ids[mask], m
-
-
-def q_ann_topk(sf_dir: str) -> rd.Dataset:
-    qs = _query_vectors(sf_dir, 5)
-    return ann_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
-    )
-
-
-SQL_ANN_TOPK = """
-WITH q AS (
-  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
-),
-s AS (
-  SELECT q.qid, e.vec_id,
-         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
-  FROM q, embeddings e
-),
-r AS (
-  SELECT qid AS query_id, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
-  FROM s
-)
-SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 10
-"""
-
-
-def q_lsh_topk(sf_dir: str) -> rd.Dataset:
-    """Approximate (LSH-bucketed) top-k — the scale path of ann_topk;
-    rows-only check (bucketing is not SQL-expressible)."""
-    from ..stages.similarity import lsh_topk
-
-    qs = _query_vectors(sf_dir, 5)
-    return lsh_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
-    )
-
-
-def q_ivf_topk(sf_dir: str) -> rd.Dataset:
-    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
-    path beside lsh_topk; rows-only check (k-means buckets are not
-    SQL-expressible)."""
-    from ..stages.similarity import ivf_topk
-
-    qs = _query_vectors(sf_dir, 5)
-    return ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs,
-        k=10, nlist=16, nprobe=8,
-    )
-
-
-def q_neardup_embeddings(sf_dir: str) -> rd.Dataset:
-    return embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46
-    )
-
-
-SQL_NEARDUP_EMBEDDINGS = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46
-"""
-
-
-def q_clean_corpus_docs(sf_dir: str) -> rd.Dataset:
-    """Composed corpus-cleaning pipeline: quality gate → exact dedup →
-    MinHash near-dedup, one verdict row per input doc. The language gate
-    is off here (language-ID is not SQL-expressible; it is exercised by
-    ``langid_docs`` and the pytest corpus). min_words=16 drops ~5% of the
-    synthetic docs so the quality branch is live in the oracle compare."""
-    from .clean import clean_corpus
-
-    return clean_corpus(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        min_words=16,
-        max_punct_ratio=0.5,
-        langs=None,
-        neardup_tau=0.6,
-        neardup_method="minhash",
-        materialize_flags=True,  # flags pass runs once, not per consumer
-    )
-
-
-SQL_CLEAN_CORPUS_DOCS = r"""
-WITH RECURSIVE q AS (
-  SELECT doc_id, text,
-         len(regexp_extract_all(text, '\S+')) AS n_words,
-         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-           / greatest(length(text), 1) AS punct_ratio
-  FROM documents
-),
-dropped AS (
-  SELECT doc_id, 'quality' AS status, CAST(NULL AS BIGINT) AS rep_id
-  FROM q WHERE n_words < 16 OR punct_ratio > 0.5
-),
-surv AS (
-  SELECT doc_id, text FROM q
-  WHERE NOT (n_words < 16 OR punct_ratio > 0.5)
-),
-ex AS (
-  SELECT doc_id, text,
-         min(doc_id) OVER (PARTITION BY text) AS rep_id
-  FROM surv
-),
-losers AS (
-  SELECT doc_id, 'exact_dup' AS status, rep_id
-  FROM ex WHERE doc_id <> rep_id
-),
-winners AS (SELECT doc_id, text FROM ex WHERE doc_id = rep_id),
-toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM winners
-),
-sh AS (
-  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
-  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT da AS doc_a, db AS doc_b
-  FROM inter
-  JOIN sz sa ON sa.doc_id = da
-  JOIN sz sb ON sb.doc_id = db
-  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-nrep AS (SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
-SELECT doc_id, status, rep_id FROM dropped
-UNION ALL
-SELECT doc_id, status, CAST(rep_id AS BIGINT) AS rep_id FROM losers
-UNION ALL
-SELECT w.doc_id,
-       CASE WHEN coalesce(r.rep_id, w.doc_id) = w.doc_id
-            THEN 'kept' ELSE 'near_dup' END AS status,
-       CAST(coalesce(r.rep_id, w.doc_id) AS BIGINT) AS rep_id
-FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
-"""
-
-
-def q_repetition_docs(sf_dir: str) -> rd.Dataset:
-    """Gopher-style repetition quality signals (dup-line fraction,
-    top-bigram share) per document."""
-    from ..stages.textstats import repetition_stats
-
-    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_REPETITION_DOCS = r"""
-WITH l AS (
-  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
-),
-lines AS (
-  SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_uniq
-  FROM l
-),
-t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
-bg AS (
-  SELECT doc_id, w[g] || ' ' || w[g+1] AS b
-  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
-),
-bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
-SELECT d.doc_id,
-       CAST(li.n_lines AS BIGINT) AS n_lines,
-       1.0 - CAST(li.n_uniq AS DOUBLE) / li.n_lines AS dup_line_frac,
-       coalesce(CAST(tp.mx AS DOUBLE) / tp.tot, 0.0) AS top_bigram_frac
-FROM documents d
-JOIN lines li ON li.doc_id = d.doc_id
-LEFT JOIN tops tp ON tp.doc_id = d.doc_id
-"""
-
-
-def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
-    """Train/eval decontamination: flag corpus docs sharing ≥2 distinct
-    5-gram shingles with a reference set (here the src0 sub-corpus) —
-    broadcast ref-set mode (map-only over the corpus; the distributed
-    semi-join mode is pinned equal by pytest)."""
-    from ..stages.dedup import decontaminate_docs
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    ref = docs.filter(expr="source == 'src0'").select_columns(
-        ["doc_id", "text"]
-    )
-    return decontaminate_docs(
-        docs.select_columns(["doc_id", "text"]), ref, n=5, min_hits=2
-    )
-
-
-SQL_DECONTAMINATE_DOCS = r"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-refset AS (SELECT text FROM documents WHERE source = 'src0'),
-ta AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
-sa AS (
-  SELECT DISTINCT doc_id,
-         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
-  FROM ta, unnest(generate_series(1, len(w) - 4)) AS u(g)
-),
-tb AS (SELECT regexp_extract_all(text, '\S+') AS w FROM refset),
-sb AS (
-  SELECT DISTINCT
-         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
-  FROM tb, unnest(generate_series(1, len(w) - 4)) AS u(g)
-),
-hits AS (
-  SELECT a.doc_id, count(*) AS n FROM sa a JOIN sb b ON a.s = b.s GROUP BY 1
-)
-SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       coalesce(h.n, 0) < 2 AS is_clean
-FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
-"""
-
-
-def q_emb_near_dedup(sf_dir: str) -> rd.Dataset:
-    """End-to-end embedding near-dedup (exact pairs → CC → min-id
-    representative) — the vector twin of near_dedup_docs."""
-    from ..stages.similarity import embedding_near_dedup
-
-    return embedding_near_dedup(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        tau=0.46, method="exact",
-    )
-
-
-SQL_EMB_NEAR_DEDUP = """
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
-    AND list_cosine_similarity(a.embedding::DOUBLE[],
-                               b.embedding::DOUBLE[]) >= 0.46
-),
-edges AS (
-  SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-rep AS (SELECT a AS vec_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
-SELECT e.vec_id,
-       CAST(coalesce(r.rep_id, e.vec_id) AS BIGINT) AS rep_id,
-       coalesce(r.rep_id, e.vec_id) = e.vec_id AS is_kept
-FROM embeddings e LEFT JOIN rep r ON r.vec_id = e.vec_id
-"""
-
-
-# fmix32 (MurmurHash3 finalizer) in SQL — bit-identical to
-# stages/sample.fmix32 for non-negative int64 keys: fold to 32 bits,
-# add seed, then xor-shift/multiply rounds with HUGEINT intermediates.
-_FMIX32_SQL = """
-  SELECT *, CAST(xor(h2, h2 >> 16) AS BIGINT) AS smp_h
-  FROM (
-    SELECT * EXCLUDE (h1),
-           CAST((CAST(xor(h1, h1 >> 13) AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h2
-    FROM (
-      SELECT * EXCLUDE (h0),
-             CAST((CAST(xor(h0, h0 >> 16) AS HUGEINT) * 2246822507)
-                  % 4294967296 AS BIGINT) AS h1
-      FROM (
-        SELECT *, (xor({key} % 4294967296, {key} // 4294967296) + {seed})
-                  % 4294967296 AS h0
-        FROM {src}
-      )
-    )
-  )
-"""
-
-
-def q_sample_docs(sf_dir: str) -> rd.Dataset:
-    """Deterministic hash sampling (consistent ~25% subset, map-only)."""
-    from ..stages.sample import hash_sample
-
-    return hash_sample(
-        _read(sf_dir, "documents", ["doc_id", "text"]), rate=0.25, seed=42
-    )
-
-
-SQL_SAMPLE_DOCS = f"""
-SELECT doc_id, text FROM (
-{_FMIX32_SQL.format(key="doc_id", seed=42, src="documents")}
-) WHERE smp_h % 1000000 < 250000
-"""
-
-
-def q_stratified_sample_docs(sf_dir: str) -> rd.Dataset:
-    """Per-language sampling rates (corpus rebalancing), still map-only."""
-    from ..stages.sample import stratified_sample
-
-    return stratified_sample(
-        _read(sf_dir, "documents", ["doc_id", "lang"]),
-        rates={"en": 0.5, "de": 0.1},
-        group_col="lang",
-        default_rate=0.2,
-        seed=7,
-    )
-
-
-SQL_STRATIFIED_SAMPLE_DOCS = f"""
-SELECT doc_id, lang FROM (
-{_FMIX32_SQL.format(key="doc_id", seed=7, src="documents")}
-) WHERE smp_h % 1000000 <
-    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 200000 END
-"""
-
-
-def q_mix_docs_sources(sf_dir: str) -> rd.Dataset:
-    """Weighted mixture of two sub-corpora (80% of src0-4, 30% of
-    src5-9) — per-source seeds keep the keep decisions independent."""
-    from ..stages.sample import mix_corpora
-
-    docs = _read(sf_dir, "documents", ["doc_id", "source"])
-    a = docs.filter(
-        expr="source in ['src0', 'src1', 'src2', 'src3', 'src4']"
-    )
-    b = docs.filter(
-        expr="source in ['src5', 'src6', 'src7', 'src8', 'src9']"
-    )
-    return mix_corpora([(a, 0.8), (b, 0.3)], seed=0)
-
-
-SQL_MIX_DOCS_SOURCES = f"""
-SELECT doc_id, source FROM (
-{_FMIX32_SQL.format(key="doc_id", seed=0, src="documents")}
-) WHERE source IN ('src0','src1','src2','src3','src4')
-  AND smp_h % 1000000 < 800000
-UNION ALL
-SELECT doc_id, source FROM (
-{_FMIX32_SQL.format(key="doc_id", seed=1, src="documents")}
-) WHERE source IN ('src5','src6','src7','src8','src9')
-  AND smp_h % 1000000 < 300000
-"""
-
-
-def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
-    """IVF bucket-and-verify approximate near-dup pairs — the
-    sub-quadratic scale path of neardup_embeddings; rows-only check
-    (k-means buckets are not SQL-expressible; recall vs the exact pairs
-    is pinned by tests/test_stages.py::test_neardup_approx_recall)."""
-    from ..stages.similarity import embedding_neardup_pairs_approx
-
-    return embedding_neardup_pairs_approx(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46,
-        nlist=16, nprobe=4,
-    )
-
-
-# ---------------------------------------------------------------------------
-# registry
+from .queries_kg import *  # noqa: F401,F403
+from .queries_rel import *  # noqa: F401,F403
+from .queries_data import *  # noqa: F401,F403
 
 QUERIES = {
     "dm_nation": q_dm_nation,
@@ -1889,24 +48,19 @@ QUERIES = {
     "token_counts_docs": q_token_counts_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
-    "winnow_fp_docs": q_winnow_fp_docs,
     "user_sessions": q_user_sessions,
     "window_events": q_window_events,
     "hopping_window_events": q_hopping_window_events,
     "ngram_counts_docs": q_ngram_counts_docs,
-    "approx_vocab_docs": q_approx_vocab_docs,
     "tfidf_docs": q_tfidf_docs,
     "chunk_docs": q_chunk_docs,
-    "pack_chunks_docs": q_pack_chunks_docs,
     "quantiles_docs": q_quantiles_docs,
     "approx_quantiles_docs": q_approx_quantiles_docs,
-    "multimodal_features": q_multimodal_features,
     "join_orders_customer": q_join_orders_customer,
     "anti_join_customers": q_anti_join_customers,
     "graph_diff_events": q_graph_diff_events,
     "asof_events_orders": q_asof_events_orders,
     "range_join_orders": q_range_join_orders,
-    "langid_docs": q_langid_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "near_dedup_docs": q_near_dedup_docs,
@@ -1917,11 +71,17 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "mix_docs_sources": q_mix_docs_sources,
-    "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_topk": q_ann_topk,
+    "neardup_embeddings": q_neardup_embeddings,
+    "multimodal_features": q_multimodal_features,
+    # --- rows-only tail (no SQL-expressible oracle) ---
+    "winnow_fp_docs": q_winnow_fp_docs,
+    "approx_vocab_docs": q_approx_vocab_docs,
+    "pack_chunks_docs": q_pack_chunks_docs,
+    "langid_docs": q_langid_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
-    "neardup_embeddings": q_neardup_embeddings,
     "neardup_embeddings_approx": q_neardup_embeddings_approx,
 }
 
@@ -1977,5 +137,8 @@ ORACLES = {
     "mix_docs_sources": SQL_MIX_DOCS_SOURCES,
     "ann_topk": SQL_ANN_TOPK,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
-    # langid_docs / simhash_pairs_docs / lsh_topk: rows-only
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # langid_docs / simhash_pairs_docs / lsh_topk / winnow_fp_docs /
+    # approx_vocab_docs / pack_chunks_docs / ivf_topk /
+    # neardup_embeddings_approx: rows-only
 }

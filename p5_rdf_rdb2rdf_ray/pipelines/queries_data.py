@@ -1,0 +1,1078 @@
+"""Training-data pipeline registry entries (brief §extras): dedup,
+similarity / ANN, text stats, vocab / chunking, sampling, multimodal.
+Builders + DuckDB oracle SQL twins; assembled in ``pipelines.queries``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..stages.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..stages.groupagg import grouped_aggregate
+from ..stages.similarity import ann_topk, embedding_neardup_pairs
+from ..stages.textstats import (
+    fingerprints,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from ..engine.runner import run_mapping
+from ..sinks.ntriples import to_term_columns
+from .queries_kg import BASE, RDF_TYPE, _read, catalog_for
+
+# ---------------------------------------------------------------------------
+# training-data extras: dedup / similarity / text analysis
+
+
+def q_dedup_exact_docs(sf_dir: str) -> rd.Dataset:
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_counts_docs(sf_dir: str) -> rd.Dataset:
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOKEN_COUNTS_DOCS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str) -> rd.Dataset:
+    return quality_features(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_QUALITY_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(w, x -> x IN
+         ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         / greatest(len(w), 1) AS stop_ratio
+FROM t
+"""
+
+
+def q_user_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization over the events stream (windowed custom
+    operator: repartition by user + vectorized in-block windowing)."""
+    from ..stages.sessions import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ev, gap_s=1800.0, num_partitions=8)
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_window_events(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window aggregate per user (windowed custom op —
+    combiner + one grouped shuffle; window id is row-local). The value
+    sum runs over integer cents so the result is order-independent
+    (float sums are not associative — the hash gate needs exactness)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.sessions import tumbling_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.floor(
+            df["value"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return df[["user_id", "ts", "value_cents"]]
+
+    return tumbling_window(
+        ev.map_batches(cents, batch_format="pandas"),
+        window_s=3600, value_col="value_cents", value_dtype="int64",
+        num_partitions=8,
+    )
+
+
+SQL_WINDOW_EVENTS = """
+SELECT user_id,
+       to_timestamp((epoch_us(ts) // 3600000000) * 3600) AT TIME ZONE 'UTC'
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_hopping_window_events(sf_dir: str) -> rd.Dataset:
+    """Overlapping 1-hour windows hopping every 15 min (each event lands
+    in 4 windows) — the sliding-window aggregate; same integer-cents
+    exactness trick as ``window_events``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.sessions import hopping_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.floor(
+            df["value"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return df[["user_id", "ts", "value_cents"]]
+
+    return hopping_window(
+        ev.map_batches(cents, batch_format="pandas"),
+        window_s=3600, hop_s=900,
+        value_col="value_cents", value_dtype="int64",
+        num_partitions=8,
+    )
+
+
+SQL_HOPPING_WINDOW_EVENTS = """
+SELECT user_id,
+       to_timestamp(((epoch_us(ts) // 900000000) - j) * 900)
+         AT TIME ZONE 'UTC' AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value
+FROM events, LATERAL (SELECT unnest(range(0, 4)) AS j) t
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide word-bigram vocabulary (combiner + one shuffle on the
+    n-gram), min_count=2."""
+    from ..stages.vocab import ngram_counts
+
+    return ngram_counts(
+        _read(sf_dir, "documents", ["text"]),
+        n=2, min_count=2, num_partitions=16,
+    )
+
+
+def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog estimate of the distinct-bigram vocabulary size —
+    the shuffle-free scale companion of ``ngram_counts`` (rows-only:
+    a register-array estimator is not SQL-expressible; accuracy vs the
+    exact vocabulary is pinned by tests/test_stages.py::
+    test_approx_vocab_matches_exact_vocab)."""
+    from ..stages.sketches import approx_ndistinct_ngrams
+
+    return approx_ndistinct_ngrams(
+        _read(sf_dir, "documents", ["text"]), n=2, p=12,
+    )
+
+
+SQL_NGRAM_COUNTS_DOCS = """
+SELECT ngram, "count" FROM (
+  SELECT arr[i] || ' ' || arr[i+1] AS ngram, CAST(count(*) AS BIGINT) AS "count"
+  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS arr FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) t
+  GROUP BY 1
+) WHERE "count" >= 2
+"""
+
+
+def q_tfidf_docs(sf_dir: str) -> rd.Dataset:
+    """Per-document top-3 terms by tf-idf (tf row-local; df via one term
+    shuffle; score ``tf * (N / df)`` — IEEE-exact, no log)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.vocab import tfidf_top_terms
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n_docs=n_docs, k=3, num_partitions=16,
+    )
+
+
+SQL_TFIDF_DOCS = """
+WITH toks AS (
+  SELECT doc_id, arr[i] AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) t
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (n.n / df.df) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n / df.df) DESC, tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term), n
+) WHERE rn <= 3
+"""
+
+
+def q_chunk_docs(sf_dir: str) -> rd.Dataset:
+    """Fixed-64-token document chunking (sequence-packing prep) — pure
+    batch-wise flat map, no shuffle."""
+    from ..stages.vocab import chunk_docs
+
+    return chunk_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
+    )
+
+
+SQL_CHUNK_DOCS = """
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(arr[(i * 64 + 1):((i + 1) * 64)], ' ') AS chunk_text,
+       CAST(least(64, len(arr) - i * 64) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr FROM documents) d,
+     LATERAL (SELECT unnest(range(0, (len(arr) + 63) // 64)) AS i) t
+"""
+
+
+def q_join_orders_customer(sf_dir: str) -> rd.Dataset:
+    """The general big×big LEFT OUTER equi-join surface
+    (`engine.joins.hash_join`: union-tag, ONE co-hash shuffle, whole-
+    partition Acero join — no Dataset.join empty-partition crash),
+    exercised directly rather than through a refObjectMap."""
+    from ..engine.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return hash_join(
+        orders, cust, ["o_custkey"], ["c_custkey"], num_partitions=16
+    )
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey, c_name, c_nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_anti_join_customers(sf_dir: str) -> rd.Dataset:
+    """Anti-join: customers with no events (`engine.distinct.except_rows`
+    — per-side dedup combiner, union-tag, one hash shuffle)."""
+    import pyarrow as pa
+
+    from ..engine.distinct import except_rows
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    active = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.column("user_id")}),
+        batch_format="pyarrow",
+    )
+    return except_rows(cust, active, ["c_custkey"], num_buckets=8)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
+def q_multimodal_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal binary-column pipeline with a REAL decode: each doc id
+    deterministically mints a well-formed PNG / JPEG / GIF header
+    payload (opaque ``binary`` column through the real MEDIA_SCHEMA),
+    and the engine's dependency-free header probe parses format, width
+    and height back out of the BYTES. The oracle predicts the same
+    fields from the doc-id arithmetic — so the Ray side only matches if
+    the byte-level container parsing is correct. (The feature-extractor
+    / frame-sampler / resizer actor-pool stages remain pinned by pytest;
+    their sha256-derived stub features are not SQL-expressible.)"""
+    import pyarrow as pa
+
+    from ..stages.multimodal import (
+        MEDIA_SCHEMA,
+        probe_headers,
+        synth_image_payload,
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        n = len(ids)
+        fmts = [("png", "jpeg", "gif")[i % 3] for i in ids]
+        payloads = [
+            synth_image_payload(f, i % 640 + 1, i % 480 + 1)
+            for f, i in zip(fmts, ids)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["image"] * n),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array([f"image/{f}" for f in fmts]),
+                "width": pa.array([-1] * n, pa.int32()),  # unknown pre-probe
+                "height": pa.array([-1] * n, pa.int32()),
+                "duration_ms": pa.array([0] * n, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return probe_headers(media)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+           AS fmt,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
+def q_quantiles_docs(sf_dir: str):
+    """Token-count quantiles over the corpus (threshold selection for
+    quality filters) — distributed value histogram, driver-side pick,
+    DuckDB quantile_disc semantics."""
+    from ..stages.groupagg import column_quantiles
+
+    tc = token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = column_quantiles(
+        tc, "n_tokens", [0.1, 0.5, 0.9, 0.99], num_partitions=8
+    )
+    df["value"] = df["value"].astype("int64")
+    return df
+
+
+SQL_QUANTILES_DOCS = """
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v
+  FROM documents
+)
+SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
+UNION ALL
+SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
+UNION ALL
+SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM t
+"""
+
+
+def q_approx_quantiles_docs(sf_dir: str):
+    """Mergeable quantile summary over document byte lengths — the
+    fixed-size scale path beside the exact ``quantiles_docs`` histogram
+    (which assumes distinct values ≪ rows). With n ≤ s the summary
+    keeps every value, so the sf0.01 gate compares EXACT quantile_disc
+    values; the bounded rank error at n ≫ s is pinned by
+    tests/test_stages.py::test_approx_quantiles_rank_error."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sketches import approx_quantiles
+
+    lens = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda t: pa.table(
+            {"blen": pc.binary_length(t.column("text")).cast(pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return approx_quantiles(lens, "blen", [0.1, 0.5, 0.9], s=1024)
+
+
+SQL_APPROX_QUANTILES_DOCS = """
+WITH t AS (SELECT CAST(strlen(text) AS DOUBLE) AS v FROM documents)
+SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(v, 0.10) AS value FROM t
+UNION ALL
+SELECT CAST(0.50 AS DOUBLE), quantile_disc(v, 0.50) FROM t
+UNION ALL
+SELECT CAST(0.90 AS DOUBLE), quantile_disc(v, 0.90) FROM t
+"""
+
+
+def q_pack_chunks_docs(sf_dir: str) -> rd.Dataset:
+    """Chunk-then-pack sequence prep: 64-token chunks greedily packed
+    into ≤256-token sequences. Greedy packing is iterative (each pack
+    boundary depends on the previous one) — no SQL oracle; invariants
+    (budget, consecutiveness, determinism) are pinned by pytest."""
+    from ..stages.vocab import chunk_docs, pack_chunks
+
+    ch = chunk_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=64
+    )
+    return pack_chunks(ch, budget_tokens=256, num_partitions=8)
+
+
+def q_graph_diff_events(sf_dir: str) -> rd.Dataset:
+    """KG snapshot delta: triples of the full events graph EXCEPT the
+    graph built over the non-click slice (rr:sqlQuery logical table) —
+    exactly the click-event triples. One union-tag shuffle
+    (`engine.distinct.graph_diff`)."""
+    from ..engine.distinct import graph_diff
+
+    cat = catalog_for(sf_dir)
+
+    def spec_for(sql: str | None) -> MappingSpec:
+        tm = TriplesMapSpec(
+            name="ev",
+            table="events" if sql is None else "__sql__",
+            sql=sql,
+            subject=TermMapSpec(kind=IRI, template=BASE + "ev/{event_id}"),
+            classes=(BASE + "Event",),
+            pos=(
+                PredObjSpec(
+                    pred=TermMapSpec(kind=IRI, constant=BASE + "etype"),
+                    obj=TermMapSpec(kind=LITERAL, column="event_type"),
+                ),
+            ),
+        )
+        return MappingSpec(maps={"ev": tm}, base=BASE)
+
+    # distinct=False on both sides: graph_diff's tagged set-op dedups
+    # each side itself (per-block combiner + post-shuffle merge), so the
+    # upstream set-semantics shuffles would be two redundant exchanges
+    new = run_mapping(spec_for(None), cat, distinct=False)
+    old = run_mapping(
+        spec_for(
+            "SELECT event_id, event_type FROM events"
+            " WHERE event_type <> 'click'"
+        ),
+        cat,
+        distinct=False,
+    )
+    return to_term_columns(graph_diff(new, old, num_buckets=8))
+
+
+SQL_GRAPH_DIFF_EVENTS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj FROM events
+  UNION ALL
+  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
+         '"' || event_type || '"' FROM events
+) a
+EXCEPT
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}ev/' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Event>' AS obj
+  FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT '<{BASE}ev/' || event_id || '>', '<{BASE}etype>',
+         '"' || event_type || '"' FROM events WHERE event_type <> 'click'
+) b
+"""
+
+
+def q_asof_events_orders(sf_dir: str) -> rd.Dataset:
+    """As-of join (backward): each event matched to the customer's
+    latest order placed at-or-before the event timestamp. The right
+    side is first reduced to one row per (custkey, orderdate) — max
+    orderkey — so the as-of pick is deterministic on both engines."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+        keys=["o_custkey", "o_orderdate"],
+        aggs={"o_orderkey": ("o_orderkey", "max")},
+        num_partitions=8,
+    )
+    return asof_join(
+        ev, od,
+        key_left="user_id", key_right="o_custkey",
+        ts_left="ts", ts_right="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        num_partitions=8,
+        out_dtypes={
+            "event_id": "int64",
+            "user_id": "int64",
+            "o_orderkey": "int64",
+        },
+    )
+
+
+SQL_ASOF_EVENTS_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_orders(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join: each order matched to the price band
+    whose [lo, hi) contains its total price. Bands are derived from
+    nation keys (25 disjoint 20k-wide cells covering the price domain)
+    so the oracle runs over the same stock tables."""
+    import pyarrow as pa
+
+    from ..stages.asof import range_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    bands = _read(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "band_id": t.column("n_nationkey").cast(pa.int64()),
+                "lo": pc_mul(t.column("n_nationkey"), 20000.0),
+                "hi": pc_mul(
+                    pa.compute.add(t.column("n_nationkey"), 1), 20000.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        orders, bands,
+        value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        left_cols=["o_orderkey"], right_cols=["band_id"],
+        bucket_width=20000.0, num_partitions=8,
+        out_dtypes={"o_orderkey": "int64", "band_id": "int64"},
+    )
+
+
+def pc_mul(arr, x: float):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.multiply(arr.cast(pa.float64()), x)
+
+
+SQL_RANGE_JOIN_ORDERS = """
+SELECT o.o_orderkey, b.band_id
+FROM orders o JOIN (
+  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+         CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+         (CAST(n_nationkey AS DOUBLE) + 1) * 20000.0 AS hi
+  FROM nation
+) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+"""
+
+
+def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
+    """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
+    from ..stages.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_FINGERPRINT_DOCS = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_langid_docs(sf_dir: str) -> rd.Dataset:
+    # heuristic model — rows-only check (no SQL oracle)
+    return language_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_SHINGLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jacc
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= {tau}
+"""
+
+
+def q_jaccard_pairs_docs(sf_dir: str) -> rd.Dataset:
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_JACCARD_PAIRS_DOCS = _SHINGLE_SQL.format(tau=0.6)
+
+
+def q_minhash_pairs_docs(sf_dir: str) -> rd.Dataset:
+    # LSH (32 bands × 2 rows) recall at τ=0.6 is 1 - (1-τ²)^32 ≈ 1 - 6e-7:
+    # the verified output equals the exact-Jaccard oracle in practice
+    return minhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_MINHASH_PAIRS_DOCS = SQL_JACCARD_PAIRS_DOCS
+
+
+def q_near_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
+    canonical min-id representative per component, one row per doc.
+    Oracle: the exact-Jaccard pair graph closed by a recursive CTE."""
+    from ..stages.dedup import near_dedup_docs
+
+    return near_dedup_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.6
+    )
+
+
+SQL_NEAR_DEDUP_DOCS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+rep AS (
+  SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.rep_id, d.doc_id) AS BIGINT) AS rep_id,
+       coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+"""
+
+
+def q_simhash_pairs_docs(sf_dir: str) -> rd.Dataset:
+    # rows-only: 64-bit SimHash bucketing is not SQL-expressible
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    mask = ids < n
+    m = np.vstack(
+        [np.asarray(v, np.float64) for v, keep in zip(t.column("embedding").to_pylist(), mask) if keep]
+    )
+    return ids[mask], m
+
+
+def q_ann_topk(sf_dir: str) -> rd.Dataset:
+    qs = _query_vectors(sf_dir, 5)
+    return ann_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e
+),
+r AS (
+  SELECT qid AS query_id, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_lsh_topk(sf_dir: str) -> rd.Dataset:
+    """Approximate (LSH-bucketed) top-k — the scale path of ann_topk;
+    rows-only check (bucketing is not SQL-expressible)."""
+    from ..stages.similarity import lsh_topk
+
+    qs = _query_vectors(sf_dir, 5)
+    return lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=10
+    )
+
+
+def q_ivf_topk(sf_dir: str) -> rd.Dataset:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path beside lsh_topk; rows-only check (k-means buckets are not
+    SQL-expressible)."""
+    from ..stages.similarity import ivf_topk
+
+    qs = _query_vectors(sf_dir, 5)
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs,
+        k=10, nlist=16, nprobe=8,
+    )
+
+
+def q_neardup_embeddings(sf_dir: str) -> rd.Dataset:
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46
+    )
+
+
+SQL_NEARDUP_EMBEDDINGS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.46
+"""
+
+
+def q_clean_corpus_docs(sf_dir: str) -> rd.Dataset:
+    """Composed corpus-cleaning pipeline: quality gate → exact dedup →
+    MinHash near-dedup, one verdict row per input doc. The language gate
+    is off here (language-ID is not SQL-expressible; it is exercised by
+    ``langid_docs`` and the pytest corpus). min_words=16 drops ~5% of the
+    synthetic docs so the quality branch is live in the oracle compare."""
+    from .clean import clean_corpus
+
+    return clean_corpus(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_words=16,
+        max_punct_ratio=0.5,
+        langs=None,
+        neardup_tau=0.6,
+        neardup_method="minhash",
+        materialize_flags=True,  # flags pass runs once, not per consumer
+    )
+
+
+SQL_CLEAN_CORPUS_DOCS = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+),
+dropped AS (
+  SELECT doc_id, 'quality' AS status, CAST(NULL AS BIGINT) AS rep_id
+  FROM q WHERE n_words < 16 OR punct_ratio > 0.5
+),
+surv AS (
+  SELECT doc_id, text FROM q
+  WHERE NOT (n_words < 16 OR punct_ratio > 0.5)
+),
+ex AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY text) AS rep_id
+  FROM surv
+),
+losers AS (
+  SELECT doc_id, 'exact_dup' AS status, rep_id
+  FROM ex WHERE doc_id <> rep_id
+),
+winners AS (SELECT doc_id, text FROM ex WHERE doc_id = rep_id),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM winners
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+nrep AS (SELECT a AS doc_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
+SELECT doc_id, status, rep_id FROM dropped
+UNION ALL
+SELECT doc_id, status, CAST(rep_id AS BIGINT) AS rep_id FROM losers
+UNION ALL
+SELECT w.doc_id,
+       CASE WHEN coalesce(r.rep_id, w.doc_id) = w.doc_id
+            THEN 'kept' ELSE 'near_dup' END AS status,
+       CAST(coalesce(r.rep_id, w.doc_id) AS BIGINT) AS rep_id
+FROM winners w LEFT JOIN nrep r ON r.doc_id = w.doc_id
+"""
+
+
+def q_repetition_docs(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals (dup-line fraction,
+    top-bigram share) per document."""
+    from ..stages.textstats import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REPETITION_DOCS = r"""
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_uniq
+  FROM l
+),
+t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[g] || ' ' || w[g+1] AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(li.n_lines AS BIGINT) AS n_lines,
+       1.0 - CAST(li.n_uniq AS DOUBLE) / li.n_lines AS dup_line_frac,
+       coalesce(CAST(tp.mx AS DOUBLE) / tp.tot, 0.0) AS top_bigram_frac
+FROM documents d
+JOIN lines li ON li.doc_id = d.doc_id
+LEFT JOIN tops tp ON tp.doc_id = d.doc_id
+"""
+
+
+def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """Train/eval decontamination: flag corpus docs sharing ≥2 distinct
+    5-gram shingles with a reference set (here the src0 sub-corpus) —
+    broadcast ref-set mode (map-only over the corpus; the distributed
+    semi-join mode is pinned equal by pytest)."""
+    from ..stages.dedup import decontaminate_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ref = docs.filter(expr="source == 'src0'").select_columns(
+        ["doc_id", "text"]
+    )
+    return decontaminate_docs(
+        docs.select_columns(["doc_id", "text"]), ref, n=5, min_hits=2
+    )
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+refset AS (SELECT text FROM documents WHERE source = 'src0'),
+ta AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM corpus),
+sa AS (
+  SELECT DISTINCT doc_id,
+         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
+  FROM ta, unnest(generate_series(1, len(w) - 4)) AS u(g)
+),
+tb AS (SELECT regexp_extract_all(text, '\S+') AS w FROM refset),
+sb AS (
+  SELECT DISTINCT
+         w[g]||' '||w[g+1]||' '||w[g+2]||' '||w[g+3]||' '||w[g+4] AS s
+  FROM tb, unnest(generate_series(1, len(w) - 4)) AS u(g)
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS n FROM sa a JOIN sb b ON a.s = b.s GROUP BY 1
+)
+SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) < 2 AS is_clean
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+
+def q_emb_near_dedup(sf_dir: str) -> rd.Dataset:
+    """End-to-end embedding near-dedup (exact pairs → CC → min-id
+    representative) — the vector twin of near_dedup_docs."""
+    from ..stages.similarity import embedding_near_dedup
+
+    return embedding_near_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        tau=0.46, method="exact",
+    )
+
+
+SQL_EMB_NEAR_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.46
+),
+edges AS (
+  SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+rep AS (SELECT a AS vec_id, least(min(b), a) AS rep_id FROM reach GROUP BY a)
+SELECT e.vec_id,
+       CAST(coalesce(r.rep_id, e.vec_id) AS BIGINT) AS rep_id,
+       coalesce(r.rep_id, e.vec_id) = e.vec_id AS is_kept
+FROM embeddings e LEFT JOIN rep r ON r.vec_id = e.vec_id
+"""
+
+
+# fmix32 (MurmurHash3 finalizer) in SQL — bit-identical to
+# stages/sample.fmix32 for non-negative int64 keys: fold to 32 bits,
+# add seed, then xor-shift/multiply rounds with HUGEINT intermediates.
+_FMIX32_SQL = """
+  SELECT *, CAST(xor(h2, h2 >> 16) AS BIGINT) AS smp_h
+  FROM (
+    SELECT * EXCLUDE (h1),
+           CAST((CAST(xor(h1, h1 >> 13) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h2
+    FROM (
+      SELECT * EXCLUDE (h0),
+             CAST((CAST(xor(h0, h0 >> 16) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h1
+      FROM (
+        SELECT *, (xor({key} % 4294967296, {key} // 4294967296) + {seed})
+                  % 4294967296 AS h0
+        FROM {src}
+      )
+    )
+  )
+"""
+
+
+def q_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash sampling (consistent ~25% subset, map-only)."""
+    from ..stages.sample import hash_sample
+
+    return hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "text"]), rate=0.25, seed=42
+    )
+
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id, text FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=42, src="documents")}
+) WHERE smp_h % 1000000 < 250000
+"""
+
+
+def q_stratified_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Per-language sampling rates (corpus rebalancing), still map-only."""
+    from ..stages.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        rates={"en": 0.5, "de": 0.1},
+        group_col="lang",
+        default_rate=0.2,
+        seed=7,
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = f"""
+SELECT doc_id, lang FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=7, src="documents")}
+) WHERE smp_h % 1000000 <
+    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 200000 END
+"""
+
+
+def q_mix_docs_sources(sf_dir: str) -> rd.Dataset:
+    """Weighted mixture of two sub-corpora (80% of src0-4, 30% of
+    src5-9) — per-source seeds keep the keep decisions independent."""
+    from ..stages.sample import mix_corpora
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    a = docs.filter(
+        expr="source in ['src0', 'src1', 'src2', 'src3', 'src4']"
+    )
+    b = docs.filter(
+        expr="source in ['src5', 'src6', 'src7', 'src8', 'src9']"
+    )
+    return mix_corpora([(a, 0.8), (b, 0.3)], seed=0)
+
+
+SQL_MIX_DOCS_SOURCES = f"""
+SELECT doc_id, source FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=0, src="documents")}
+) WHERE source IN ('src0','src1','src2','src3','src4')
+  AND smp_h % 1000000 < 800000
+UNION ALL
+SELECT doc_id, source FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=1, src="documents")}
+) WHERE source IN ('src5','src6','src7','src8','src9')
+  AND smp_h % 1000000 < 300000
+"""
+
+
+def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
+    """IVF bucket-and-verify approximate near-dup pairs — the
+    sub-quadratic scale path of neardup_embeddings; rows-only check
+    (k-means buckets are not SQL-expressible; recall vs the exact pairs
+    is pinned by tests/test_stages.py::test_neardup_approx_recall)."""
+    from ..stages.similarity import embedding_neardup_pairs_approx
+
+    return embedding_neardup_pairs_approx(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.46,
+        nlist=16, nprobe=4,
+    )
+
+

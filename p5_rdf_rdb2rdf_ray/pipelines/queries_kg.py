@@ -1,0 +1,689 @@
+"""KG / RDB2RDF-core registry entries (SURVEY §2.1–2.3): Direct Mapping,
+R2RML, Turtle front-end, store lookups, BGP algebra. Builders + their
+DuckDB oracle SQL twins; assembled in ``pipelines.queries``. Shared
+helpers ``catalog_for`` / ``_read`` / IRI constants also live here.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..engine.lookup import count_statements, get_statements
+from ..engine.runner import run_mapping
+from ..mapping.direct import direct_mapping
+from ..mapping.spec import (
+    IRI,
+    LITERAL,
+    MappingSpec,
+    PredObjSpec,
+    RefObjectSpec,
+    TermMapSpec,
+    TriplesMapSpec,
+)
+from ..sinks.ntriples import to_term_columns
+from ..sources.catalog import Catalog, TableLayout
+from ..stages.groupagg import grouped_aggregate
+
+BASE = "http://example.com/base/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def catalog_for(sf_dir: str) -> Catalog:
+    """TPC-H-ish layouts: the declared-key stand-in for DBI introspection."""
+    return Catalog(
+        root=sf_dir,
+        layouts={
+            "region": TableLayout(pkey=("r_regionkey",)),
+            "nation": TableLayout(
+                pkey=("n_nationkey",),
+                fkeys=((("n_regionkey",), "region", ("r_regionkey",)),),
+            ),
+            "customer": TableLayout(
+                pkey=("c_custkey",),
+                fkeys=((("c_nationkey",), "nation", ("n_nationkey",)),),
+            ),
+            "supplier": TableLayout(pkey=("s_suppkey",)),
+            "part": TableLayout(pkey=("p_partkey",)),
+            "orders": TableLayout(
+                pkey=("o_orderkey",),
+                fkeys=((("o_custkey",), "customer", ("c_custkey",)),),
+            ),
+            "events": TableLayout(
+                pkey=("event_id",),
+                fkeys=((("user_id",), "customer", ("c_custkey",)),),
+            ),
+            "documents": TableLayout(pkey=("doc_id",)),
+            "embeddings": TableLayout(pkey=("vec_id",)),
+        },
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# KG / RDB2RDF core
+
+
+def q_dm_nation(sf_dir: str) -> rd.Dataset:
+    """Direct Mapping of nation (PK subject, literals, FK ref to region)."""
+    cat = catalog_for(sf_dir)
+    # full spec so the FK parent (region) resolves; execute only nation's map
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    return to_term_columns(
+        # distinct=False: DM output is duplicate-free by construction
+        # (row-unique subjects × distinct predicates; engine/lookup.py)
+        run_mapping(spec, cat, distinct=False, only_maps=["nation"])
+    )
+
+
+SQL_DM_NATION = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}nation>' AS obj FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_nationkey>',
+         '"' || n_nationkey || '"^^<{XSD_INT}>' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_name>', '"' || n_name || '"' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_regionkey>',
+         '"' || n_regionkey || '"^^<{XSD_INT}>' FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#ref-n_regionkey>',
+         '<{BASE}region/r_regionkey=' || n_regionkey || '>' FROM nation
+) t
+"""
+
+
+_TS_CANON = (
+    "regexp_replace(strftime({col}, '%Y-%m-%dT%H:%M:%S.%f'), '\\.?0+$', '')"
+)
+
+
+def q_dm_events(sf_dir: str) -> rd.Dataset:
+    """Direct Mapping of events: int64 PK, timestamp canon, FK→customer.
+
+    The value/props columns are excluded (double/json lexical forms are
+    checked by scalar unit tests, not the SQL oracle).
+    """
+    cat = catalog_for(sf_dir)
+    spec = direct_mapping(cat, tables=["events", "customer"], base=BASE)
+    tm = spec.maps["events"]
+    keep = {"event_id", "ts", "user_id", "event_type"}
+    from dataclasses import replace
+
+    tm = replace(
+        tm, pos=tuple(p for p in tm.pos if p.obj.column in keep)
+    )
+    spec = MappingSpec(
+        maps={"events": tm, "customer": spec.maps["customer"]}, base=BASE
+    )
+    return to_term_columns(
+        # distinct=False: DM duplicate-free by construction (lookup.py)
+        run_mapping(spec, cat, distinct=False, only_maps=["events"])
+    )
+
+
+SQL_DM_EVENTS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}events/event_id=' || event_id || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}events>' AS obj FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#event_id>', '"' || event_id || '"^^<{XSD_INT}>'
+  FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#ts>',
+         '"' || {_TS_CANON.format(col='ts')} || '"^^<{XSD_DT}>' FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#user_id>', '"' || user_id || '"^^<{XSD_INT}>'
+  FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#event_type>', '"' || event_type || '"' FROM events
+  UNION ALL
+  SELECT '<{BASE}events/event_id=' || event_id || '>',
+         '<{BASE}events#ref-user_id>',
+         '<{BASE}customer/c_custkey=' || user_id || '>' FROM events
+) t
+"""
+
+
+def q_r2rml_orders(sf_dir: str) -> rd.Dataset:
+    """R2RML-style mapping: template subject, constant predicates, literal
+    + dateTime objects, refObjectMap to customer (join fast path)."""
+    cat = catalog_for(sf_dir)
+    order_subj = TermMapSpec(kind=IRI, template=BASE + "order/{o_orderkey}")
+    cust_subj = TermMapSpec(kind=IRI, template=BASE + "customer/{c_custkey}")
+    orders = TriplesMapSpec(
+        name="orders",
+        table="orders",
+        subject=order_subj,
+        classes=(BASE + "Order",),
+        pos=(
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "status"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderstatus"),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "priority"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderpriority"),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "orderDate"),
+                obj=TermMapSpec(kind=LITERAL, column="o_orderdate"),
+            ),
+        ),
+        refs=(
+            RefObjectSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "customer"),
+                parent="customers",
+                join=(("o_custkey", "c_custkey"),),
+            ),
+        ),
+    )
+    customers = TriplesMapSpec(
+        name="customers", table="customer", subject=cust_subj,
+        classes=(BASE + "Customer",),
+    )
+    spec = MappingSpec(maps={"orders": orders, "customers": customers}, base=BASE)
+    # "auto" proves this spec duplicate-free at compile time (PK-covering
+    # templates, distinct constant preds, disjoint subject spaces) and
+    # skips the set-semantics shuffle — see engine.runner.is_duplicate_free
+    return to_term_columns(run_mapping(spec, cat, distinct="auto"))
+
+
+SQL_R2RML_ORDERS = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}order/' || o_orderkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Order>' AS obj FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}status>',
+         '"' || o_orderstatus || '"' FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}priority>',
+         '"' || o_orderpriority || '"' FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}orderDate>',
+         '"' || {_TS_CANON.format(col='o_orderdate')} || '"^^<{XSD_DT}>'
+  FROM orders
+  UNION ALL
+  SELECT '<{BASE}order/' || o_orderkey || '>', '<{BASE}customer>',
+         '<{BASE}customer/' || o_custkey || '>' FROM orders
+  UNION ALL
+  SELECT DISTINCT '<{BASE}customer/' || c_custkey || '>',
+         '<{RDF_TYPE}>', '<{BASE}Customer>' FROM customer
+) t
+"""
+
+
+def q_lookup_nation(sf_dir: str) -> rd.Dataset:
+    """Pushdown point lookup: all triples of one DM subject (21c)."""
+    cat = catalog_for(sf_dir)
+    return to_term_columns(
+        get_statements(
+            cat, subject=BASE + "nation/n_nationkey=3", base=BASE,
+            distinct_buckets=2,
+        )
+    )
+
+
+SQL_LOOKUP_NATION = SQL_DM_NATION.rstrip().rstrip(
+    ""
+) + " WHERE subj = '<" + BASE + "nation/n_nationkey=3>'"
+
+
+def q_lookup_nation_by_value(sf_dir: str) -> rd.Dataset:
+    """Bound-OBJECT pushdown lookup (Store parity, [R: DirectMapping/
+    Store.pm :: get_statements with bound $o]): bound column predicate +
+    literal object → parquet value-WHERE; plus a bound ref predicate +
+    parent-node object → FK-column WHERE, unioned."""
+    cat = catalog_for(sf_dir)
+    by_val = get_statements(
+        cat, predicate=BASE + "nation#n_name", obj_literal="NATION_3",
+        base=BASE, distinct_buckets=2,
+    )
+    by_ref = get_statements(
+        cat, predicate=BASE + "nation#ref-n_regionkey",
+        obj=BASE + "region/r_regionkey=1", base=BASE, distinct_buckets=2,
+    )
+    return to_term_columns(by_val.union(by_ref))
+
+
+SQL_LOOKUP_NATION_BY_VALUE = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+       '<{BASE}nation#n_name>' AS pred, '"' || n_name || '"' AS obj
+FROM nation WHERE n_name = 'NATION_3'
+UNION ALL
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+       '<{BASE}nation#ref-n_regionkey>',
+       '<{BASE}region/r_regionkey=' || n_regionkey || '>'
+FROM nation WHERE n_regionkey = 1
+"""
+
+
+def q_bgp_nation_region(sf_dir: str) -> rd.Dataset:
+    """Store get_pattern parity [R: DirectMapping/Store.pm :: get_pattern]:
+    a 3-pattern BGP with shared variables — nations joined to their
+    regions (IRI bindings) plus the region name (literal binding),
+    restricted to region 1 by a bound literal."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+        ],
+        base=BASE,
+    )
+
+
+SQL_BGP_NATION_REGION = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       '{BASE}region/r_regionkey=' || r_regionkey AS r,
+       r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_regionkey = 1
+"""
+
+
+def q_bgp_filter(sf_dir: str) -> rd.Dataset:
+    """BGP + SPARQL-style FILTER over the bindings [graft extension]:
+    customers joined to their nation node, a numeric filter on the
+    nation-key literal (>= 15) and a lexical one on the market segment."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?c", BASE + "customer#c_nationkey", "?nk"),
+            ("?c", BASE + "customer#c_mktsegment", "?seg"),
+            ("?c", BASE + "customer#ref-c_nationkey", "?n"),
+        ],
+        base=BASE,
+        filters=[("?nk", ">=", 15), ("?seg", "==", "BUILDING")],
+    )
+
+
+SQL_BGP_FILTER = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_nationkey AS VARCHAR) AS nk,
+       c_mktsegment AS seg,
+       '{BASE}nation/n_nationkey=' || c_nationkey AS n
+FROM customer
+WHERE c_nationkey >= 15 AND c_mktsegment = 'BUILDING'
+"""
+
+
+def q_bgp_store(sf_dir: str) -> rd.Dataset:
+    """The same BGP as bgp_nation_region, but served from the
+    MATERIALIZED triple store: DM triples for nation+region are written
+    to a bucket-partitioned store first (resumable — a repeat run with
+    the same input fingerprint skips the write), then
+    :func:`get_pattern_store` plans each pattern with bucket pruning +
+    parquet filter pushdown. Same oracle as bgp_nation_region."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..engine.lookup import get_pattern_store
+    from ..sinks.triplestore import fingerprint_files, write_triplestore
+
+    cat = catalog_for(sf_dir)
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    fp = fingerprint_files(cat.files("nation") + cat.files("region"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_bgp_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_triplestore(
+        run_mapping(
+            # distinct=False: the store sink dedups in its bucket shuffle
+            spec, cat, distinct=False, only_maps=["nation", "region"]
+        ),
+        out,
+        num_buckets=8,
+        input_fp=fp,
+    )
+    return get_pattern_store(
+        out,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+        ],
+    )
+
+
+def q_bgp_optional(sf_dir: str) -> rd.Dataset:
+    """BGP with an OPTIONAL (left-outer) group [graft extension]: every
+    customer keeps its row; the nation-key binding appears only where
+    the group's BUILDING-segment existence filter matches (NULL
+    otherwise) — SPARQL-OPTIONAL-shaped over the Direct Mapping."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [("?c", BASE + "customer#c_custkey", "?k")],
+        base=BASE,
+        optional=[
+            ("?c", BASE + "customer#c_mktsegment", ("lit", "BUILDING")),
+            ("?c", BASE + "customer#c_nationkey", "?nk"),
+        ],
+    )
+
+
+SQL_BGP_OPTIONAL = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_custkey AS VARCHAR) AS k,
+       CASE WHEN c_mktsegment = 'BUILDING'
+            THEN CAST(c_nationkey AS VARCHAR) END AS nk
+FROM customer
+"""
+
+
+def q_bgp_union(sf_dir: str) -> rd.Dataset:
+    """BGP UNION (alternation) [graft extension]: region-1 nations bind
+    their name, region-2 nations bind their region node — solutions
+    aligned on the variable union with NULLs where a group does not
+    bind (SPARQL-UNION-shaped)."""
+    from ..engine.lookup import get_pattern_union
+
+    cat = catalog_for(sf_dir)
+    return get_pattern_union(
+        cat,
+        [
+            [
+                ("?n", BASE + "nation#n_name", "?nn"),
+                ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+            ],
+            [
+                ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+                ("?n", BASE + "nation#n_regionkey", ("lit", "2")),
+            ],
+        ],
+        base=BASE,
+    )
+
+
+SQL_BGP_UNION = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       n_name AS nn, CAST(NULL AS VARCHAR) AS r
+FROM nation WHERE n_regionkey = 1
+UNION
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey,
+       CAST(NULL AS VARCHAR),
+       '{BASE}region/r_regionkey=' || n_regionkey
+FROM nation WHERE n_regionkey = 2
+"""
+
+
+def q_bgp_aggregate(sf_dir: str) -> rd.Dataset:
+    """SPARQL GROUP-BY-shaped composition [graft extension]: BGP
+    bindings (customer → nation node) feed the engine's combiner-first
+    grouped aggregate directly — the query surfaces compose; nothing
+    special-cased."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    bindings = get_pattern(
+        cat,
+        [("?c", BASE + "customer#ref-c_nationkey", "?n")],
+        base=BASE,
+    )
+    return grouped_aggregate(
+        bindings, keys=["n"], aggs={"n_customers": ("c", "count")},
+        num_partitions=8,
+    )
+
+
+SQL_BGP_AGGREGATE = f"""
+SELECT '{BASE}nation/n_nationkey=' || c_nationkey AS n,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY 1
+"""
+
+
+def q_store_contexts(sf_dir: str) -> rd.Dataset:
+    """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
+    RDF::Trine::Store interface]: write the rr:graphMap quads of
+    ``_NATION_GRAPH_TTL`` to a bucket-partitioned store (resumable —
+    identical input fingerprint skips the write), then list the distinct
+    named graphs. Default-graph quads (null graph) are not contexts."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..mapping.r2rml import compile_r2rml
+    from ..sinks.triplestore import (
+        fingerprint_files,
+        store_contexts,
+        write_triplestore,
+    )
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
+    fp = fingerprint_files(cat.files("nation"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_ctx_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_triplestore(
+        # distinct=False: the store sink dedups in its bucket shuffle
+        run_mapping(spec, cat, distinct=False), out, num_buckets=4,
+        input_fp=fp,
+    )
+    return store_contexts(out)
+
+
+# Named contexts = the two constant graphs + one template graph per
+# distinct n_regionkey; rr:defaultGraph quads carry a NULL graph and are
+# excluded by get_contexts semantics.
+SQL_STORE_CONTEXTS = f"""
+SELECT graph FROM (
+  SELECT '{BASE}gMeta' AS graph
+  UNION ALL SELECT '{BASE}gNames'
+  UNION ALL SELECT DISTINCT '{BASE}graph/' || n_regionkey FROM nation
+) t
+"""
+
+
+def q_count_statements(sf_dir: str):
+    """Store ``count_statements`` parity: per-pattern triple counts as a
+    small table (subject-bound, predicate-bound, unbound)."""
+    import pyarrow as pa
+
+    cat = catalog_for(sf_dir)
+    n_subj = count_statements(
+        cat, subject=BASE + "nation/n_nationkey=3", base=BASE
+    )
+    n_pred = count_statements(
+        cat, predicate=BASE + "nation#n_name", base=BASE
+    )
+    return pa.table(
+        {
+            "pattern": pa.array(["subject_bound", "predicate_bound"]),
+            "n": pa.array([n_subj, n_pred], pa.int64()),
+        }
+    )
+
+
+# a DM nation row emits 5 triples: rdf:type + 3 column literals + 1 FK ref
+SQL_COUNT_STATEMENTS = """
+SELECT 'subject_bound' AS pattern, CAST(count(*) * 5 AS BIGINT) AS n
+FROM nation WHERE n_nationkey = 3
+UNION ALL
+SELECT 'predicate_bound', CAST(count(*) AS BIGINT) FROM nation
+"""
+
+
+def q_r2rml_sqlquery(sf_dir: str) -> rd.Dataset:
+    """R2RML ``rr:sqlQuery`` logical table (SURVEY §2 #2): an arbitrary
+    SQL view as the triples-map source (big-customer slice)."""
+    cat = catalog_for(sf_dir)
+    view = TriplesMapSpec(
+        name="bigcust",
+        table="__sql__",
+        sql="SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000",
+        subject=TermMapSpec(kind=IRI, template=BASE + "bigcustomer/{c_custkey}"),
+        classes=(BASE + "BigCustomer",),
+        pos=(
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "name"),
+                obj=TermMapSpec(kind=LITERAL, column="c_name"),
+            ),
+        ),
+    )
+    spec = MappingSpec(maps={"bigcust": view}, base=BASE)
+    return to_term_columns(run_mapping(spec, cat, distinct_buckets=4))
+
+
+# the reference's primary entry point is a Turtle mapping doc
+# [R: R2RML.pm :: new]; this entry drives compile_r2rml + rr:graphMap
+# end-to-end through the DuckDB gate (quads: subj/pred/obj/graph columns)
+_NATION_GRAPH_TTL = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <{BASE}> .
+
+<#NationMap>
+  rr:logicalTable [ rr:tableName "nation" ];
+  rr:subjectMap [
+      rr:template "{BASE}nation-g/{{n_nationkey}}";
+      rr:class ex:Nation;
+      rr:graphMap [ rr:constant ex:gMeta ];
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:name;
+      rr:objectMap [ rr:column "n_name"; rr:language "en" ];
+      rr:graphMap [ rr:constant ex:gNames ];
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:region;
+      rr:objectMap [ rr:template "{BASE}region-g/{{n_regionkey}}" ];
+      rr:graphMap [ rr:template "{BASE}graph/{{n_regionkey}}" ];
+      rr:graphMap [ rr:constant rr:defaultGraph ];
+  ] .
+"""
+
+
+def q_r2rml_turtle_graph(sf_dir: str) -> rd.Dataset:
+    """Turtle front-end end-to-end (SURVEY §3.1) with rr:graphMap quads:
+    parse an actual ``rr:`` mapping doc, run it, emit the graph column.
+    W3C §11.1 UNION semantics exercised: class triples → subject graph
+    (gMeta); name POM → {gMeta, gNames}; region POM → {gMeta,
+    graph/{{rk}}, explicit rr:defaultGraph} — 1+2+3 = 6 quads per row."""
+    from ..mapping.r2rml import compile_r2rml
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
+    return to_term_columns(
+        run_mapping(spec, cat, distinct_buckets=4), with_graph=True
+    )
+
+
+SQL_R2RML_TURTLE_GRAPH = f"""
+SELECT subj, pred, obj, graph FROM (
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}Nation>' AS obj,
+         '<{BASE}gMeta>' AS graph
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}name>',
+         '"' || n_name || '"@en', g
+  FROM nation, (VALUES ('<{BASE}gMeta>'), ('<{BASE}gNames>')) AS gs(g)
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         '<{BASE}gMeta>'
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         '<{BASE}graph/' || n_regionkey || '>'
+  FROM nation
+  UNION ALL
+  SELECT '<{BASE}nation-g/' || n_nationkey || '>', '<{BASE}region>',
+         '<{BASE}region-g/' || n_regionkey || '>',
+         CAST(NULL AS VARCHAR)
+  FROM nation
+) t
+"""
+
+
+# rr:inverseExpression point lookup (W3C-R2RML §7.7): the subject term is
+# inverted against the template, the inverse expression instantiated with
+# the recovered value and used as a WHERE over the rr:sqlQuery logical
+# table — seeing through the string concatenation no plain equality
+# filter could [R: R2RML.pm accepts rr:inverseExpression on term maps].
+_INVERSE_TTL = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <{BASE}> .
+
+<#SuppCode>
+  rr:logicalTable [ rr:sqlQuery \"\"\"
+    SELECT s_suppkey, 'SUP-' || CAST(s_suppkey AS VARCHAR) AS code, s_name
+    FROM supplier
+  \"\"\" ];
+  rr:subjectMap [
+      rr:template "{BASE}sup/{{code}}";
+      rr:inverseExpression
+        "{{s_suppkey}} = CAST(substr({{code}}, 5) AS INTEGER)";
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:name;
+      rr:objectMap [ rr:column "s_name" ];
+  ].
+"""
+
+
+def q_r2rml_inverse_lookup(sf_dir: str) -> rd.Dataset:
+    """Bound-subject point lookup over an R2RML mapping whose subject is a
+    DERIVED column (engine.lookup.r2rml_lookup + rr:inverseExpression)."""
+    from ..engine.lookup import r2rml_lookup
+    from ..mapping.r2rml import compile_r2rml
+
+    cat = catalog_for(sf_dir)
+    spec = compile_r2rml(_INVERSE_TTL, base=BASE)
+    return to_term_columns(
+        r2rml_lookup(spec, cat, BASE + "sup/SUP-3", distinct_buckets=2)
+    )
+
+
+SQL_R2RML_INVERSE_LOOKUP = f"""
+SELECT '<{BASE}sup/SUP-' || s_suppkey || '>' AS subj,
+       '<{BASE}name>' AS pred,
+       '"' || s_name || '"' AS obj
+FROM supplier WHERE s_suppkey = 3
+"""
+
+
+SQL_R2RML_SQLQUERY = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}bigcustomer/' || c_custkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}BigCustomer>' AS obj
+  FROM customer WHERE c_acctbal > 5000
+  UNION ALL
+  SELECT '<{BASE}bigcustomer/' || c_custkey || '>', '<{BASE}name>',
+         '"' || c_name || '"'
+  FROM customer WHERE c_acctbal > 5000
+) t
+"""
+
+

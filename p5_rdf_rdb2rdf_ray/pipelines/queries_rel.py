@@ -1,0 +1,134 @@
+"""Relational analytics registry entries (SURVEY §2.4): aggregates,
+top-k, joins, windows — the non-KG half of the driver board. Builders +
+their DuckDB oracle SQL twins; assembled in ``pipelines.queries``."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..stages.groupagg import grouped_aggregate, top_k
+from .queries_kg import _read
+
+# ---------------------------------------------------------------------------
+# relational operators
+
+
+def q_q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-style grouped aggregate (partial-agg combiner + hash
+    shuffle). Aggregates chosen exact-reproducible (integral sums)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "count_order": ("l_quantity", "count"),
+        },
+        num_partitions=8,
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top10_orders(sf_dir: str) -> rd.Dataset:
+    """Global top-k without full sort (per-block prune + tiny merge)."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return top_k(
+        o, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False]
+    )
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_purchase_events(sf_dir: str) -> rd.Dataset:
+    """Filter + project with expression pushdown."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
+    return ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "value"]
+    )
+
+
+SQL_PURCHASE_EVENTS = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_brand_stats(sf_dir: str) -> rd.Dataset:
+    """Broadcast join (small part side) + grouped aggregate."""
+    import pyarrow as pa
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    ref = ray.put(part)
+
+    class Join:
+        def __init__(self):
+            self.part = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.join(self.part, keys=["l_partkey"], right_keys=["p_partkey"])
+
+    joined = li.map_batches(Join, batch_format="pyarrow", concurrency=(1, 8))
+    return grouped_aggregate(
+        joined,
+        keys=["p_brand"],
+        aggs={"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
+        num_partitions=8,
+    )
+
+
+SQL_BRAND_STATS = """
+SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_segment_orders(sf_dir: str) -> rd.Dataset:
+    """Hash join (Ray Dataset.join) + grouped aggregate."""
+    from ..engine.distinct import ensure_hash_shuffle
+    from ..engine.joins import hash_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ensure_hash_shuffle(o)
+    joined = hash_join(o, c, ["o_custkey"], ["c_custkey"], num_partitions=8)
+    return grouped_aggregate(
+        joined, keys=["c_mktsegment"], aggs={"n_orders": ("o_orderkey", "count")},
+        num_partitions=8,
+    )
+
+
+SQL_SEGMENT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_orders
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
+    from ..engine.distinct import distinct_rows
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    return distinct_rows(ev, ["event_type"], num_buckets=4)
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+

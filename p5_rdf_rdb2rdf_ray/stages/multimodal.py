@@ -45,6 +45,121 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+def probe_image_header(payload: bytes) -> tuple[str | None, int, int]:
+    """Dependency-free image header probe → (format, width, height).
+
+    A REAL decode of the container headers in pure Python (no PIL
+    needed): PNG IHDR, GIF logical-screen descriptor, and JPEG SOF
+    segments (walking APPn/COM/DQT/... segments to the first frame
+    header, as any JPEG reader must). Unrecognized payloads return
+    ``(None, -1, -1)`` — callers keep such rows with NULL/sentinel
+    metadata rather than guessing.
+    """
+    p = payload or b""
+    # PNG: 8-byte signature, then the IHDR chunk (len+type at 8..16,
+    # big-endian width/height at 16..24)
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+        )
+    # GIF: 6-byte version, little-endian width/height at 6..10
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    # JPEG: SOI, then marker segments until a start-of-frame (SOFn,
+    # 0xC0–0xCF except DHT 0xC4, JPG 0xC8, DAC 0xCC) carrying
+    # big-endian height at +5, width at +7
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(p):
+            if p[pos] != 0xFF:
+                break
+            code = p[pos + 1]
+            if code in (0x01, 0xD8) or 0xD0 <= code <= 0xD7:
+                pos += 2  # standalone marker, no length field
+                continue
+            if code == 0xD9:  # EOI
+                break
+            seglen = int.from_bytes(p[pos + 2 : pos + 4], "big")
+            if seglen < 2:
+                break
+            if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= len(p):
+                    return (
+                        "jpeg",
+                        int.from_bytes(p[pos + 7 : pos + 9], "big"),
+                        int.from_bytes(p[pos + 5 : pos + 7], "big"),
+                    )
+                break
+            pos += 2 + seglen
+    return (None, -1, -1)
+
+
+def probe_headers(media: rd.Dataset, batch_size: int = 1024) -> rd.Dataset:
+    """Header-probe stage: (media_id, fmt, width, height) per row via
+    :func:`probe_image_header`. Plain task map (the probe is stateless
+    and O(1) per payload — only the first ~kB of each payload is ever
+    touched, so the stage is I/O-bound on the binary column read)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        fmts, ws, hs = [], [], []
+        for p in batch.column("payload").to_pylist():
+            fmt, w, h = probe_image_header(p)
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "fmt": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+    return media.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def synth_image_payload(fmt: str, width: int, height: int) -> bytes:
+    """Deterministic minimal-but-well-formed image headers for tests and
+    oracle-checked pipelines (the bodies are not valid pixel data — the
+    HEADERS are real and parse with any conformant reader)."""
+    if fmt == "png":
+        ihdr = (
+            width.to_bytes(4, "big")
+            + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00" * 4
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + b"\xf7\x00\x00"
+        )
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + (17).to_bytes(2, "big")
+            + b"\x08"
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown synth format {fmt!r}")
+
+
 def _try_pil():
     """PIL.Image if importable, else None (this container has no decoder
     libraries; a real deployment picks the real path up automatically)."""

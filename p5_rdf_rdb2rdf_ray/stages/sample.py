@@ -10,7 +10,7 @@ reference — RDF::RDB2RDF has no corpus ops].
 
 The same arithmetic is expressible in ANSI SQL (xor / shifts / HUGEINT
 multiply mod 2^32), so the operators are oracle-checkable bit-for-bit —
-see ``pipelines/queries.py::_FMIX32_SQL``.
+see ``pipelines/queries_data.py::_FMIX32_SQL``.
 """
 
 from __future__ import annotations
@@ -28,7 +28,17 @@ def fmix32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
     """MurmurHash3 fmix32 finalizer over an int64 key array (vectorized).
     64-bit keys are folded to 32 bits first; ``seed`` shifts the hash
     stream so independent sampling decisions don't correlate.
-    → uint64 array of values in [0, 2^32)."""
+    → uint64 array of values in [0, 2^32).
+
+    Keys must be NON-NEGATIVE: the numpy fold wraps negatives mod 2^64
+    while the bit-exact SQL oracle (``_FMIX32_SQL``) operates on signed
+    values, so a negative-id corpus would silently disagree with the
+    oracle — fail loudly instead."""
+    if keys.size and int(keys.min()) < 0:
+        raise ValueError(
+            "hash-sampling keys must be non-negative int64 (numpy uint64 "
+            "wraparound diverges from the SQL oracle on negative keys)"
+        )
     k = keys.astype(np.uint64)
     h = ((k ^ (k >> np.uint64(32))) + np.uint64(seed & 0xFFFFFFFF)) & _M32
     h ^= h >> np.uint64(16)

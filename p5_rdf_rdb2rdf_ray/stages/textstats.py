@@ -146,7 +146,7 @@ class LanguageID:
                 {"r": pl.int_range(0, n, eager=True), "t": texts.str.to_lowercase()}
             )
             .with_columns(pl.col("t").str.extract_all(r"\S+"))
-            .explode("t")
+            .explode("t", empty_as_null=True)
             .drop_nulls()
             .unique()
         )
@@ -302,7 +302,7 @@ def repetition_stats(
                 }
             )
             .with_columns(pl.col("t").str.extract_all(r"\S+"))
-            .explode("t")
+            .explode("t", empty_as_null=True)
         )
         h = e["t"].hash(seed=0).to_numpy().astype(np.uint64)
         valid = e["t"].is_not_null().to_numpy()

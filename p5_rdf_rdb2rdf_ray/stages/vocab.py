@@ -44,7 +44,7 @@ def _token_frame(df: pd.DataFrame, text_col: str, lowercase: bool = True):
     return (
         pl.DataFrame({"r": pl.int_range(0, len(s), eager=True), "t": s})
         .with_columns(pl.col("t").str.extract_all(r"\S+"))
-        .explode("t")
+        .explode("t", empty_as_null=True)
         .drop_nulls()
     )
 

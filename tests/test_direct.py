@@ -531,6 +531,31 @@ def test_bgp_hash_join_spill_matches_broadcast(ray_session, dm_catalog):
     assert len(bc) == 4  # emps 1,2 → dept 1; emps 3,4 → dept 2
 
 
+def test_bgp_cross_product_respects_broadcast_limit(ray_session, dm_catalog):
+    """A variable-disjoint (cross-product) side has no join key to spill
+    on — past broadcast_limit it must raise loudly instead of silently
+    materializing the whole side on the driver (round-3 advice: the old
+    guard was `shared and total > limit`, exempting cross products)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import _bgp_join, get_statements
+
+    pats = [
+        ("?d", B + "dm_dept#dname", "?n"),
+        ("?e", B + "dm_emp#ref-dept_id", "?f"),  # no shared variable
+    ]
+
+    def stmt_fn(**kw):
+        return get_statements(dm_catalog, base=B, **kw)
+
+    # within the limit the cross product works: |dname bindings| × |refs|
+    n_dname = len(_bgp_join(stmt_fn, pats[:1], 4).to_pandas())
+    n_refs = len(_bgp_join(stmt_fn, pats[1:], 4).to_pandas())
+    ok = _bgp_join(stmt_fn, pats, 4).to_pandas()
+    assert len(ok) == n_dname * n_refs > 0
+    assert set(ok.columns) >= {"d", "n", "e", "f"}
+    with pytest.raises(ValueError, match="cross-product"):
+        _bgp_join(stmt_fn, pats, 4, broadcast_limit=1).to_pandas()
+
+
 def test_store_star_fusion_matches_source(ray_session, dm_catalog, tmp_path):
     """Store-side star fusion (one whole-bucket scan + pivot) gives the
     same bindings as the source-table planner, and still joins correctly

@@ -143,16 +143,42 @@ def test_store_lookup_absent_subject_and_empty_bucket(ray_session, tmp_path):
     assert lookup_store(store, BASE + "conv/only/turn/0").num_rows == 1
 
 
-def test_store_lookup_predicate_only(ray_session, tx, tmp_path):
-    """Predicate-only store lookup: full-bucket scan with parquet filter
-    pushdown (no subject pruning — documented)."""
-    from p5_rdf_rdb2rdf_ray.sinks.triplestore import lookup_store
+def test_store_lookup_unbound_shapes_are_lazy(ray_session, tx, tmp_path):
+    """Unbound and predicate-only store lookups return a LAZY Dataset
+    (the reference Store's lazy-iterator contract): no driver-side
+    concatenation of the store — at 100 TB the eager version is a
+    driver OOM (round-3 verdict scale-killer). Values must match the
+    eager per-bucket reads; bound-subject point lookups stay eager
+    ``pa.Table`` (one pruned bucket)."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        lookup_store,
+        read_triplestore,
+    )
 
     out = str(tmp_path / "out")
     run_flagship_resumable(tx, out, num_buckets=8)
-    t = lookup_store(os.path.join(out, "store"), predicate=BASE + "role")
-    assert t.num_rows > 0
-    assert set(t.column("pred").to_pylist()) == {BASE + "role"}
+    store = os.path.join(out, "store")
+
+    # predicate-only: lazy Dataset, filter pushed into the parquet scan
+    ds = lookup_store(store, predicate=BASE + "role")
+    assert isinstance(ds, rd.Dataset)
+    t = ds.to_pandas()
+    assert len(t) > 0
+    assert set(t["pred"]) == {BASE + "role"}
+
+    # fully unbound: lazy Dataset over every part, row count == store
+    ds_all = lookup_store(store)
+    assert isinstance(ds_all, rd.Dataset)
+    assert ds_all.count() == read_triplestore(store).count()
+
+    # empty store: still a Dataset, with the canonical triple schema
+    from p5_rdf_rdb2rdf_ray.terms import TRIPLE_SCHEMA
+
+    empty_dir = str(tmp_path / "empty_store")
+    os.makedirs(empty_dir)
+    ds_empty = lookup_store(empty_dir)
+    assert isinstance(ds_empty, rd.Dataset) and ds_empty.count() == 0
+    assert list(ds_empty.schema().names) == list(TRIPLE_SCHEMA.names)
 
 
 def test_merge_triplestore_incremental(ray_session, tmp_path):
@@ -203,6 +229,49 @@ def test_merge_triplestore_incremental(ray_session, tmp_path):
             for p in man["parts"]
         )
         assert man["rows"] == actual
+
+
+def test_store_writer_lock_single_writer(ray_session, tmp_path):
+    """merge/compact are single-writer: a live holder blocks a second
+    mutator with a clear error (their .inprogress staging and the merge's
+    store-wide orphan sweep would destroy each other's work), a dead
+    holder's lock is treated as a crash leftover and taken over, and the
+    lock is always released afterwards."""
+    from p5_rdf_rdb2rdf_ray.pipelines.flagship import build_kg
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        _store_write_lock,
+        compact_triplestore,
+        merge_triplestore,
+        write_triplestore,
+    )
+
+    out = str(tmp_path / "locked")
+    tx = generate_transcripts(8, seed=5)
+    write_triplestore(build_kg(rd.from_arrow(tx), distinct=False), out,
+                      num_buckets=4, input_fp="a", resume=False)
+    lock = os.path.join(out, "_WRITER.lock")
+
+    # a live holder (this very process) blocks both mutators
+    with _store_write_lock(out):
+        assert os.path.exists(lock)
+        with pytest.raises(RuntimeError, match="locked by running writer"):
+            merge_triplestore(
+                build_kg(rd.from_arrow(tx), distinct=False), out,
+                input_fp="b",
+            )
+        with pytest.raises(RuntimeError, match="locked by running writer"):
+            compact_triplestore(out)
+    assert not os.path.exists(lock)  # released on exit
+
+    # a crash leftover (dead pid) is taken over, the mutation proceeds,
+    # and the stale lock is replaced then released
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond pid_max — never a live process
+    m = merge_triplestore(
+        build_kg(rd.from_arrow(tx), distinct=False), out, input_fp="b"
+    )
+    assert m["rows_added"] == 0  # same input → idempotent no-op merge
+    assert not os.path.exists(lock)
 
 
 def test_merge_crash_leaves_store_clean(ray_session, tmp_path):

@@ -18,12 +18,11 @@ import pandas as pd
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # dtype-STRICT: no int/float widening here — the driver's value hash
+    # is dtype-sensitive, and round 3 shipped a red row (asof_join
+    # float64-widened ids) that this tool's old int64/float64 coercion
+    # masked. Local green must predict driver green.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -77,6 +76,15 @@ def main() -> int:
         g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failed.append(name)
+            continue
+        dt_bad = {
+            c: (str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns
+            if str(g[c].dtype) != str(w[c].dtype)
+        }
+        if dt_bad:
+            print(f"FAIL {name}: dtypes differ (ray, oracle): {dt_bad}")
             failed.append(name)
             continue
         if len(g) != len(w):
