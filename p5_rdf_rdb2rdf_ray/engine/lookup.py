@@ -455,6 +455,78 @@ def _star_pivot(df, plan: tuple, svar: str) -> pa.Table:
     return to_clean_arrow(out.rename(columns={"subj": svar}))
 
 
+def apply_solution_modifiers(
+    bindings: rd.Dataset,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> rd.Dataset:
+    """SPARQL solution modifiers (ORDER BY / LIMIT / OFFSET) over a BGP
+    binding set [graft extension beyond the reference Store's surface —
+    the SELECT-query shape; the reference delegates queries to
+    RDF::Trine/RDF::Query, recalled].
+
+    ``order_by``: sequence of ``"?var"`` (ascending, the SPARQL default)
+    or ``("?var", "desc"|"asc")``. ``limit`` + ``offset`` slice the
+    ordered solutions.
+
+    Distributed shape (with a limit): per-block vectorized
+    sort + head(offset+limit) — each block's survivors are a superset of
+    its contribution to the global answer — then ONE final merge task
+    over ≤ #blocks × (offset+limit) rows sorts and slices; the
+    ``top_k`` shape generalized with an offset, no all-to-all sort
+    shuffle. Without a limit, a full distributed ``Dataset.sort`` runs
+    (offset must then be 0 — skipping N rows of a distributed sort
+    without a limit is not streamable).
+
+    NULL ordering: NULLS LAST (pandas ``na_position='last'``, matching
+    DuckDB's default). Ties carry no stability guarantee — include a
+    unique variable in ``order_by`` for deterministic paging.
+    """
+    if limit is not None and limit < 0:
+        raise ValueError("limit must be non-negative")
+    if offset < 0:
+        raise ValueError("offset must be non-negative")
+    if not order_by:
+        if limit is None and offset == 0:
+            return bindings
+        raise ValueError(
+            "limit/offset over a distributed solution set need order_by "
+            "for deterministic results"
+        )
+    cols, asc = [], []
+    for ob in order_by:
+        if isinstance(ob, str):
+            v, a = ob, True
+        else:
+            v, d = ob
+            a = str(d).lower() != "desc"
+        cols.append(v.lstrip("?"))
+        asc.append(a)
+    if limit is None:
+        if offset:
+            raise ValueError("offset without limit is not supported")
+        return bindings.sort(cols, descending=[not a for a in asc])
+    k = offset + limit
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            cols, ascending=asc, kind="mergesort", na_position="last"
+        ).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            cols, ascending=asc, kind="mergesort", na_position="last"
+        ).iloc[offset : offset + limit]
+        return out.reset_index(drop=True)
+
+    return (
+        bindings.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def get_pattern(
     catalog: Catalog,
     patterns: list[tuple],
@@ -462,6 +534,9 @@ def get_pattern(
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
     optional: list[tuple] | None = None,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int = 0,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -495,10 +570,11 @@ def get_pattern(
     o_units, o_rest = (
         _star_groups(catalog, optional, base) if optional else ([], [])
     )
-    return _bgp_join(
+    out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units,
     )
+    return apply_solution_modifiers(out, order_by, limit, offset)
 
 
 def get_pattern_union(
@@ -630,6 +706,9 @@ def get_pattern_store(
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
     optional: list[tuple] | None = None,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int = 0,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -649,10 +728,11 @@ def get_pattern_store(
     o_units, o_rest = (
         _store_star_groups(store_dir, optional) if optional else ([], [])
     )
-    return _bgp_join(
+    out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units,
     )
+    return apply_solution_modifiers(out, order_by, limit, offset)
 
 
 def _store_star_groups(

@@ -2,8 +2,11 @@
 
 Offline sandbox → no rdflib; the ``rr:`` subset actually used by mapping
 documents is small (SURVEY §7): prefixes, IRIs, prefixed names, blank nodes
-(labelled and ``[ … ]`` property lists), string/numeric/boolean literals,
-``;`` / ``,`` continuation, ``a`` keyword. No collections, no quoted graphs.
+(labelled and ``[ … ]`` property lists), string literals in all four quote
+forms (``"…"`` / ``'…'`` / ``\"\"\"…\"\"\"`` / ``'''…'''``, multi-line for
+the long forms), numeric literals (integer/decimal/double per the Turtle
+grammar), booleans, ``;`` / ``,`` continuation, ``a`` keyword. Collections
+(``( … )``) and quoted graphs FAIL LOUDLY with a targeted error.
 
 Terms are tuples: ("iri", s) | ("bnode", label) | ("lit", value, lang, dt).
 """
@@ -46,12 +49,14 @@ _TOKEN = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<iriref><[^<>\s]*>)
-  | (?P<str3>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
-  | (?P<str1>"(?:[^"\\\n]|\\.)*")
+  | (?P<str3>\"\"\"(?:[^"\\]|\\[\s\S]|\"(?!\"\"))*\"\"\")
+  | (?P<str1>"(?:[^"\\\n]|\\[\s\S])*")
+  | (?P<sq3>'''(?:[^'\\]|\\[\s\S]|'(?!''))*''')
+  | (?P<sq1>'(?:[^'\\\n]|\\[\s\S])*')
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
   | (?P<dtsep>\^\^)
   | (?P<bnode>_:[A-Za-z0-9._\-]+)
-  | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][\w\-.]*)?:(?P<local>[\w\-.%/#]*)
   | (?P<kw>@?[A-Za-z]+)
   | (?P<punct>[\[\]();,.])
@@ -183,8 +188,10 @@ class TurtleParser:
                 self._predicate_object_list(node)
             self._expect("]")
             return node
-        if k in ("str1", "str3"):
-            raw = v[3:-3] if k == "str3" else v[1:-1]
+        if k in ("str1", "str3", "sq1", "sq3"):
+            if as_subject:
+                raise ValueError("turtle: a literal cannot be a subject")
+            raw = v[3:-3] if k in ("str3", "sq3") else v[1:-1]
             value = _unescape(raw)
             nk, nv = self._peek()
             if nk == "lang":
@@ -196,13 +203,26 @@ class TurtleParser:
                 return ("lit", value, None, dt[1])
             return ("lit", value, None, None)
         if k == "num":
-            if "." in v or "e" in v or "E" in v:
+            if as_subject:
+                raise ValueError("turtle: a literal cannot be a subject")
+            # Turtle grammar: exponent → xsd:double, '.' → xsd:decimal,
+            # plain digits → xsd:integer
+            if "e" in v or "E" in v:
+                dt = "http://www.w3.org/2001/XMLSchema#double"
+            elif "." in v:
                 dt = "http://www.w3.org/2001/XMLSchema#decimal"
             else:
                 dt = "http://www.w3.org/2001/XMLSchema#integer"
             return ("lit", v, None, dt)
         if k == "kw" and v in ("true", "false"):
+            if as_subject:
+                raise ValueError("turtle: a literal cannot be a subject")
             return ("lit", v, None, "http://www.w3.org/2001/XMLSchema#boolean")
+        if k == "punct" and v == "(":
+            raise ValueError(
+                "turtle: RDF collections '( … )' are not supported by this "
+                "R2RML-subset parser (no rr: property takes a collection)"
+            )
         raise ValueError(f"turtle: unexpected token {v!r}")
 
     def _predicate_object_list(self, s: Term) -> None:

@@ -31,6 +31,7 @@ QUERIES = {
     "lookup_nation": q_lookup_nation,
     "lookup_nation_by_value": q_lookup_nation_by_value,
     "bgp_nation_region": q_bgp_nation_region,
+    "bgp_topk": q_bgp_topk,
     "bgp_filter": q_bgp_filter,
     "bgp_store": q_bgp_store,
     "bgp_optional": q_bgp_optional,
@@ -95,6 +96,7 @@ ORACLES = {
     "lookup_nation": SQL_LOOKUP_NATION,
     "lookup_nation_by_value": SQL_LOOKUP_NATION_BY_VALUE,
     "bgp_nation_region": SQL_BGP_NATION_REGION,
+    "bgp_topk": SQL_BGP_TOPK,
     "bgp_filter": SQL_BGP_FILTER,
     "bgp_store": SQL_BGP_NATION_REGION,
     "bgp_optional": SQL_BGP_OPTIONAL,

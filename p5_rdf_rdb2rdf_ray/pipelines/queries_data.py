@@ -23,6 +23,14 @@ from ..stages.textstats import (
     token_counts,
 )
 from ..engine.runner import run_mapping
+from ..mapping.spec import (
+    IRI,
+    LITERAL,
+    MappingSpec,
+    PredObjSpec,
+    TermMapSpec,
+    TriplesMapSpec,
+)
 from ..sinks.ntriples import to_term_columns
 from .queries_kg import BASE, RDF_TYPE, _read, catalog_for
 

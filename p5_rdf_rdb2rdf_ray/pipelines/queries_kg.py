@@ -300,6 +300,40 @@ WHERE n_regionkey = 1
 """
 
 
+def q_bgp_topk(sf_dir: str) -> rd.Dataset:
+    """BGP + SPARQL solution modifiers (ORDER BY / LIMIT / OFFSET)
+    [graft extension — the SELECT-query shape on top of the Store's
+    get_pattern surface]: nations with their region names, ordered by
+    nation name DESC, page 2 (LIMIT 7 OFFSET 3). Distributed as
+    per-block prune + one tiny merge (no all-to-all sort); n_name is
+    unique, so the page is deterministic."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?n", BASE + "nation#n_name", "?nn"),
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+        ],
+        base=BASE,
+        order_by=[("?nn", "desc")],
+        limit=7,
+        offset=3,
+    )
+
+
+SQL_BGP_TOPK = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       n_name AS nn,
+       '{BASE}region/r_regionkey=' || r_regionkey AS r,
+       r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_name DESC LIMIT 7 OFFSET 3
+"""
+
+
 def q_bgp_filter(sf_dir: str) -> rd.Dataset:
     """BGP + SPARQL-style FILTER over the bindings [graft extension]:
     customers joined to their nation node, a numeric filter on the

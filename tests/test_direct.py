@@ -531,6 +531,53 @@ def test_bgp_hash_join_spill_matches_broadcast(ray_session, dm_catalog):
     assert len(bc) == 4  # emps 1,2 → dept 1; emps 3,4 → dept 2
 
 
+def test_bgp_solution_modifiers(ray_session, dm_catalog):
+    """ORDER BY / LIMIT / OFFSET over BGP bindings: per-block prune +
+    one merge equals a driver-side sort-and-slice; NULLS LAST; offset
+    pages correctly; misuse raises."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        apply_solution_modifiers,
+        get_pattern,
+    )
+
+    pats = [("?e", B + "dm_emp#ename", "?en")]
+    full = (
+        get_pattern(dm_catalog, pats, base=B)
+        .to_pandas()
+        .sort_values("en", ascending=False, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(full) >= 4
+    # LIMIT + OFFSET page = the slice of the fully ordered solutions
+    page = get_pattern(
+        dm_catalog, pats, base=B,
+        order_by=[("?en", "desc")], limit=2, offset=1,
+    ).to_pandas().reset_index(drop=True)
+    assert list(page["en"]) == list(full["en"].iloc[1:3])
+    # ORDER BY without LIMIT: full distributed sort, same multiset
+    allrows = get_pattern(
+        dm_catalog, pats, base=B, order_by=["?en"]
+    ).to_pandas()
+    assert sorted(allrows["en"]) == sorted(full["en"])
+    # NULLS LAST with a limit that reaches into the NULL tail
+    import pandas as _pd
+    import ray.data as rd
+
+    src = rd.from_pandas(
+        _pd.DataFrame({"v": [3.0, None, 1.0, None, 2.0], "id": range(5)})
+    )
+    got = apply_solution_modifiers(
+        src, order_by=[("?v", "desc")], limit=4
+    ).to_pandas()
+    assert list(got["v"].iloc[:3]) == [3.0, 2.0, 1.0]
+    assert _pd.isna(got["v"].iloc[3])
+    # misuse fails loudly
+    with pytest.raises(ValueError, match="order_by"):
+        apply_solution_modifiers(src, limit=2)
+    with pytest.raises(ValueError, match="offset without limit"):
+        apply_solution_modifiers(src, order_by=["?v"], offset=2)
+
+
 def test_bgp_cross_product_respects_broadcast_limit(ray_session, dm_catalog):
     """A variable-disjoint (cross-product) side has no join key to spill
     on — past broadcast_limit it must raise loudly instead of silently

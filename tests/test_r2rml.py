@@ -61,6 +61,52 @@ def test_turtle_parser_basics():
     assert ("lit", "typed", None, EX + "dt") in lits
 
 
+def test_turtle_parser_literal_breadth():
+    """Round-4 robustness pass: all four string quote forms (multi-line
+    long forms, escapes spanning lines), Turtle-grammar numeric typing
+    (integer / decimal / double incl. leading-dot and exponent), and
+    fail-LOUD errors for the unsupported constructs (collections,
+    literal subjects) instead of misparses."""
+    import pytest as _pytest
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    g, _ = parse_turtle(
+        """
+        @prefix ex: <http://ex.com/> .
+        ex:s ex:sq 'single' ;
+             ex:sq3 '''multi
+line''' ;
+             ex:dq3 \"\"\"dq multi
+line \\"quoted\\"\"\"\" ;
+             ex:nums 7 , -3 , 4.25 , .5 , 2e3 , -1.5E-2 .
+        """
+    )
+    lits = {o for (_, p, o) in g.triples}
+    assert ("lit", "single", None, None) in lits
+    assert ("lit", "multi\nline", None, None) in lits
+    assert ("lit", 'dq multi\nline "quoted"', None, None) in lits
+    nums = {
+        (o[1], o[3]) for (_, p, o) in g.triples
+        if p == ("iri", "http://ex.com/nums")
+    }
+    assert nums == {
+        ("7", XSD + "integer"),
+        ("-3", XSD + "integer"),
+        ("4.25", XSD + "decimal"),
+        (".5", XSD + "decimal"),
+        ("2e3", XSD + "double"),
+        ("-1.5E-2", XSD + "double"),
+    }
+    with _pytest.raises(ValueError, match="collections"):
+        parse_turtle(
+            "@prefix ex: <http://e/> . ex:s ex:p ( ex:a ex:b ) ."
+        )
+    with _pytest.raises(ValueError, match="literal cannot be a subject"):
+        parse_turtle('@prefix ex: <http://e/> . "lit" ex:p ex:o .')
+    with _pytest.raises(ValueError, match="unknown prefix"):
+        parse_turtle("ex:s ex:p ex:o .")
+
+
 def test_c01_template_class(cat, ray_session):
     got = run_ttl(
         """
