@@ -507,23 +507,11 @@ def apply_solution_modifiers(
         if offset:
             raise ValueError("offset without limit is not supported")
         return bindings.sort(cols, descending=[not a for a in asc])
-    k = offset + limit
+    from ..stages.groupagg import top_k
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            cols, ascending=asc, kind="mergesort", na_position="last"
-        ).head(k)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(
-            cols, ascending=asc, kind="mergesort", na_position="last"
-        ).iloc[offset : offset + limit]
-        return out.reset_index(drop=True)
-
-    return (
-        bindings.map_batches(prune, batch_format="pandas")
-        .repartition(1)
-        .map_batches(final, batch_format="pandas", batch_size=None)
+    return top_k(
+        bindings, cols, limit, descending=[not a for a in asc],
+        offset=offset,
     )
 
 
@@ -537,6 +525,7 @@ def get_pattern(
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
+    broadcast_limit: int = 1_000_000,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -573,6 +562,7 @@ def get_pattern(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units,
+        broadcast_limit=broadcast_limit,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 
@@ -709,6 +699,7 @@ def get_pattern_store(
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
+    broadcast_limit: int = 1_000_000,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -731,6 +722,7 @@ def get_pattern_store(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units,
+        broadcast_limit=broadcast_limit,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 

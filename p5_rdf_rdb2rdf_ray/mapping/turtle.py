@@ -56,7 +56,7 @@ _TOKEN = re.compile(
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
   | (?P<dtsep>\^\^)
   | (?P<bnode>_:[A-Za-z0-9._\-]+)
-  | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)
+  | (?P<num>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d*\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<pname>[A-Za-z_][\w\-.]*)?:(?P<local>[\w\-.%/#]*)
   | (?P<kw>@?[A-Za-z]+)
   | (?P<punct>[\[\]();,.])

@@ -396,36 +396,50 @@ def _store_write_lock(out_dir: str):
     leftover and taken over. Cross-host mutators must serialize
     externally (the lock file cannot probe a remote pid) — readers are
     unaffected and never take the lock."""
+    if not os.path.isdir(out_dir):
+        raise ValueError(f"no store at {out_dir}")
     path = os.path.join(out_dir, "_WRITER.lock")
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                holder = int(open(path).read().strip() or 0)
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
-                try:
-                    os.kill(holder, 0)
-                    alive = True
-                except (ProcessLookupError, PermissionError):
-                    alive = False
-            if alive:
-                raise RuntimeError(
-                    f"store {out_dir} is locked by running writer pid "
-                    f"{holder} ({path}); merge/compact are single-writer"
-                ) from None
-            # crash leftover — remove and retry the exclusive create
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+    # the pid is written to a temp file FIRST and hard-linked into place:
+    # link(2) is atomic create-if-absent AND guarantees the lock is never
+    # visible with incomplete content (an O_EXCL-create-then-write window
+    # would let a contender read an empty pid and steal a live lock)
+    tmp = os.path.join(out_dir, f"._WRITER.{os.getpid()}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(os.getpid()))
     try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+        while True:
+            try:
+                os.link(tmp, path)
+                break
+            except FileExistsError:
+                try:
+                    holder = int(open(path).read().strip() or 0)
+                except (OSError, ValueError):
+                    holder = 0
+                alive = True  # unknown/corrupt holder: assume live
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                    except ProcessLookupError:
+                        alive = False  # ESRCH: provably dead on this host
+                    except PermissionError:
+                        alive = True  # EPERM: exists, owned by another user
+                if alive:
+                    raise RuntimeError(
+                        f"store {out_dir} is locked by running writer pid "
+                        f"{holder} ({path}); merge/compact are single-writer"
+                    ) from None
+                # crash leftover — remove and retry the atomic link
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+    try:
         yield
     finally:
         try:
@@ -674,10 +688,15 @@ def lookup_store(
                     schema=TRIPLE_SCHEMA,
                 )
             )
+        # columns= pins the TRIPLE_SCHEMA contract: without it Ray's
+        # hive-partition inference appends a phantom `bucket` column
+        # from the bucket=NNNNN directory names (round-4 review find)
         if predicate is None:
-            return read_triplestore(out_dir)
+            return rd.read_parquet(all_parts, columns=list(TRIPLE_COLUMNS))
         return rd.read_parquet(
-            all_parts, filter=(pc.field("pred") == predicate)
+            all_parts,
+            columns=list(TRIPLE_COLUMNS),
+            filter=(pc.field("pred") == predicate),
         )
 
     num_buckets = _store_num_buckets(out_dir)
@@ -713,8 +732,10 @@ def lookup_store(
 
 def read_triplestore(out_dir: str) -> rd.Dataset:
     # _store_parts (defined below, subject-pruning variant) lists all
-    # committed parts when no subject is bound
-    return rd.read_parquet(_store_parts(out_dir))
+    # committed parts when no subject is bound. columns= pins the
+    # TRIPLE_SCHEMA contract — Ray's hive-partition inference would
+    # otherwise append a phantom `bucket` column from the directory names.
+    return rd.read_parquet(_store_parts(out_dir), columns=list(TRIPLE_COLUMNS))
 
 
 def store_contexts(out_dir: str, num_buckets: int = 4) -> rd.Dataset:

@@ -189,21 +189,36 @@ def top_k(
     sort_cols: Sequence[str],
     k: int,
     descending: bool | Sequence[bool] = True,
+    offset: int = 0,
 ) -> rd.Dataset:
-    """Global top-k without a full sort shuffle: per-block k-prune, then one
-    tiny final merge (#blocks × k rows through a single task)."""
+    """Global top-k without a full sort shuffle: per-block
+    (offset+k)-prune — each block's survivors are a superset of its
+    contribution to the global answer — then one tiny final merge
+    (#blocks × (offset+k) rows through a single task) sorts and slices
+    ``[offset, offset+k)``. NULLs sort LAST (pandas ``na_position``
+    default, matching DuckDB's default NULL order). Also the engine's
+    ORDER BY / LIMIT / OFFSET kernel (``apply_solution_modifiers``)."""
     sort_cols = list(sort_cols)
     if isinstance(descending, bool):
         desc = [descending] * len(sort_cols)
     else:
         desc = list(descending)
     ascending = [not d for d in desc]
+    stop = offset + k
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+        return df.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort"
+        ).head(stop)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort"
+        ).iloc[offset:stop]
+        return out.reset_index(drop=True)
 
     return (
         ds.map_batches(prune, batch_format="pandas")
         .repartition(1)
-        .map_batches(prune, batch_format="pandas", batch_size=None)
+        .map_batches(final, batch_format="pandas", batch_size=None)
     )

@@ -76,14 +76,22 @@ def probe_image_header(payload: bytes) -> tuple[str | None, int, int]:
     # big-endian height at +5, width at +7
     if len(p) >= 4 and p[:2] == b"\xff\xd8":
         pos = 2
-        while pos + 4 <= len(p):
+        while pos + 2 <= len(p):
             if p[pos] != 0xFF:
+                break
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker's identifying byte — skip them
+            while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(p):
                 break
             code = p[pos + 1]
             if code in (0x01, 0xD8) or 0xD0 <= code <= 0xD7:
                 pos += 2  # standalone marker, no length field
                 continue
             if code == 0xD9:  # EOI
+                break
+            if pos + 4 > len(p):
                 break
             seglen = int.from_bytes(p[pos + 2 : pos + 4], "big")
             if seglen < 2:

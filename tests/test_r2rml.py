@@ -97,6 +97,17 @@ line \\"quoted\\"\"\"\" ;
         ("2e3", XSD + "double"),
         ("-1.5E-2", XSD + "double"),
     }
+    # Turtle DECIMAL requires a digit after the dot, so `1.` must lex as
+    # INTEGER `1` + statement terminator (round-4 review regression)
+    g2, _ = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p 1.")
+    assert g2.triples == [
+        (("iri", "http://e/s"), ("iri", "http://e/p"),
+         ("lit", "1", None, XSD + "integer"))
+    ]
+    g3, _ = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p 2. ex:s ex:q 3 .")
+    assert len(g3.triples) == 2
+    g4, _ = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p 1.e3 .")
+    assert g4.triples[0][2] == ("lit", "1.e3", None, XSD + "double")
     with _pytest.raises(ValueError, match="collections"):
         parse_turtle(
             "@prefix ex: <http://e/> . ex:s ex:p ( ex:a ex:b ) ."

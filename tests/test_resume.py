@@ -159,6 +159,8 @@ def test_store_lookup_unbound_shapes_are_lazy(ray_session, tx, tmp_path):
     run_flagship_resumable(tx, out, num_buckets=8)
     store = os.path.join(out, "store")
 
+    from p5_rdf_rdb2rdf_ray.terms import TRIPLE_SCHEMA
+
     # predicate-only: lazy Dataset, filter pushed into the parquet scan
     ds = lookup_store(store, predicate=BASE + "role")
     assert isinstance(ds, rd.Dataset)
@@ -170,10 +172,13 @@ def test_store_lookup_unbound_shapes_are_lazy(ray_session, tx, tmp_path):
     ds_all = lookup_store(store)
     assert isinstance(ds_all, rd.Dataset)
     assert ds_all.count() == read_triplestore(store).count()
+    # schema contract on NON-empty branches: exactly TRIPLE_SCHEMA — no
+    # phantom hive `bucket` column from the bucket=NNNNN directory names
+    # (round-4 review find; the old eager pa.Table path never had it)
+    for shape in (ds, ds_all, read_triplestore(store)):
+        assert list(shape.schema().names) == list(TRIPLE_SCHEMA.names)
 
     # empty store: still a Dataset, with the canonical triple schema
-    from p5_rdf_rdb2rdf_ray.terms import TRIPLE_SCHEMA
-
     empty_dir = str(tmp_path / "empty_store")
     os.makedirs(empty_dir)
     ds_empty = lookup_store(empty_dir)

@@ -428,6 +428,12 @@ def test_probe_image_header_parses_real_containers(ray_session):
     assert probe_image_header(b"") == (None, -1, -1)
     assert probe_image_header(b"\x89PNG\r\n\x1a\n1234") == (None, -1, -1)
     assert probe_image_header(b"\xff\xd8\xff\xd9") == (None, -1, -1)
+    # ITU T.81 B.1.1.2: 0xFF fill bytes may pad any marker — a JPEG with
+    # padding before its SOF must still parse (round-4 review find)
+    padded = synth_image_payload("jpeg", 31, 17).replace(
+        b"\xff\xc0", b"\xff\xff\xff\xc0", 1
+    )
+    assert probe_image_header(padded) == ("jpeg", 31, 17)
     # through the Dataset stage
     n = 9
     media = pa.Table.from_pydict(
