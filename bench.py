@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "bgp_optional",
     "bgp_union",
     "bgp_aggregate",
+    "bgp_minus",
+    "bgp_topk",
     "graph_diff_events",
     "bgp_store",
     "store_contexts",

@@ -522,6 +522,8 @@ def get_pattern(
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
     optional: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
+    not_exists: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -559,9 +561,14 @@ def get_pattern(
     o_units, o_rest = (
         _star_groups(catalog, optional, base) if optional else ([], [])
     )
+    negs = [
+        (mode, *reversed(_star_groups(catalog, grp, base)))
+        for mode, grp in (("minus", minus), ("not_exists", not_exists))
+        if grp
+    ]
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
-        optional=o_rest, optional_units=o_units,
+        optional=o_rest, optional_units=o_units, negations=negs,
         broadcast_limit=broadcast_limit,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
@@ -696,6 +703,8 @@ def get_pattern_store(
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
     optional: list[tuple] | None = None,
+    minus: list[tuple] | None = None,
+    not_exists: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -719,9 +728,14 @@ def get_pattern_store(
     o_units, o_rest = (
         _store_star_groups(store_dir, optional) if optional else ([], [])
     )
+    negs = [
+        (mode, *reversed(_store_star_groups(store_dir, grp)))
+        for mode, grp in (("minus", minus), ("not_exists", not_exists))
+        if grp
+    ]
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
-        optional=o_rest, optional_units=o_units,
+        optional=o_rest, optional_units=o_units, negations=negs,
         broadcast_limit=broadcast_limit,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
@@ -1065,6 +1079,171 @@ def _bgp_acc(
     return acc, acc_vars, acc_kinds
 
 
+def _derive_kind(ds: rd.Dataset, var: str) -> rd.Dataset:
+    """Append a ``__k_<var>`` term-kind column derived from the surface
+    form of a NON-LITERAL-position binding (``_:`` prefix = bnode, else
+    IRI — no IRI can start with ``_:``). Used to reconcile kind
+    visibility across the two sides of a negation anti-join, where
+    *filtering* literals out (the inner-join trick in :func:`_bgp_acc`)
+    would be unsound: a literal solution that cannot match the negation
+    side must be KEPT, not dropped."""
+    from ..terms import KIND_BNODE, KIND_IRI
+
+    kc = f"__k_{var}"
+
+    def f(t: pa.Table) -> pa.Table:
+        s = (
+            t.column(var).combine_chunks()
+            if t.num_rows
+            else pa.array([], pa.string())
+        )
+        arr = pc.if_else(
+            pc.starts_with(pc.fill_null(s, ""), "_:"),
+            pa.scalar(KIND_BNODE, pa.uint8()),
+            pa.scalar(KIND_IRI, pa.uint8()),
+        )
+        arr = pc.if_else(pc.is_valid(s), arr, pa.nulls(len(s), pa.uint8()))
+        return t.append_column(kc, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _bgp_anti(
+    acc: rd.Dataset,
+    acc_vars: list[str],
+    acc_kinds: set[str],
+    stmt_fn,
+    mode: str,
+    n_pats: list[tuple],
+    n_units: list | None,
+    num_partitions: int,
+    broadcast_limit: int,
+) -> tuple[rd.Dataset, bool]:
+    """One SPARQL negation group (MINUS / FILTER NOT EXISTS) applied to
+    the accumulated required bindings [graft extension beyond the
+    reference Store's BGP surface — SPARQL 1.1 §8 shapes].
+
+    With shared variables (the common case) both forms coincide for
+    fully-bound group solutions: an ANTI SEMI-JOIN on the shared
+    variables — solutions whose shared-variable values appear in the
+    group's solution set drop. Distributed exactly like the positive
+    joins: the group's DISTINCT key projection broadcasts up to
+    ``broadcast_limit`` rows (Acero ``left anti`` per batch, no
+    shuffle); past the limit it spills to the engine's union-tag
+    co-hash-shuffle join with a match-marker filter (one shuffle, no
+    driver copy).
+
+    Without shared variables the two forms diverge per SPARQL 1.1:
+    ``minus`` is a no-op (disjoint domains are never compatible —
+    §8.3.3), ``not_exists`` is a global existence gate (group matched
+    anything → every solution drops).
+
+    NULL shared-variable bindings (possible after OPTIONAL) never match
+    — SQL join semantics — which coincides with MINUS' bound-variable
+    compatibility rule when the NULL variable is the only shared one.
+
+    Returns ``(acc, empty)``; ``empty=True`` short-circuits to no
+    solutions (the NOT-EXISTS global gate fired).
+    """
+    import ray
+
+    from .distinct import _unique_batch
+
+    if mode not in ("minus", "not_exists"):
+        raise ValueError(f"unknown negation mode {mode!r}")
+    nacc, nvars, nkinds = _bgp_acc(
+        stmt_fn, n_pats, num_partitions, n_units, broadcast_limit
+    )
+    if nacc is _NO_MATCH:
+        return acc, False  # group can match nothing → negation is a no-op
+    if nacc is None:
+        raise ValueError("empty negation group")
+    shared = [v for v in nvars if v in acc_vars]
+    if not shared:
+        if mode == "minus":
+            # SPARQL MINUS §8.3.3: disjoint domains are never compatible
+            return acc, False
+        # NOT EXISTS: the group is independent of each solution — one
+        # match anywhere eliminates everything (tiny limit(1) probe, not
+        # a full count)
+        return acc, nacc.limit(1).count() > 0
+
+    # kind reconciliation: every shared var that carries term-kind
+    # visibility on EITHER side gets a kind column on BOTH (derived from
+    # the surface form on the non-literal side), so a literal binding
+    # never anti-matches an IRI spelled the same — and, unlike the
+    # inner-join literal-filter trick, stays in the solution set.
+    keys = list(shared)
+    drop_after: list[str] = []
+    for v in shared:
+        a_has, n_has = v in acc_kinds, v in nkinds
+        if not (a_has or n_has):
+            continue
+        if not n_has:
+            nacc = _derive_kind(nacc, v)
+        if not a_has:
+            acc = _derive_kind(acc, v)
+            drop_after.append(f"__k_{v}")
+        keys.append(f"__k_{v}")
+
+    # project the group to the join keys + per-block local dedup (the
+    # anti-join only needs the distinct key set; a full distinct shuffle
+    # is not worth it — the combiner removes the bulk)
+    nkeys = nacc.map_batches(
+        lambda t, _k=tuple(keys): _unique_batch(t, list(_k)),
+        batch_format="pyarrow",
+    )
+    batches, total, spill = [], 0, False
+    for b in nkeys.iter_batches(batch_format="pyarrow", batch_size=None):
+        batches.append(b)
+        total += b.num_rows
+        if total > broadcast_limit:
+            spill = True
+            break
+    if spill:
+        from .joins import hash_join
+
+        marker = "__bgp_nm"
+        rds = nkeys.map_batches(
+            lambda t, _m=marker: t.append_column(
+                _m, pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)
+            ),
+            batch_format="pyarrow",
+        )
+        acc = hash_join(
+            acc, rds, keys, keys, num_partitions=max(num_partitions, 16)
+        )
+        acc = acc.map_batches(
+            lambda t, _m=marker: t.filter(
+                pc.is_null(t.column(_m))
+            ).drop_columns([_m]),
+            batch_format="pyarrow",
+        )
+    else:
+        right = pa.concat_tables(
+            batches or [_typed_empty_bindings(shared,
+                                              {k[4:] for k in keys
+                                               if k.startswith("__k_")})]
+        )
+        rref = ray.put(right)
+        acc = acc.map_batches(
+            _BroadcastInner,
+            fn_constructor_kwargs={
+                "right_ref": rref,
+                "keys": keys,
+                "join_type": "left anti",
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    if drop_after:
+        acc = acc.map_batches(
+            lambda t, _d=tuple(drop_after): t.drop_columns(list(_d)),
+            batch_format="pyarrow",
+        )
+    return acc, False
+
+
 def _typed_empty_bindings(vars_: list[str], kinds: set[str]) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array([], pa.string()) for _ in vars_]
@@ -1082,8 +1261,14 @@ def _bgp_join(
     broadcast_limit: int = 1_000_000,
     optional: list[tuple] | None = None,
     optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    negations: list[tuple[str, list[tuple], list | None]] | None = None,
 ) -> rd.Dataset:
-    """Required BGP ⟕ optional BGP group → FILTER → distinct bindings.
+    """Required BGP ⟕ optional BGP group → negations → FILTER → distinct
+    bindings.
+
+    ``negations`` is a list of ``(mode, patterns, units)`` groups with
+    mode ``"minus"`` or ``"not_exists"`` — see :func:`_bgp_anti` for the
+    SPARQL 1.1 §8 semantics and the anti-join distribution strategy.
 
     ``optional`` (+ ``optional_units``) form ONE left-outer group
     [graft extension beyond the reference Store's BGP surface —
@@ -1194,6 +1379,15 @@ def _bgp_join(
                 )
             acc_vars = list(dict.fromkeys(acc_vars + ovars))
             acc_kinds |= okinds
+
+    for mode, n_pats, n_units in negations or []:
+        acc, empty = _bgp_anti(
+            acc, acc_vars, acc_kinds, stmt_fn, mode, n_pats, n_units,
+            num_partitions, broadcast_limit,
+        )
+        if empty:  # NOT-EXISTS global gate fired: no solutions survive
+            acc = acc.limit(0)
+            break
 
     if filters:
         acc = _apply_binding_filters(acc, filters)

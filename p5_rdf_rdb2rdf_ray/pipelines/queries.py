@@ -36,6 +36,7 @@ QUERIES = {
     "bgp_store": q_bgp_store,
     "bgp_optional": q_bgp_optional,
     "bgp_union": q_bgp_union,
+    "bgp_minus": q_bgp_minus,
     "bgp_aggregate": q_bgp_aggregate,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
@@ -101,6 +102,7 @@ ORACLES = {
     "bgp_store": SQL_BGP_NATION_REGION,
     "bgp_optional": SQL_BGP_OPTIONAL,
     "bgp_union": SQL_BGP_UNION,
+    "bgp_minus": SQL_BGP_MINUS,
     "bgp_aggregate": SQL_BGP_AGGREGATE,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,

@@ -468,6 +468,41 @@ FROM nation WHERE n_regionkey = 2
 """
 
 
+def q_bgp_minus(sf_dir: str) -> rd.Dataset:
+    """SPARQL negation over the BGP surface [graft extension — SPARQL
+    1.1 §8 MINUS]: customers with NO fulfilled (status-F) order. The
+    negation group is a 2-pattern star over orders (fused into ONE scan
+    by the star planner); the shared variable ``?c`` binds in subject
+    position on the required side and OBJECT position in the group, so
+    the anti-join reconciles term-kind visibility by DERIVING the
+    subject side's kind from the surface form — a literal spelling a
+    customer IRI would not anti-match. Distribution: the group's
+    distinct key projection broadcasts (Acero ``left anti`` per batch,
+    no shuffle); past ``broadcast_limit`` it spills to the union-tag
+    co-hash join."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [("?c", BASE + "customer#c_custkey", "?k")],
+        base=BASE,
+        minus=[
+            ("?o", BASE + "orders#ref-o_custkey", "?c"),
+            ("?o", BASE + "orders#o_orderstatus", ("lit", "F")),
+        ],
+    )
+
+
+SQL_BGP_MINUS = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_custkey AS VARCHAR) AS k
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
 def q_bgp_aggregate(sf_dir: str) -> rd.Dataset:
     """SPARQL GROUP-BY-shaped composition [graft extension]: BGP
     bindings (customer → nation node) feed the engine's combiner-first

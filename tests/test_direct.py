@@ -633,6 +633,12 @@ def test_store_star_fusion_matches_source(ray_session, dm_catalog, tmp_path):
         for r in get_pattern_store(out, pats).take_all()
     }
     assert got == want and len(got) == 2  # dept 2 dropped (NULL city)
+    # solution modifiers work on the store-backed planner too
+    first = get_pattern_store(
+        out, pats, order_by=[("?e", "desc")], limit=1
+    ).to_pandas()
+    assert len(first) == 1
+    assert first["e"].iloc[0] == max(t[3] for t in want)
 
 
 def test_star_fusion_bound_literal(ray_session, dm_catalog):
@@ -758,6 +764,88 @@ def test_bgp_optional_group(ray_session, dm_catalog, tmp_path):
             dm_catalog, req, base=B,
             optional=[("?x", B + "dm_emp#ename", "?y")],
         )
+
+
+def test_bgp_negation_minus_not_exists(ray_session, dm_catalog, tmp_path):
+    """SPARQL 1.1 §8 negation over the BGP surface: MINUS / FILTER NOT
+    EXISTS as a distributed anti-join on the shared variables; the two
+    forms diverge exactly on variable-disjoint groups (§8.3.3)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern, get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    req = [("?d", B + "dm_dept#dname", "?n")]
+    neg = [("?e", B + "dm_emp#ref-dept_id", "?d")]  # depts 1,2 referenced
+
+    # MINUS: departments with no employee. ?d is a SUBJECT on the
+    # required side (no kind column) and an OBJECT in the group (kind
+    # column) — the anti-join derives the subject side's kind.
+    out = get_pattern(dm_catalog, req, base=B, minus=neg).to_pandas()
+    assert list(out["n"]) == ["hr"]
+
+    # NOT EXISTS coincides when variables are shared
+    out2 = get_pattern(dm_catalog, req, base=B, not_exists=neg).to_pandas()
+    assert list(out2["n"]) == ["hr"]
+
+    # spill path (anti side past broadcast_limit → union-tag hash join)
+    sp = get_pattern(
+        dm_catalog, req, base=B, minus=neg, broadcast_limit=1
+    ).to_pandas()
+    assert list(sp["n"]) == ["hr"]
+
+    # variable-disjoint group: MINUS is a no-op, NOT EXISTS is a global
+    # existence gate
+    disj = [("?e", B + "dm_emp#ename", "?y")]
+    assert (
+        get_pattern(dm_catalog, req, base=B, minus=disj).count() == 3
+    )
+    assert (
+        get_pattern(dm_catalog, req, base=B, not_exists=disj).count() == 0
+    )
+    # ... and an unmatchable disjoint group gates nothing
+    never = [("?e", B + "dm_emp#ename", ("lit", "zzz"))]
+    assert (
+        get_pattern(dm_catalog, req, base=B, not_exists=never).count() == 3
+    )
+
+    # store-served variant agrees
+    store = str(tmp_path / "store")
+    write_triplestore(
+        run_mapping(direct_mapping(dm_catalog, base=B), dm_catalog),
+        store, num_buckets=4,
+    )
+    got = get_pattern_store(store, req, minus=neg).to_pandas()
+    assert list(got["n"]) == ["hr"]
+
+
+def test_bgp_negation_term_kind_soundness(ray_session):
+    """A literal whose lexical form spells a row-node IRI must SURVIVE a
+    MINUS whose group binds that IRI — the anti-join compares RDF terms,
+    not strings (and unlike the inner-join literal-filter trick, must
+    not drop the literal row either)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+    k = pa.table(
+        {
+            "kid": pa.array([1, 2], pa.int64()),
+            # note of row 2 lexically equals row 1's subject IRI
+            "note": pa.array(["hello", f"{B}dm_k/kid=1"]),
+        }
+    )
+    cat = Catalog(
+        root="", tables={"dm_k": k},
+        layouts={"dm_k": TableLayout(pkey=("kid",))},
+    )
+    # required: ?v binds the note LITERALS; group: ?v as the OBJECT of a
+    # kid lookup... no ref map exists, so bind ?v as a SUBJECT instead:
+    # the group solutions are the row-node IRIs. A lexical anti-join
+    # would kill the row-2 literal; the term-aware one keeps both.
+    out = get_pattern(
+        cat,
+        [("?x", B + "dm_k#note", "?v")],
+        base=B,
+        minus=[("?v", B + "dm_k#kid", "?n")],
+    ).to_pandas()
+    assert sorted(out["v"]) == ["hello", f"{B}dm_k/kid=1"]
 
 
 def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
