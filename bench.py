@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "bgp_minus",
     "bgp_topk",
     "graph_diff_events",
+    "path_reach_docs",
     "bgp_store",
     "store_contexts",
 ]

@@ -61,6 +61,7 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "anti_join_customers": q_anti_join_customers,
     "graph_diff_events": q_graph_diff_events,
+    "path_reach_docs": q_path_reach_docs,
     "asof_events_orders": q_asof_events_orders,
     "range_join_orders": q_range_join_orders,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -127,6 +128,7 @@ ORACLES = {
     "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "graph_diff_events": SQL_GRAPH_DIFF_EVENTS,
+    "path_reach_docs": SQL_PATH_REACH_DOCS,
     "asof_events_orders": SQL_ASOF_EVENTS_ORDERS,
     "range_join_orders": SQL_RANGE_JOIN_ORDERS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,

@@ -597,6 +597,45 @@ FROM orders o JOIN (
 """
 
 
+def q_path_reach_docs(sf_dir: str) -> rd.Dataset:
+    """SPARQL ``p+``-style arbitrary-length reachability
+    (`stages.paths.transitive_closure` — PATH DOUBLING: O(log diameter)
+    rounds, each one union-tag co-hash self-join + one distinct
+    shuffle) over a deterministic parent relation derived from the
+    documents table: ``doc_id → doc_id // 2`` is a binary-tree edge
+    set of depth ~log₂(n), so the closure genuinely exercises the
+    multi-round fixpoint (5 doubling rounds at sf0.1), not a one-hop
+    join. Oracle: DuckDB recursive CTE over the same derived edges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.paths import transitive_closure
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        s = ids.filter(pc.greater_equal(ids, 1))
+        # integer divide truncates = floor for the non-negative ids
+        return pa.table({"src": s, "dst": pc.divide(s, 2)})
+
+    return transitive_closure(
+        docs.map_batches(edges, batch_format="pyarrow"), num_partitions=8
+    )
+
+
+SQL_PATH_REACH_DOCS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 1
+), r AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+)
+SELECT src, dst FROM r
+"""
+
+
 def q_winnow_fp_docs(sf_dir: str) -> rd.Dataset:
     """Winnowing rolling-hash fingerprints — rows-only (not SQL)."""
     from ..stages.textstats import winnow_fingerprints

@@ -1514,3 +1514,90 @@ def test_range_join_semantics(ray_session):
         (3, "b"), (3, "wide"),  # v=10 excluded from [0,10), in [10,20)
         (4, "wide"),         # v=55 only in [5,60) — spans 14 cells, ONE row
     ]
+
+
+def test_transitive_closure_matches_bfs(ray_session):
+    """Path-doubling closure vs a driver BFS reference on a seeded
+    random digraph (branches, diamonds, a cycle, isolated chain)."""
+    import random
+
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.stages.paths import transitive_closure
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(70)}
+    edges |= {(100, 101), (101, 102), (102, 100)}  # cycle component
+    edges = sorted(edges)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(ds, num_partitions=4).take_all()
+    }
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = set()
+    for s in list(adj):
+        stack = list(adj[s])
+        while stack:
+            x = stack.pop()
+            if (s, x) in want:
+                continue
+            want.add((s, x))
+            stack.extend(adj.get(x, []))
+    assert got == want
+
+
+def test_p_plus_property_path_literal_no_splice(ray_session, tmp_path):
+    """SPARQL pred+ over a materialized store: IRI chains close, literal
+    objects join only as TERMINAL hops — a literal whose lexical form
+    spells a node IRI must NOT splice two paths together."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+    from p5_rdf_rdb2rdf_ray.stages.paths import p_plus
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    P = N + "p"
+    rows = [
+        # chain a→b→c (IRIs) with a literal leaf off c
+        (N + "a", N + "b", KIND_IRI),
+        (N + "b", N + "c", KIND_IRI),
+        (N + "c", "x", KIND_LITERAL),
+        # splice trap: d →(LITERAL spelling e's IRI); e→f is real
+        (N + "d", N + "e", KIND_LITERAL),
+        (N + "e", N + "f", KIND_IRI),
+    ]
+    t = pa.table(
+        {
+            "subj": [s for s, _, _ in rows],
+            "pred": [P] * len(rows),
+            "obj": [o for _, o, _ in rows],
+            "obj_kind": pa.array([k for _, _, k in rows], pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    store = str(tmp_path / "pstore")
+    write_triplestore(rd.from_arrow(t), store, num_buckets=4)
+    got = {
+        (r["src"], r["dst"], r["dst_kind"])
+        for r in p_plus(store, P, num_partitions=4).take_all()
+    }
+    I, L = KIND_IRI, KIND_LITERAL
+    assert got == {
+        (N + "a", N + "b", I), (N + "b", N + "c", I), (N + "a", N + "c", I),
+        (N + "c", "x", L), (N + "b", "x", L), (N + "a", "x", L),
+        (N + "d", N + "e", L),      # terminal literal hop only
+        (N + "e", N + "f", I),      # no (d → f): literal never splices
+    }
