@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "bgp_union",
     "bgp_aggregate",
     "bgp_minus",
+    "bgp_construct",
     "bgp_topk",
     "graph_diff_events",
     "path_reach_docs",

@@ -528,6 +528,7 @@ def get_pattern(
     limit: int | None = None,
     offset: int = 0,
     broadcast_limit: int = 1_000_000,
+    keep_kinds: bool = False,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -569,7 +570,7 @@ def get_pattern(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units, negations=negs,
-        broadcast_limit=broadcast_limit,
+        broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 
@@ -709,6 +710,7 @@ def get_pattern_store(
     limit: int | None = None,
     offset: int = 0,
     broadcast_limit: int = 1_000_000,
+    keep_kinds: bool = False,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -736,7 +738,7 @@ def get_pattern_store(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units, negations=negs,
-        broadcast_limit=broadcast_limit,
+        broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 
@@ -1262,9 +1264,14 @@ def _bgp_join(
     optional: list[tuple] | None = None,
     optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     negations: list[tuple[str, list[tuple], list | None]] | None = None,
+    keep_kinds: bool = False,
 ) -> rd.Dataset:
     """Required BGP ⟕ optional BGP group → negations → FILTER → distinct
     bindings.
+
+    ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
+    columns on the output (consumed by :mod:`engine.construct`, which
+    must distinguish literal from IRI bindings to emit valid RDF).
 
     ``negations`` is a list of ``(mode, patterns, units)`` groups with
     mode ``"minus"`` or ``"not_exists"`` — see :func:`_bgp_anti` for the
@@ -1393,7 +1400,7 @@ def _bgp_join(
         acc = _apply_binding_filters(acc, filters)
     kind_cols = sorted(f"__k_{v}" for v in acc_kinds)
     out = distinct_rows(acc, acc_vars + kind_cols, num_buckets=num_partitions)
-    if kind_cols:
+    if kind_cols and not keep_kinds:
         # kinds joined on above distinguish literal-vs-IRI solutions in the
         # distinct; the public binding surface stays lexical-only
         out = out.map_batches(

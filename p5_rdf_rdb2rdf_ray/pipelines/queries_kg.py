@@ -503,6 +503,57 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_bgp_construct(sf_dir: str) -> rd.Dataset:
+    """SPARQL-CONSTRUCT-shaped KG enrichment [graft extension — SPARQL
+    1.1 §10.2]: derive NEW edges absent from the source mapping.  BGP
+    bindings (customer → nation → region, kinds kept) instantiate three
+    templates per solution — a derived ``inRegion`` edge (collapsing
+    the 2-hop FK chain), a class assertion and a constant literal —
+    batch-wise with zero joins; set semantics in one distinct shuffle.
+    The constructed Dataset is full TRIPLE_SCHEMA: it feeds the store /
+    N-Triples / Turtle sinks like any mapping output."""
+    from ..engine.construct import construct
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    b = get_pattern(
+        cat,
+        [
+            ("?c", BASE + "customer#ref-c_nationkey", "?n"),
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+        ],
+        base=BASE,
+        keep_kinds=True,
+    )
+    return to_term_columns(
+        construct(
+            b,
+            [
+                ("?c", BASE + "inRegion", "?r"),
+                ("?c", RDF_TYPE, BASE + "RegionalCustomer"),
+                ("?c", BASE + "note", ("lit", "derived")),
+            ],
+        )
+    )
+
+
+SQL_BGP_CONSTRUCT = f"""
+SELECT '<{BASE}customer/c_custkey=' || c_custkey || '>' AS subj,
+       '<{BASE}inRegion>' AS pred,
+       '<{BASE}region/r_regionkey=' || n_regionkey || '>' AS obj
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT '<{BASE}customer/c_custkey=' || c_custkey || '>',
+       '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+       '<{BASE}RegionalCustomer>'
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT '<{BASE}customer/c_custkey=' || c_custkey || '>',
+       '<{BASE}note>', '"derived"'
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_bgp_aggregate(sf_dir: str) -> rd.Dataset:
     """SPARQL GROUP-BY-shaped composition [graft extension]: BGP
     bindings (customer → nation node) feed the engine's combiner-first

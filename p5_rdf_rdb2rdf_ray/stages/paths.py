@@ -13,10 +13,11 @@ so ``R_k`` holds every pair connected by a path of length ≤ 2^k —
 co-hash ``hash_join``) plus ONE distinct shuffle.  A semi-naive
 frontier expansion would need O(diameter) rounds; for the billion-edge
 / shallow-diameter graphs a KG produces (FK forests, org charts,
-thread-reply trees) doubling is the scale shape.  Convergence is
-detected with the same order-insensitive row-hash digest as
-``stages/cc.py`` (one int64 per block to the driver — no extra
-aggregate shuffle per round).
+thread-reply trees) doubling is the scale shape.  Convergence is a
+materialized ``count()`` — the pair set is monotone growing and each
+round ends distinct, so an unchanged count IS the fixpoint, and count
+on materialized blocks is metadata (no data pass; ``cc.py`` needs its
+row-hash digest only because labels change without the count moving).
 
 Output size is the closure itself (Σ per-node reachable-set sizes) —
 inherent to the query, not a property of the algorithm; each round
@@ -33,26 +34,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-
-
-def _digest(ds: rd.Dataset, cols: list[str]) -> int:
-    """Order-insensitive fixpoint probe: sum of row hashes mod 2^64
-    (one int64 per block to the driver; see ``stages/cc.py``)."""
-    from ..engine.distinct import row_hash
-
-    total = 0
-    for b in ds.map_batches(
-        lambda t, _c=tuple(cols): pa.table(
-            {"h": pa.array(
-                [int(row_hash(t, list(_c)).sum()) if t.num_rows else 0],
-                pa.uint64(),
-            )}
-        ),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        for v in b.column("h").to_pylist():
-            total = (total + v) & 0xFFFF_FFFF_FFFF_FFFF
-    return total
 
 
 def transitive_closure(
@@ -83,8 +64,13 @@ def transitive_closure(
     )
     r = distinct_rows(base, ["src", "dst"], num_buckets=num_partitions)
     r = r.materialize()
-    prev = _digest(r, ["src", "dst"])
-    if r.count() == 0:
+    # fixpoint probe: the pair set is MONOTONE GROWING and each round
+    # ends distinct, so an unchanged count means no new pairs — and
+    # count() on a materialized Dataset is block metadata, no pass over
+    # the data (cc.py needs its hash digest because labels change
+    # without the row count changing; reachability does not)
+    prev = r.count()
+    if prev == 0:
         return r
     for _ in range(max_rounds):
         # compose: (a,b) ∘ (b,c) → (a,c); parent payload renamed so the
@@ -117,7 +103,7 @@ def transitive_closure(
         r = distinct_rows(
             r.union(comp), ["src", "dst"], num_buckets=num_partitions
         ).materialize()
-        cur = _digest(r, ["src", "dst"])
+        cur = r.count()
         if cur == prev:
             return r
         prev = cur
