@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "bgp_aggregate",
     "bgp_minus",
     "bgp_construct",
+    "bgp_values",
     "bgp_topk",
     "graph_diff_events",
     "path_reach_docs",

@@ -524,6 +524,7 @@ def get_pattern(
     optional: list[tuple] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
+    values: tuple[list[str], list[tuple]] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -559,6 +560,12 @@ def get_pattern(
         )
 
     units, rest = _star_groups(catalog, patterns, base)
+    if values:
+        # VALUES folds LAST: the inline table is tiny and must join
+        # into the accumulator as a broadcast side — putting it first
+        # would make it the accumulator and force the (large) pattern
+        # sides through the driver collect instead
+        units = list(units) + [_values_unit(*values)]
     o_units, o_rest = (
         _star_groups(catalog, optional, base) if optional else ([], [])
     )
@@ -706,6 +713,7 @@ def get_pattern_store(
     optional: list[tuple] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
+    values: tuple[list[str], list[tuple]] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -727,6 +735,8 @@ def get_pattern_store(
         return store_statements(store_dir, **kwargs)
 
     units, rest = _store_star_groups(store_dir, patterns)
+    if values:
+        units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     o_units, o_rest = (
         _store_star_groups(store_dir, optional) if optional else ([], [])
     )
@@ -859,6 +869,50 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
 
 
 _NO_MATCH = object()  # a fully-bound pattern matched nothing
+
+
+def _values_unit(
+    vars_: list[str], rows: list[tuple]
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """SPARQL VALUES (inline data, §7.2) as a pre-built binding unit:
+    each row's terms are pattern-term-shaped (IRI/bnode string or
+    ``("lit", value)``), every variable carries an explicit term-kind
+    column so the inline data joins TERM-correctly (a literal row never
+    matches an IRI binding spelled the same).  UNDEF is not supported —
+    joining a wildcard needs per-variable join splitting; fail loud."""
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+    names = [v.lstrip("?") for v in vars_]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate VALUES variables: {vars_}")
+    cols: dict[str, list] = {n: [] for n in names}
+    kinds: dict[str, list] = {n: [] for n in names}
+    for row in rows:
+        if len(row) != len(names):
+            raise ValueError(
+                f"VALUES row width {len(row)} != {len(names)} variables"
+            )
+        for n, term in zip(names, row):
+            if isinstance(term, tuple) and len(term) == 2 and term[0] == "lit":
+                cols[n].append(str(term[1]))
+                kinds[n].append(KIND_LITERAL)
+            elif isinstance(term, str):
+                cols[n].append(term)
+                kinds[n].append(
+                    KIND_BNODE if term.startswith("_:") else KIND_IRI
+                )
+            else:
+                raise ValueError(
+                    f"unsupported VALUES term {term!r} (UNDEF/None is not "
+                    "supported; provide a bound IRI or ('lit', value))"
+                )
+    t = pa.table(
+        {
+            **{n: pa.array(cols[n], pa.string()) for n in names},
+            **{f"__k_{n}": pa.array(kinds[n], pa.uint8()) for n in names},
+        }
+    )
+    return rd.from_arrow(t), names, set(names)
 
 
 def _bgp_acc(

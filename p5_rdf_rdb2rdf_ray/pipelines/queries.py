@@ -38,6 +38,7 @@ QUERIES = {
     "bgp_union": q_bgp_union,
     "bgp_minus": q_bgp_minus,
     "bgp_construct": q_bgp_construct,
+    "bgp_values": q_bgp_values,
     "bgp_aggregate": q_bgp_aggregate,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
@@ -106,6 +107,7 @@ ORACLES = {
     "bgp_union": SQL_BGP_UNION,
     "bgp_minus": SQL_BGP_MINUS,
     "bgp_construct": SQL_BGP_CONSTRUCT,
+    "bgp_values": SQL_BGP_VALUES,
     "bgp_aggregate": SQL_BGP_AGGREGATE,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,

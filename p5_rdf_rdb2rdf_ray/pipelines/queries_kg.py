@@ -503,6 +503,35 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_bgp_values(sf_dir: str) -> rd.Dataset:
+    """SPARQL VALUES (inline data, §7.2) [graft extension]: the inline
+    table enters the BGP fold as a pre-built binding unit with explicit
+    term kinds — joined LAST so it broadcasts into the accumulator (a
+    tiny Acero side), never forcing pattern sides through the driver.
+    Nations restricted to two region names given inline as literals."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+        ],
+        base=BASE,
+        values=(["?rn"], [(("lit", "ASIA"),), (("lit", "EUROPE"),)]),
+    )
+
+
+SQL_BGP_VALUES = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       '{BASE}region/r_regionkey=' || r_regionkey AS r,
+       r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+"""
+
+
 def q_bgp_construct(sf_dir: str) -> rd.Dataset:
     """SPARQL-CONSTRUCT-shaped KG enrichment [graft extension — SPARQL
     1.1 §10.2]: derive NEW edges absent from the source mapping.  BGP

@@ -848,6 +848,58 @@ def test_bgp_negation_term_kind_soundness(ray_session):
     assert sorted(out["v"]) == ["hello", f"{B}dm_k/kid=1"]
 
 
+def test_bgp_values_inline_data(ray_session, dm_catalog, tmp_path):
+    """SPARQL VALUES §7.2: inline data joins the BGP as a term-typed
+    binding unit — literal terms match literal bindings only, IRI terms
+    match node bindings only; the store planner agrees; UNDEF rejects."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern, get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    pats = [("?d", B + "dm_dept#dname", "?n")]
+    vals = (["?n"], [(("lit", "eng"),), (("lit", "hr"),)])
+    out = get_pattern(dm_catalog, pats, base=B, values=vals).to_pandas()
+    assert sorted(out["n"]) == ["eng", "hr"]
+
+    # IRI term in VALUES never matches a literal binding
+    out2 = get_pattern(
+        dm_catalog, pats, base=B, values=(["?n"], [("eng",)])
+    ).to_pandas()
+    assert len(out2) == 0
+
+    # two-variable VALUES rows constrain jointly (row-wise, not cross)
+    pats2 = [
+        ("?e", B + "dm_emp#ref-dept_id", "?d"),
+        ("?d", B + "dm_dept#dname", "?n"),
+    ]
+    out3 = get_pattern(
+        dm_catalog, pats2, base=B,
+        values=(
+            ["?d", "?n"],
+            [
+                (B + "dm_dept/dept_id=1", ("lit", "eng")),   # consistent
+                (B + "dm_dept/dept_id=2", ("lit", "eng")),   # inconsistent
+            ],
+        ),
+    ).to_pandas()
+    assert sorted(out3["e"]) == [
+        B + "dm_emp/emp_id=1", B + "dm_emp/emp_id=2",
+    ]
+
+    # store planner agrees
+    store = str(tmp_path / "store")
+    write_triplestore(
+        run_mapping(direct_mapping(dm_catalog, base=B), dm_catalog),
+        store, num_buckets=4,
+    )
+    got = get_pattern_store(store, pats, values=vals).to_pandas()
+    assert sorted(got["n"]) == ["eng", "hr"]
+
+    with pytest.raises(ValueError, match="UNDEF"):
+        get_pattern(
+            dm_catalog, pats, base=B, values=(["?n"], [(None,)])
+        )
+
+
 def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
     """UNION groups align on the variable union (NULL where unbound),
     and identical terms from different groups collapse in the distinct
