@@ -525,6 +525,7 @@ def get_pattern(
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
+    bind: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -577,7 +578,7 @@ def get_pattern(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units, negations=negs,
-        broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
+        bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 
@@ -714,6 +715,7 @@ def get_pattern_store(
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
+    bind: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -748,7 +750,7 @@ def get_pattern_store(
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional=o_rest, optional_units=o_units, negations=negs,
-        broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
+        bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 
@@ -866,6 +868,174 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
         return t.filter(pa.array(keep)).replace_schema_metadata(None)
 
     return acc.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL BIND (extend) — computed variables over a binding set
+# ---------------------------------------------------------------------------
+
+# expression AST (tuples, evaluated vectorized over pandas columns):
+#   "?var"                      -> the variable's lexical form
+#   str / int / float constant  -> a constant
+#   ("concat", a, b, ...)       -> string concatenation (NULL-propagating)
+#   ("strlen", a) ("ucase", a) ("lcase", a)
+#   ("substr", a, start[, len]) -> SPARQL 1-based substring
+#   ("replace", a, pat, repl)   -> regex replace
+#   ("+"|"-"|"*"|"/", a, b)     -> numeric (lexical forms parse numerically;
+#                                  a non-numeric binding yields NULL = the
+#                                  SPARQL expression-error -> unbound rule)
+#   ("iri", a)                  -> the value binds as an IRI, not a literal
+_BIND_ARITH = {"+", "-", "*", "/"}
+
+
+def _bind_vars_of(expr) -> set[str]:
+    if isinstance(expr, str) and expr.startswith("?"):
+        return {expr[1:]}
+    if isinstance(expr, tuple):
+        out: set[str] = set()
+        for a in expr[1:]:
+            out |= _bind_vars_of(a)
+        return out
+    return set()
+
+
+def _bind_lex(s):
+    """Canonical lexical form of an evaluated series: integral numerics
+    print without a decimal point (xsd:integer style), everything else
+    via pandas "string" (NULLs preserved)."""
+    import pandas as pd
+
+    if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_string_dtype(s):
+        nn = s.dropna()
+        if not len(nn) or (nn % 1 == 0).all():
+            return s.astype("Int64").astype("string")
+        return s.astype("string")
+    return s.astype("string")
+
+
+def _compile_bind(expr):
+    """Compile one BIND expression to ``fn(pandas.DataFrame) -> Series``."""
+    import pandas as pd
+
+    if isinstance(expr, str) and expr.startswith("?"):
+        v = expr[1:]
+
+        def col(df, _v=v):
+            if _v not in df.columns:
+                raise ValueError(f"BIND references unbound variable ?{_v}")
+            return df[_v]
+
+        return col
+    if not isinstance(expr, tuple):
+        const = expr
+        return lambda df: pd.Series([const] * len(df), index=df.index)
+
+    op, *args = expr
+    if op == "iri":  # kind marker only — value semantics are identity
+        return _compile_bind(args[0])
+    fns = [_compile_bind(a) for a in args]
+    if op == "concat":
+        def concat(df):
+            out = _bind_lex(fns[0](df))
+            for f in fns[1:]:
+                out = out + _bind_lex(f(df))
+            return out
+
+        return concat
+    if op == "strlen":
+        return lambda df: fns[0](df).astype("string").str.len()
+    if op == "ucase":
+        return lambda df: fns[0](df).astype("string").str.upper()
+    if op == "lcase":
+        return lambda df: fns[0](df).astype("string").str.lower()
+    if op == "substr":
+        start = args[1]
+        length = args[2] if len(args) > 2 else None
+        stop = None if length is None else start - 1 + length
+        return lambda df: fns[0](df).astype("string").str.slice(
+            start - 1, stop
+        )
+    if op == "replace":
+        pat, repl = args[1], args[2]
+        return lambda df: fns[0](df).astype("string").str.replace(
+            pat, repl, regex=True
+        )
+    if op in _BIND_ARITH:
+        def arith(df, _op=op):
+            a = pd.to_numeric(fns[0](df), errors="coerce")
+            b = pd.to_numeric(fns[1](df), errors="coerce")
+            if _op == "+":
+                return a + b
+            if _op == "-":
+                return a - b
+            if _op == "*":
+                return a * b
+            return a / b
+
+        return arith
+    raise ValueError(f"unsupported BIND function {op!r}")
+
+
+def _extend_bindings(
+    acc: rd.Dataset, binds: list[tuple], existing: list[str]
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """SPARQL BIND (§7.6) over a binding set [graft extension beyond the
+    reference Store's surface]: each ``("?new", expr)`` adds a computed
+    variable column. Row-local and map-only — no shuffle; runs BEFORE
+    FILTER (a FILTER may constrain a BIND'd variable) and before the
+    final distinct (the new column participates in solution identity).
+
+    An expression error (non-numeric lexical form in arithmetic, unbound
+    input) leaves the variable UNBOUND (NULL), per SPARQL §10.
+    BIND'd variables bind literals, or IRIs under ``("iri", …)``.
+    """
+    from ..terms import KIND_IRI, KIND_LITERAL
+
+    names, kinds, compiled = [], {}, []
+    seen = set(existing)
+    for var, expr in binds:
+        v = var.lstrip("?")
+        if v in seen:
+            raise ValueError(
+                f"BIND target ?{v} is already in scope (SPARQL §7.6)"
+            )
+        seen.add(v)
+        names.append(v)
+        kinds[v] = (
+            KIND_IRI
+            if isinstance(expr, tuple) and expr and expr[0] == "iri"
+            else KIND_LITERAL
+        )
+        compiled.append((v, _compile_bind(expr), _bind_vars_of(expr)))
+
+    def f(t: pa.Table) -> pa.Table:
+        # pandas only for the referenced variable columns (all strings);
+        # the table itself stays Arrow so hidden uint8 kind columns never
+        # take the pandas null-widening round-trip (see memory notes)
+        import numpy as np
+
+        refs = sorted({r for _, _, rs in compiled for r in rs})
+        present = [c for c in refs if c in t.column_names]
+        df = t.select(present).to_pandas() if present else None
+        if df is None:
+            import pandas as pd
+
+            df = pd.DataFrame(index=range(t.num_rows))
+        for v, fn, _rs in compiled:
+            res = _bind_lex(fn(df)) if t.num_rows else None
+            arr = (
+                pa.Array.from_pandas(res, type=pa.string())
+                if res is not None
+                else pa.nulls(0, pa.string())
+            )
+            t = t.append_column(v, arr)
+            t = t.append_column(
+                f"__k_{v}",
+                pa.array(np.full(t.num_rows, kinds[v], np.uint8)),
+            )
+        return t.replace_schema_metadata(None)
+
+    return acc.map_batches(f, batch_format="pyarrow"), names, set(names)
 
 
 _NO_MATCH = object()  # a fully-bound pattern matched nothing
@@ -1318,10 +1488,11 @@ def _bgp_join(
     optional: list[tuple] | None = None,
     optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     negations: list[tuple[str, list[tuple], list | None]] | None = None,
+    bind: list[tuple] | None = None,
     keep_kinds: bool = False,
 ) -> rd.Dataset:
-    """Required BGP ⟕ optional BGP group → negations → FILTER → distinct
-    bindings.
+    """Required BGP ⟕ optional BGP group → negations → BIND → FILTER →
+    distinct bindings.
 
     ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
     columns on the output (consumed by :mod:`engine.construct`, which
@@ -1450,6 +1621,10 @@ def _bgp_join(
             acc = acc.limit(0)
             break
 
+    if bind:
+        acc, bvars, bkinds = _extend_bindings(acc, bind, acc_vars)
+        acc_vars = list(dict.fromkeys(acc_vars + bvars))
+        acc_kinds |= bkinds
     if filters:
         acc = _apply_binding_filters(acc, filters)
     kind_cols = sorted(f"__k_{v}" for v in acc_kinds)

@@ -39,6 +39,7 @@ QUERIES = {
     "bgp_minus": q_bgp_minus,
     "bgp_construct": q_bgp_construct,
     "bgp_values": q_bgp_values,
+    "bgp_bind": q_bgp_bind,
     "bgp_aggregate": q_bgp_aggregate,
     "store_contexts": q_store_contexts,
     "count_statements": q_count_statements,
@@ -108,6 +109,7 @@ ORACLES = {
     "bgp_minus": SQL_BGP_MINUS,
     "bgp_construct": SQL_BGP_CONSTRUCT,
     "bgp_values": SQL_BGP_VALUES,
+    "bgp_bind": SQL_BGP_BIND,
     "bgp_aggregate": SQL_BGP_AGGREGATE,
     "store_contexts": SQL_STORE_CONTEXTS,
     "count_statements": SQL_COUNT_STATEMENTS,

@@ -363,6 +363,43 @@ WHERE c_nationkey >= 15 AND c_mktsegment = 'BUILDING'
 """
 
 
+def q_bgp_bind(sf_dir: str) -> rd.Dataset:
+    """BGP + SPARQL BIND (§7.6) [graft extension]: customers with a
+    computed ``?tag`` (UCASE(segment) ‖ "-" ‖ nationkey*2) and a
+    computed ``?nlen`` (STRLEN of the name), then a FILTER over the
+    BIND'd variable — exercising extend-before-filter scoping. Map-only
+    (no extra shuffle beyond the BGP's own distinct)."""
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    return get_pattern(
+        cat,
+        [
+            ("?c", BASE + "customer#c_mktsegment", "?seg"),
+            ("?c", BASE + "customer#c_nationkey", "?nk"),
+            ("?c", BASE + "customer#c_name", "?nm"),
+        ],
+        base=BASE,
+        bind=[
+            ("?tag", ("concat", ("ucase", "?seg"), "-", ("*", "?nk", 2))),
+            ("?nlen", ("strlen", "?nm")),
+        ],
+        filters=[("?nlen", ">=", 18), ("?seg", "==", "MACHINERY")],
+    )
+
+
+SQL_BGP_BIND = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       c_mktsegment AS seg,
+       CAST(c_nationkey AS VARCHAR) AS nk,
+       c_name AS nm,
+       UPPER(c_mktsegment) || '-' || CAST(c_nationkey * 2 AS VARCHAR) AS tag,
+       CAST(LENGTH(c_name) AS VARCHAR) AS nlen
+FROM customer
+WHERE LENGTH(c_name) >= 18 AND c_mktsegment = 'MACHINERY'
+"""
+
+
 def q_bgp_store(sf_dir: str) -> rd.Dataset:
     """The same BGP as bgp_nation_region, but served from the
     MATERIALIZED triple store: DM triples for nation+region are written

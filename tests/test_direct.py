@@ -900,6 +900,82 @@ def test_bgp_values_inline_data(ray_session, dm_catalog, tmp_path):
         )
 
 
+def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
+    """SPARQL BIND §7.6: computed variables extend the bindings before
+    FILTER (a FILTER may constrain a BIND'd var); expression errors
+    leave the var unbound (NULL, §10); ("iri", …) binds an IRI term
+    CONSTRUCT can emit; rebinding an in-scope var raises; the store
+    planner agrees."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern, get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    pats = [("?d", B + "dm_dept#dname", "?n")]
+    out = get_pattern(
+        dm_catalog, pats, base=B,
+        bind=[
+            ("?u", ("concat", ("ucase", "?n"), "!")),
+            ("?l", ("strlen", "?n")),
+        ],
+    ).to_pandas()
+    assert dict(zip(out["n"], out["u"])) == {
+        "eng": "ENG!", "ops": "OPS!", "hr": "HR!",
+    }
+    assert dict(zip(out["n"], out["l"])) == {"eng": "3", "ops": "3", "hr": "2"}
+
+    # FILTER sees the BIND'd variable
+    out2 = get_pattern(
+        dm_catalog, pats, base=B,
+        bind=[("?l", ("strlen", "?n"))],
+        filters=[("?l", ">=", 3)],
+    ).to_pandas()
+    assert sorted(out2["n"]) == ["eng", "ops"]
+
+    # arithmetic over a non-numeric lexical form -> unbound (NULL)
+    out3 = get_pattern(
+        dm_catalog, pats, base=B, bind=[("?x", ("*", "?n", 2))]
+    ).to_pandas()
+    assert out3["x"].isna().all()
+    # ... and numeric lexical forms compute (integral stays integer-form)
+    out4 = get_pattern(
+        dm_catalog,
+        [("?e", B + "dm_emp#emp_id", "?i")],
+        base=B,
+        bind=[("?x", ("+", "?i", 10))],
+    ).to_pandas()
+    assert sorted(out4["x"]) == ["11", "12", "13", "14", "15"]
+
+    # ("iri", ...) mints an IRI-kind binding usable by CONSTRUCT
+    from p5_rdf_rdb2rdf_ray.engine.construct import construct
+
+    bindings = get_pattern(
+        dm_catalog, pats, base=B,
+        bind=[("?s2", ("iri", ("concat", B + "alias/", "?n")))],
+        keep_kinds=True,
+    )
+    trip = construct(
+        bindings, [("?s2", B + "p#label", "?n")]
+    ).to_pandas()
+    assert set(trip["subj"]) == {
+        B + "alias/eng", B + "alias/ops", B + "alias/hr",
+    }
+    assert set(trip["obj_kind"]) == {2}  # literal objects
+
+    # rebinding an in-scope variable is a query error
+    with pytest.raises(ValueError, match="already in scope"):
+        get_pattern(dm_catalog, pats, base=B, bind=[("?n", ("ucase", "?n"))])
+
+    # store planner agrees
+    store = str(tmp_path / "store")
+    write_triplestore(
+        run_mapping(direct_mapping(dm_catalog, base=B), dm_catalog),
+        store, num_buckets=4,
+    )
+    got = get_pattern_store(
+        store, pats, bind=[("?u", ("ucase", "?n"))]
+    ).to_pandas()
+    assert sorted(got["u"]) == ["ENG", "HR", "OPS"]
+
+
 def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
     """UNION groups align on the variable union (NULL where unbound),
     and identical terms from different groups collapse in the distinct
