@@ -755,6 +755,90 @@ def get_pattern_store(
     return apply_solution_modifiers(out, order_by, limit, offset)
 
 
+def ask(bindings: rd.Dataset) -> bool:
+    """SPARQL ASK result form [graft extension — the reference delegates
+    query forms to RDF::Query, recalled]: does at least one solution
+    exist? ``limit(1)`` lets the streaming executor stop early — upstream
+    operators cancel once one row reaches the limit; nothing
+    materializes beyond a single block."""
+    return bindings.limit(1).count() > 0
+
+
+def describe_store(
+    store_dir: str,
+    nodes: list[str] | str,
+    max_depth: int = 8,
+) -> rd.Dataset:
+    """SPARQL DESCRIBE as a Concise Bounded Description (CBD) over a
+    MATERIALIZED store [graft extension; result-form analogue of the
+    reference Store's bounded iteration — recalled]: each node's
+    outgoing triples, recursively following BLANK-NODE objects (a bnode
+    label is scoped to the graph, so its triples belong in the
+    description; IRI objects do not recurse).
+
+    Distribution: every level is a union of bucket-pruned point lookups
+    (bound subject → one ``bucket=`` dir + parquet row filter). The only
+    driver-side state is the bnode frontier — the size of ONE node's
+    description, never the corpus. Each level materializes only its
+    distinct bnode-object labels to compute the next frontier; the
+    returned Dataset re-plans the (cheap, pruned) point lookups lazily.
+    ``max_depth`` caps bnode-chain recursion (cycle-safe via a seen-set
+    regardless)."""
+    from ..sinks.triplestore import store_statements
+    from ..terms import KIND_BNODE
+
+    if isinstance(nodes, str):
+        nodes = [nodes]
+    if not nodes:
+        raise ValueError("describe_store needs at least one node")
+    seen: set[str] = set(nodes)
+    frontier = list(dict.fromkeys(nodes))
+    out: rd.Dataset | None = None
+    for _ in range(max_depth + 1):
+        if not frontier:
+            break
+        level = store_statements(store_dir, subject=frontier[0])
+        for s in frontier[1:]:
+            level = level.union(store_statements(store_dir, subject=s))
+        out = level if out is None else out.union(level)
+        # next frontier: the level's distinct bnode objects (tiny —
+        # bounded by the description itself, so a driver collect is safe)
+        bn = (
+            level.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("obj_kind"), KIND_BNODE)
+                ).select(["obj"]),
+                batch_format="pyarrow",
+            )
+            .unique("obj")
+        )
+        # Ray 2.49 Dataset.unique returns None for an all-empty dataset
+        frontier = [o for o in (bn or []) if o not in seen]
+        seen.update(frontier)
+    assert out is not None  # nodes is non-empty or ValueError below
+    return out
+
+
+def describe(
+    catalog: Catalog,
+    nodes: list[str] | str,
+    base: str = "http://example.com/base/",
+) -> rd.Dataset:
+    """DESCRIBE over the Direct-Mapping surface: the union of each
+    node's outgoing triples (pushdown point lookups). DM objects are
+    IRIs or literals — never blank nodes (bnode subjects arise only for
+    PK-less tables, which cannot be FK targets) — so the CBD closure is
+    the subject's own triples; no recursion by construction."""
+    if isinstance(nodes, str):
+        nodes = [nodes]
+    if not nodes:
+        raise ValueError("describe needs at least one node")
+    out = get_statements(catalog, subject=nodes[0], base=base)
+    for n in nodes[1:]:
+        out = out.union(get_statements(catalog, subject=n, base=base))
+    return out
+
+
 def _store_star_groups(
     store_dir: str, patterns: list[tuple]
 ) -> tuple[list, list]:

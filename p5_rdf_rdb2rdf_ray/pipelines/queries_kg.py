@@ -400,18 +400,15 @@ WHERE LENGTH(c_name) >= 18 AND c_mktsegment = 'MACHINERY'
 """
 
 
-def q_bgp_store(sf_dir: str) -> rd.Dataset:
-    """The same BGP as bgp_nation_region, but served from the
-    MATERIALIZED triple store: DM triples for nation+region are written
-    to a bucket-partitioned store first (resumable — a repeat run with
-    the same input fingerprint skips the write), then
-    :func:`get_pattern_store` plans each pattern with bucket pruning +
-    parquet filter pushdown. Same oracle as bgp_nation_region."""
+def _nation_region_store(sf_dir: str) -> str:
+    """Materialize (resumably) the nation+region DM triples as a
+    bucket-partitioned store under /tmp; a repeat run with the same
+    input fingerprint skips the write. Shared by the store-served
+    query entries."""
     import hashlib
     import os
     import tempfile
 
-    from ..engine.lookup import get_pattern_store
     from ..sinks.triplestore import fingerprint_files, write_triplestore
 
     cat = catalog_for(sf_dir)
@@ -431,6 +428,19 @@ def q_bgp_store(sf_dir: str) -> rd.Dataset:
         num_buckets=8,
         input_fp=fp,
     )
+    return out
+
+
+def q_bgp_store(sf_dir: str) -> rd.Dataset:
+    """The same BGP as bgp_nation_region, but served from the
+    MATERIALIZED triple store: DM triples for nation+region are written
+    to a bucket-partitioned store first (resumable — a repeat run with
+    the same input fingerprint skips the write), then
+    :func:`get_pattern_store` plans each pattern with bucket pruning +
+    parquet filter pushdown. Same oracle as bgp_nation_region."""
+    from ..engine.lookup import get_pattern_store
+
+    out = _nation_region_store(sf_dir)
     return get_pattern_store(
         out,
         [
@@ -439,6 +449,108 @@ def q_bgp_store(sf_dir: str) -> rd.Dataset:
             ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
         ],
     )
+
+
+def q_describe_nation(sf_dir: str) -> rd.Dataset:
+    """SPARQL DESCRIBE (Concise Bounded Description) served from the
+    materialized store [graft extension]: the outgoing triples of two
+    nodes (nation 3 + region 1) via bucket-pruned point lookups;
+    blank-node closure exercises in pytest (DM emits no bnode objects)."""
+    from ..engine.lookup import describe_store
+
+    store = _nation_region_store(sf_dir)
+    return to_term_columns(
+        describe_store(
+            store,
+            [
+                BASE + "nation/n_nationkey=3",
+                BASE + "region/r_regionkey=1",
+            ],
+        )
+    )
+
+
+SQL_DESCRIBE_NATION = f"""
+SELECT subj, pred, obj FROM (
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+         '<{RDF_TYPE}>' AS pred, '<{BASE}nation>' AS obj
+  FROM nation WHERE n_nationkey = 3
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_nationkey>', '"' || n_nationkey || '"^^<{XSD_INT}>'
+  FROM nation WHERE n_nationkey = 3
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_name>', '"' || n_name || '"'
+  FROM nation WHERE n_nationkey = 3
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#n_regionkey>',
+         '"' || n_regionkey || '"^^<{XSD_INT}>'
+  FROM nation WHERE n_nationkey = 3
+  UNION ALL
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+         '<{BASE}nation#ref-n_regionkey>',
+         '<{BASE}region/r_regionkey=' || n_regionkey || '>'
+  FROM nation WHERE n_nationkey = 3
+  UNION ALL
+  SELECT '<{BASE}region/r_regionkey=' || r_regionkey || '>',
+         '<{RDF_TYPE}>', '<{BASE}region>'
+  FROM region WHERE r_regionkey = 1
+  UNION ALL
+  SELECT '<{BASE}region/r_regionkey=' || r_regionkey || '>',
+         '<{BASE}region#r_regionkey>', '"' || r_regionkey || '"^^<{XSD_INT}>'
+  FROM region WHERE r_regionkey = 1
+  UNION ALL
+  SELECT '<{BASE}region/r_regionkey=' || r_regionkey || '>',
+         '<{BASE}region#r_name>', '"' || r_name || '"'
+  FROM region WHERE r_regionkey = 1
+) t
+"""
+
+
+def q_bgp_ask(sf_dir: str):
+    """SPARQL ASK result form [graft extension]: two probes — one
+    satisfiable BGP (a nation in region 1 whose region node carries a
+    name) and one unsatisfiable (a region key outside the domain).
+    ``ask`` plans the same BGP and stops at the first solution
+    (``limit(1)`` → streaming early-exit)."""
+    import pyarrow as _pa
+
+    from ..engine.lookup import ask, get_pattern
+
+    cat = catalog_for(sf_dir)
+
+    def probe(regionkey: str) -> bool:
+        return ask(
+            get_pattern(
+                cat,
+                [
+                    ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+                    ("?r", BASE + "region#r_name", "?rn"),
+                    ("?n", BASE + "nation#n_regionkey", ("lit", regionkey)),
+                ],
+                base=BASE,
+            )
+        )
+
+    return _pa.table(
+        {
+            "probe": ["neg", "pos"],
+            "ask": [probe("999"), probe("1")],
+        }
+    )
+
+
+SQL_BGP_ASK = """
+SELECT 'neg' AS probe,
+       EXISTS(SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE n_regionkey = 999) AS ask
+UNION ALL
+SELECT 'pos',
+       EXISTS(SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE n_regionkey = 1)
+"""
 
 
 def q_bgp_optional(sf_dir: str) -> rd.Dataset:

@@ -976,6 +976,64 @@ def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     assert sorted(got["u"]) == ["ENG", "HR", "OPS"]
 
 
+def test_describe_cbd_and_ask(ray_session, dm_catalog, tmp_path):
+    """DESCRIBE = Concise Bounded Description: outgoing triples plus
+    recursive blank-node closure (cycle-safe, depth-capped); other
+    nodes' triples excluded. ASK early-exits with a boolean."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.lookup import ask, describe, describe_store, get_pattern
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+    from p5_rdf_rdb2rdf_ray.terms import (
+        KIND_BNODE,
+        KIND_IRI,
+        KIND_LITERAL,
+        TRIPLE_SCHEMA,
+    )
+
+    def row(s, p, o, k):
+        return (s, p, o, k, None, None, None)
+
+    rows = [
+        row(B + "a", B + "p", "_:b1", KIND_BNODE),
+        row("_:b1", B + "q", "v", KIND_LITERAL),
+        row("_:b1", B + "r", "_:b2", KIND_BNODE),
+        row("_:b2", B + "s", "w", KIND_LITERAL),
+        row("_:b2", B + "back", "_:b1", KIND_BNODE),  # bnode cycle
+        row(B + "a", B + "t", B + "c", KIND_IRI),     # IRI obj: no recursion
+        row(B + "c", B + "u", "z", KIND_LITERAL),     # another node's triple
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array(col, f.type) for col, f in zip(zip(*rows), TRIPLE_SCHEMA)],
+        schema=TRIPLE_SCHEMA,
+    )
+    store = str(tmp_path / "cbd_store")
+    write_triplestore(rd.from_arrow(t), store, num_buckets=4)
+
+    got = describe_store(store, B + "a").to_pandas()
+    assert len(got) == 6  # everything except <c>'s own triple
+    assert B + "u" not in set(got["pred"])
+    assert len(got.drop_duplicates()) == 6
+
+    # depth cap: 0 bnode-follow steps = the node's own triples only
+    shallow = describe_store(store, B + "a", max_depth=0).to_pandas()
+    assert sorted(shallow["pred"]) == [B + "p", B + "t"]
+
+    # DM-surface describe: a node's own triples, multiple nodes union
+    d = describe(
+        dm_catalog, [B + "dm_dept/dept_id=1", B + "dm_dept/dept_id=2"], base=B
+    ).to_pandas()
+    assert set(d["subj"]) == {B + "dm_dept/dept_id=1", B + "dm_dept/dept_id=2"}
+    assert (d["subj"] == B + "dm_dept/dept_id=1").sum() == 4  # type+3 cols
+
+    # ASK: satisfiable / unsatisfiable
+    pats_yes = [("?d", B + "dm_dept#dname", ("lit", "eng"))]
+    pats_no = [("?d", B + "dm_dept#dname", ("lit", "nope"))]
+    assert ask(get_pattern(dm_catalog, pats_yes, base=B)) is True
+    assert ask(get_pattern(dm_catalog, pats_no, base=B)) is False
+
+
 def test_bgp_union_alignment_and_dedup(ray_session, dm_catalog):
     """UNION groups align on the variable union (NULL where unbound),
     and identical terms from different groups collapse in the distinct
