@@ -122,6 +122,32 @@ GROUP BY c_mktsegment
 """
 
 
+def q_event_trails(sf_dir: str) -> rd.Dataset:
+    """GROUP_CONCAT / string_agg: each user's event-type sequence in
+    time order (the behavioral-trail feature op; SPARQL GROUP_CONCAT's
+    distributed shape). Column pruning is the only possible combiner —
+    concatenation doesn't reduce — then ONE keyed shuffle + per-partition
+    sort-and-join."""
+    from ..stages.groupagg import grouped_concat
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return grouped_concat(
+        ev,
+        keys=["user_id"],
+        col="event_type",
+        sep=",",
+        order_by=["ts", "event_id"],
+        out="trail",
+        num_partitions=8,
+    )
+
+
+SQL_EVENT_TRAILS = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS trail
+FROM events GROUP BY user_id
+"""
+
+
 def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
     from ..engine.distinct import distinct_rows
 

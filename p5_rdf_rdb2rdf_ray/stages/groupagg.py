@@ -92,6 +92,62 @@ def grouped_aggregate(
     )
 
 
+def grouped_concat(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    sep: str = ",",
+    order_by: Sequence[str] | None = None,
+    out: str = "concat",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """GROUP_CONCAT / ``string_agg(col, sep ORDER BY …)`` per group —
+    SPARQL's GROUP_CONCAT aggregate and the feature-engineering
+    "behavioral trail" op (e.g. a user's event types in time order).
+
+    Distribution note: unlike sum/count, concatenation is NOT a reducing
+    aggregate — the output is as big as the input, so a combiner cannot
+    shrink the shuffle. The exact minimal shape is: project to
+    ``keys + [col] + order_by`` (column pruning IS the combiner here),
+    ONE hash shuffle on ``keys``, then a per-partition vectorized
+    sort + join — exact because a key never spans blocks after the
+    keyed repartition (one block per partition, see memory notes).
+
+    ``order_by`` defaults to ``[col]``; make it a TOTAL order (add a
+    unique tiebreaker column) for deterministic output. NULL values of
+    ``col`` are skipped (DuckDB ``string_agg`` semantics); a group with
+    only NULLs concatenates to NULL.
+    """
+    keys = list(keys)
+    order_cols = list(order_by) if order_by else [col]
+    if any(c.startswith("__") for c in keys + [col, out] + order_cols):
+        raise ValueError("'__'-prefixed columns are reserved")
+    need = list(dict.fromkeys(keys + [col] + order_cols))
+
+    def project(t):
+        return t.select(need).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(columns=keys + [out])
+        df = df.sort_values(keys + order_cols, kind="mergesort")
+        g = df.groupby(keys, dropna=False, sort=False)[col]
+        res = g.agg(
+            # all-NULL group -> NULL, group row kept (string_agg semantics)
+            lambda s: sep.join(s.dropna().astype(str))
+            if s.notna().any()
+            else None
+        ).rename(out)
+        return res.reset_index()
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def column_quantiles(
     ds: rd.Dataset,
     col: str,

@@ -393,6 +393,64 @@ def test_grouped_aggregate_exact(ray_session):
     )
 
 
+def test_grouped_concat(ray_session):
+    """string_agg semantics across many blocks: values join in order_by
+    order within each key, NULL values skip, an all-NULL group keeps its
+    row with a NULL concat, and results are block-layout independent."""
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_concat
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 11, size=n),
+            "ord": rng.permutation(n),
+            "v": pd.array(
+                [
+                    None if i % 17 == 0 else f"t{i % 5}"
+                    for i in range(n)
+                ],
+                dtype="string",
+            ),
+        }
+    )
+    # one key that is ALL NULL values
+    df.loc[df.k == 10, "v"] = None
+    got = (
+        grouped_concat(
+            rd.from_pandas(df).repartition(7),
+            keys=["k"],
+            col="v",
+            sep="|",
+            order_by=["ord"],
+            out="seq",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "ord"])
+        .groupby("k")["v"]
+        .agg(
+            lambda s: "|".join(s.dropna().astype(str))
+            if s.notna().any()
+            else None
+        )
+        .rename("seq")
+        .reset_index()
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["seq"].fillna("<NA>").tolist() == want["seq"].fillna(
+        "<NA>"
+    ).tolist()
+    assert got.loc[got.k == 10, "seq"].isna().all()
+
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_concat(rd.from_pandas(df), ["k"], "v", out="__x")
+
+
 def test_top_k(ray_session):
     rng = np.random.default_rng(29)
     df = pd.DataFrame({"a": rng.permutation(1000), "b": np.arange(1000)})
