@@ -1110,6 +1110,82 @@ SELECT doc_id, source FROM (
 """
 
 
+def _fixed_centroids(sf_dir: str, n: int = 4) -> "np.ndarray":
+    """The first ``n`` embedding vectors, ORDERED by vec_id, as a fixed
+    centroid matrix — centroid row index == vec_id, so the SQL twin can
+    name clusters by vec_id."""
+    ids, m = _query_vectors(sf_dir, n)
+    return m[np.argsort(ids)]
+
+
+def q_kmeans_assign_fixed(sf_dir: str) -> rd.Dataset:
+    """Nearest-centroid assignment under FIXED centroids (the exactly
+    reproducible half of k-means — the Lloyd's fit is float-order
+    dependent and checked by pytest instead): every embedding joins its
+    most-cosine-similar centroid (ties to the lowest id), then a grouped
+    count per cluster. Map-only assignment against broadcast centroids +
+    one tiny aggregate."""
+    from ..stages.cluster import cluster_sizes, kmeans_assign
+
+    assigned = kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _fixed_centroids(sf_dir, 4),
+        spherical=True,
+        drop_vec=True,
+    )
+    return cluster_sizes(assigned, num_partitions=4)
+
+
+SQL_KMEANS_ASSIGN_FIXED = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < 4
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(c.ce, e.embedding::DOUBLE[]) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
+  FROM s
+)
+SELECT cid AS cluster, count(*) AS n FROM r WHERE rnk = 1 GROUP BY cid
+"""
+
+
+def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Full distributed k-means (Lloyd's over the whole corpus with
+    per-block combiner partials) + assignment + cluster sizes — rows-only
+    (float-sum order makes refits differ in last ulps; blob-recovery
+    exactness is pinned by tests/test_stages.py::test_kmeans_blobs)."""
+    from ..stages.cluster import cluster_sizes, kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    c = kmeans_fit(ds, k=8, iters=4, seed=0x5EED_0011)
+    return cluster_sizes(
+        kmeans_assign(ds, c, drop_vec=True), num_partitions=4
+    )
+
+
+def q_cluster_sample_embeddings(sf_dir: str) -> rd.Dataset:
+    """Cluster-balanced corpus subsetting: assign to fixed centroids,
+    then keep a deterministic ~120 rows per cluster via the fmix32
+    stratified sampler — the semantic-balancing op a pretraining mixture
+    needs. Rows-only (the composition is deterministic but the
+    per-cluster rate threshold arithmetic is pinned by the
+    sample_docs/stratified oracles instead)."""
+    from ..stages.cluster import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _fixed_centroids(sf_dir, 4),
+        target_per_cluster=120,
+        key_col="vec_id",
+    ).select_columns(["vec_id", "cluster"])
+
+
 def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
     """IVF bucket-and-verify approximate near-dup pairs — the
     sub-quadratic scale path of neardup_embeddings; rows-only check

@@ -458,6 +458,84 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_kmeans_blobs(ray_session):
+    """Distributed Lloyd's recovers well-separated blobs exactly (each
+    true blob maps to exactly one cluster, purity 1.0), euclidean mode
+    included; assignment under fixed centroids is block-layout
+    independent; balanced sampling is deterministic and ≈target."""
+    from p5_rdf_rdb2rdf_ray.stages.cluster import (
+        cluster_balanced_sample,
+        cluster_sizes,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    pts = np.vstack(
+        [c + rng.normal(0, 0.5, size=(400, 3)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.astype(np.float32).ravel(), pa.float32()), 3
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    truth = np.repeat([0, 1, 2], 400)
+
+    for spherical in (True, False):
+        c = kmeans_fit(ds, k=3, iters=8, seed=1, spherical=spherical)
+        assert c.shape == (3, 3)
+        a = (
+            kmeans_assign(ds, c, score_col="sim", spherical=spherical)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        cross = pd.crosstab(truth, a["cluster"].to_numpy()).to_numpy()
+        assert (cross > 0).sum() == 3  # one cluster per blob: purity 1.0
+        assert set(cross[cross > 0]) == {400}
+
+    # fixed-centroid assignment is block-layout independent
+    c = kmeans_fit(ds, k=3, iters=8, seed=1)
+    a1 = kmeans_assign(ds, c, drop_vec=True).to_pandas().sort_values("vec_id")
+    a2 = (
+        kmeans_assign(rd.from_arrow(t).repartition(13), c, drop_vec=True)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert a1["cluster"].tolist() == a2["cluster"].tolist()
+    assert "embedding" not in a1.columns
+
+    sz = cluster_sizes(rd.from_arrow(pa.table({"cluster": a1["cluster"]})))
+    assert sorted(sz.to_pandas()["n"]) == [400, 400, 400]
+
+    # balanced sample: deterministic, ~target per cluster, subset rows
+    s1 = (
+        cluster_balanced_sample(ds, c, target_per_cluster=100, key_col="vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    s2 = (
+        cluster_balanced_sample(ds, c, target_per_cluster=100, key_col="vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert s1["vec_id"].tolist() == s2["vec_id"].tolist()
+    per = s1.groupby("cluster").size()
+    assert len(per) == 3 and ((per > 60) & (per < 140)).all()
+    # a small cluster (< target) passes through whole
+    full = cluster_balanced_sample(
+        ds, c, target_per_cluster=10_000, key_col="vec_id"
+    ).to_pandas()
+    assert len(full) == len(pts)
+
+    with pytest.raises(ValueError, match="positive"):
+        kmeans_fit(ds, k=0)
+
+
 def test_multimodal_features_deterministic(ray_session):
     media = synth_media_table(30)
     f1 = extract_features(rd.from_arrow(media), batch_size=8).to_pandas()
