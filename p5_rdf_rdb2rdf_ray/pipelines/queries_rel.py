@@ -148,6 +148,69 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_gaps(sf_dir: str) -> rd.Dataset:
+    """LAG window function: per user, microseconds since the previous
+    event (NULL for the first) — the inter-arrival feature op. One
+    keyed shuffle + per-partition vectorized sort + groupby-shift
+    (``stages/sessions.window_shift``). The gap divides timedeltas by
+    1 µs (exact integer ratio in float64), never seconds-float
+    round-trips."""
+    import pandas as pd
+
+    from ..stages.sessions import window_shift
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sh = window_shift(
+        ev,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        shifts={"prev_ts": ("ts", 1)},
+        num_partitions=8,
+    )
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df["ts"] - df["prev_ts"]) / pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "event_id": df["event_id"], "gap_us": g}
+        )
+
+    return sh.map_batches(gap, batch_format="pandas")
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       CAST(date_diff('microsecond',
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id),
+                      ts) AS DOUBLE) AS gap_us
+FROM events
+"""
+
+
+def q_priority_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-group exact discrete quantiles (quantile_disc GROUP BY):
+    order-price quartiles per order priority. Combiner-first value
+    histogram + one tiny keyed shuffle; nothing on the driver."""
+    from ..stages.groupagg import grouped_quantiles
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_quantiles(
+        o,
+        keys=["o_orderpriority"],
+        col="o_totalprice",
+        qs=[0.25, 0.5, 0.75],
+        num_partitions=8,
+    )
+
+
+SQL_PRIORITY_PRICE_QUANTILES = """
+SELECT o_orderpriority,
+       UNNEST(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS q,
+       UNNEST(quantile_disc(o_totalprice, [0.25, 0.5, 0.75])) AS value
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
     from ..engine.distinct import distinct_rows
 

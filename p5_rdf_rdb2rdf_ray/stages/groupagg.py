@@ -197,6 +197,79 @@ def column_quantiles(
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"), "value": out_v})
 
 
+def grouped_quantiles(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact discrete quantiles of ``col`` PER GROUP — the per-segment
+    percentile op (``quantile_disc(col, q) GROUP BY keys``). Same pick
+    rule as :func:`column_quantiles` (0-based index ``ceil(q·n) − 1``
+    over the sorted values, nulls ignored — DuckDB ``quantile_disc``),
+    but fully distributed: a combiner-first grouped count on
+    ``keys + [col]`` (a value appearing M times in a block ships ONE
+    partial row), then one tiny keyed shuffle on ``keys`` and a
+    per-partition cumulative pick. Nothing collects on the driver.
+
+    → one row per (group, q): ``keys…, q float64, value`` (value keeps
+    the column dtype — it is an actual element, never interpolated).
+    Scale assumption (as :func:`column_quantiles`): distinct values per
+    group ≪ rows per group; for unbounded floats use the mergeable
+    sketch in ``stages/sketches``.
+    """
+    import math
+
+    import numpy as np
+
+    keys = list(keys)
+    qlist = [float(q) for q in qs]
+    if not qlist or any(not 0.0 <= q <= 1.0 for q in qlist):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    hist = grouped_aggregate(
+        ds,
+        keys=keys + [col],
+        aggs={"q_cnt": (col, "count")},
+        num_partitions=num_partitions,
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.reindex(columns=keys + [col]).rename(
+                columns={col: "value"}
+            )
+            out["q"] = pd.Series([], dtype="float64")
+            return out[keys + ["q", "value"]]
+        df = df.dropna(subset=[col]).sort_values(
+            keys + [col], kind="mergesort"
+        )
+        rows = []
+        for gkey, grp in df.groupby(keys, dropna=False, sort=False):
+            cum = grp["q_cnt"].cumsum().to_numpy()
+            n = int(cum[-1]) if len(cum) else 0
+            if n == 0:
+                continue
+            vals = grp[col].to_numpy()
+            kt = gkey if isinstance(gkey, tuple) else (gkey,)
+            for q in qlist:
+                idx = max(0, math.ceil(q * n) - 1)
+                pos = int(np.searchsorted(cum, idx, side="right"))
+                rows.append((*kt, q, vals[pos]))
+        out = pd.DataFrame(rows, columns=keys + ["q", "value"])
+        out["value"] = out["value"].astype(df[col].dtype)
+        return out
+
+    ensure_hash_shuffle(hist)
+    return (
+        # clean Arrow into the shuffle: grouped_aggregate finalizes in
+        # pandas, whose schema metadata defeats the shuffle's dedup
+        hist.map_batches(to_clean_arrow, batch_format="pandas")
+        .repartition(min(num_partitions, 16), keys=keys)
+        .map_batches(pick, batch_format="pandas", batch_size=None)
+    )
+
+
 def grouped_top_k(
     ds: rd.Dataset,
     keys: Sequence[str],

@@ -152,6 +152,58 @@ def hopping_window(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def window_shift(
+    events: rd.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    shifts: dict[str, tuple[str, int]],
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """SQL LAG/LEAD window functions per key partition —
+    ``shifts``: out_col -> (src_col, n) with n > 0 ≡ ``LAG(src, n)``
+    and n < 0 ≡ ``LEAD(src, -n)`` over
+    ``PARTITION BY keys ORDER BY order_by``. Make ``order_by`` a TOTAL
+    order (include a unique tiebreaker) for deterministic output.
+
+    Shape: ONE hash shuffle on ``keys`` (a key's rows never span blocks
+    after the keyed repartition), then per-block vectorized
+    sort + groupby-shift. Output keeps every input column and appends
+    the shifted ones; integer sources shift into pandas nullable Int64
+    (NOT float64 — silent int→float widening would hash-diverge from a
+    SQL twin), timestamps into datetime64 with NaT.
+    """
+    if not shifts:
+        raise ValueError("shifts must not be empty")
+    for out, (_src, n) in shifts.items():
+        if n == 0:
+            raise ValueError(f"shift offset for {out!r} must be non-zero")
+        if out.startswith("__"):
+            raise ValueError("'__'-prefixed output columns are reserved")
+
+    ensure_hash_shuffle(events)
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            for out, (src, _n) in shifts.items():
+                df[out] = df[src]
+            return df
+        df = df.sort_values(
+            keys + order_by, kind="mergesort"
+        ).reset_index(drop=True)
+        g = df.groupby(keys, dropna=False, sort=False)
+        for out, (src, n) in shifts.items():
+            s = g[src].shift(n)
+            if pd.api.types.is_integer_dtype(df[src]):
+                s = s.astype("Int64")
+            df[out] = s
+        return df
+
+    return (
+        events.repartition(num_partitions, keys=keys)
+        .map_batches(shift, batch_format="pandas", batch_size=None)
+    )
+
+
 def sessionize(
     events: rd.Dataset,
     gap_s: float = 1800.0,

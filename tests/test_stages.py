@@ -458,6 +458,88 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_window_shift_lag_lead(ray_session):
+    """LAG/LEAD per key partition: matches pandas groupby.shift on the
+    totally-ordered frame, integer sources stay nullable integer (no
+    silent float widening), block layout independent."""
+    from p5_rdf_rdb2rdf_ray.stages.sessions import window_shift
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, size=n),
+            "o": rng.permutation(n),
+            "v": rng.integers(0, 1000, size=n),
+        }
+    )
+    got = (
+        window_shift(
+            rd.from_pandas(df).repartition(5),
+            keys=["k"],
+            order_by=["o"],
+            shifts={"prev_v": ("v", 1), "next_v": ("v", -1)},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = want.groupby("k", sort=False)
+    want["prev_v"] = g["v"].shift(1).astype("Int64")
+    want["next_v"] = g["v"].shift(-1).astype("Int64")
+    for c in ("prev_v", "next_v"):
+        assert (
+            got[c].astype("Int64").fillna(-1).tolist()
+            == want[c].fillna(-1).tolist()
+        )
+    with pytest.raises(ValueError, match="non-zero"):
+        window_shift(rd.from_pandas(df), ["k"], ["o"], {"x": ("v", 0)})
+
+
+def test_grouped_quantiles(ray_session):
+    """Per-group exact discrete quantiles match the global pick rule
+    applied group-wise (ceil(q·n)−1 over sorted values, nulls ignored)."""
+    import math
+
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_quantiles
+
+    rng = np.random.default_rng(43)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, size=n),
+            "x": rng.normal(size=n).round(3),
+        }
+    )
+    df.loc[df.sample(frac=0.05, random_state=1).index, "x"] = np.nan
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = (
+        grouped_quantiles(
+            rd.from_pandas(df).repartition(7), ["g"], "x", qs,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+
+    def ref(grp):
+        vals = np.sort(grp["x"].dropna().to_numpy())
+        return [
+            (q, vals[max(0, math.ceil(q * len(vals)) - 1)]) for q in qs
+        ]
+
+    want = []
+    for gk, grp in df.groupby("g"):
+        want += [(gk, q, v) for q, v in ref(grp)]
+    want = pd.DataFrame(want, columns=["g", "q", "value"]).sort_values(
+        ["g", "q"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_kmeans_blobs(ray_session):
     """Distributed Lloyd's recovers well-separated blobs exactly (each
     true blob maps to exactly one cluster, purity 1.0), euclidean mode
