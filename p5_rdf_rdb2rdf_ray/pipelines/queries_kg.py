@@ -758,6 +758,64 @@ FROM customer GROUP BY 1
 """
 
 
+def q_bgp_having(sf_dir: str) -> rd.Dataset:
+    """SPARQL HAVING + subquery composition [graft extension]: an inner
+    GROUP-BY (customers per nation node) filters to above-average
+    groups (HAVING), and the SURVIVING nodes feed the OUTER BGP as
+    VALUES inline data — the subquery-into-BGP shape. The aggregate
+    result is ≤ #nations rows, so the driver collect is the documented
+    tiny-side broadcast, not a scale hazard; counts re-attach map-only."""
+    import pyarrow as _pa
+
+    from ..engine.lookup import get_pattern
+
+    cat = catalog_for(sf_dir)
+    agg = grouped_aggregate(
+        get_pattern(
+            cat,
+            [("?c", BASE + "customer#ref-c_nationkey", "?n")],
+            base=BASE,
+        ),
+        keys=["n"],
+        aggs={"n_customers": ("c", "count")},
+        num_partitions=8,
+    ).to_pandas()
+    thr = agg["n_customers"].sum() / len(agg)
+    keep = agg[agg["n_customers"] > thr]
+    out = get_pattern(
+        cat,
+        [("?n", BASE + "nation#n_name", "?nn")],
+        base=BASE,
+        values=(["?n"], [(x,) for x in keep["n"]]),
+    )
+    cmap = dict(zip(keep["n"], keep["n_customers"].astype("int64")))
+
+    def attach(t: _pa.Table) -> _pa.Table:
+        return t.append_column(
+            "n_customers",
+            _pa.array([cmap[x] for x in t.column("n").to_pylist()],
+                      _pa.int64()),
+        )
+
+    return out.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_BGP_HAVING = f"""
+WITH g AS (
+  SELECT c_nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+k AS (
+  SELECT * FROM g
+  WHERE n_customers > (SELECT avg(n_customers) FROM g)
+)
+SELECT '{BASE}nation/n_nationkey=' || k.c_nationkey AS n,
+       nat.n_name AS nn,
+       CAST(k.n_customers AS BIGINT) AS n_customers
+FROM k JOIN nation nat ON nat.n_nationkey = k.c_nationkey
+"""
+
+
 def q_store_contexts(sf_dir: str) -> rd.Dataset:
     """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
     RDF::Trine::Store interface]: write the rr:graphMap quads of
