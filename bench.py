@@ -151,6 +151,15 @@ BENCH_QUERIES = [
     "bgp_construct",
     "bgp_values",
     "bgp_topk",
+    "bgp_bind",
+    "bgp_having",
+    "describe_nation",
+    "event_trails",
+    "event_gaps",
+    "priority_price_quantiles",
+    "kmeans_assign_fixed",
+    "kmeans_embeddings",
+    "cluster_sample_embeddings",
     "graph_diff_events",
     "path_reach_docs",
     "bgp_store",

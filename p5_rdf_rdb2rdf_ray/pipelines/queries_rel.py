@@ -211,6 +211,36 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_profile_orders(sf_dir: str):
+    """Single-pass column profile (catalog statistics): count / nulls /
+    min / max per numeric column, one tiny partial row per block per
+    column, no shuffle — the stats pass a planner runs before touching
+    the data."""
+    from ..stages.profile import profile_columns
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return profile_columns(o)
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS nulls,
+       CAST(min(o_custkey) AS DOUBLE) AS min_v,
+       CAST(max(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderkey) AS BIGINT),
+       CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+"""
+
+
 def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
     from ..engine.distinct import distinct_rows
 

@@ -1,0 +1,88 @@
+"""Single-pass column profiling — the catalog-statistics op a planner
+(and any data-quality gate) wants before touching 100 TB [brief
+extension; not in the reference].
+
+One streaming pass: each block emits ONE tiny partial row per profiled
+column (count / nulls / min / max — all monoids), the driver merges
+``#blocks × #cols`` partial rows (bytes, not data). No shuffle. For
+approximate distinct counts compose with the HLL sketch in
+``stages/sketches`` (also combiner-only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def profile_columns(
+    ds: rd.Dataset, cols: list[str] | None = None
+) -> pd.DataFrame:
+    """→ one row per profiled NUMERIC/temporal column:
+    ``(column, n, nulls, min_v float64, max_v float64)`` — temporal
+    columns profile as epoch microseconds. The result is #cols rows on
+    the driver (a profile IS a driver artifact); everything upstream
+    streams. Non-numeric columns raise — stringly min/max is
+    serialization-dependent, use a grouped aggregate for those."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        use = cols if cols is not None else t.column_names
+        for c in use:
+            a = t.column(c)
+            if pa.types.is_null(a.type):
+                # an all-null block arrives as Arrow `null` type — it is
+                # numeric-compatible (every value missing)
+                a = a.cast(pa.float64())
+            elif pa.types.is_timestamp(a.type) or pa.types.is_date(a.type):
+                a = a.cast(pa.int64())
+            elif not (
+                pa.types.is_integer(a.type) or pa.types.is_floating(a.type)
+            ):
+                raise ValueError(
+                    f"profile_columns: column {c!r} has non-numeric type "
+                    f"{a.type} (profile numerics/timestamps only)"
+                )
+            names.append(c)
+            ns.append(len(a))
+            nulls.append(a.null_count)
+            if len(a) - a.null_count:
+                mins.append(float(pc.min(a).as_py()))
+                maxs.append(float(pc.max(a).as_py()))
+            else:
+                mins.append(np.nan)
+                maxs.append(np.nan)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "column": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "nulls": pd.Series([], dtype="int64"),
+                "min_v": pd.Series([], dtype="float64"),
+                "max_v": pd.Series([], dtype="float64"),
+            }
+        )
+    g = parts.groupby("column", sort=True)
+    out = g.agg(
+        n=("n", "sum"),
+        nulls=("nulls", "sum"),
+        min_v=("min_v", "min"),
+        max_v=("max_v", "max"),
+    ).reset_index()
+    return out

@@ -458,6 +458,35 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_profile_columns(ray_session):
+    """One streaming pass, partial-per-block merge: exact count/nulls/
+    min/max across block layouts; timestamps profile as epoch µs;
+    all-null columns give NaN bounds; strings fail loud."""
+    from p5_rdf_rdb2rdf_ray.stages.profile import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 2, None, 4, 5],
+            "b": [0.5, None, None, -3.25, 10.0],
+            "t": pd.to_datetime(
+                ["2024-01-01", None, "2024-06-01", "2023-12-31", "2024-03-01"]
+            ).astype("datetime64[us]"),
+            "allnull": pd.array([None] * 5, dtype="Int64"),
+            "s": list("abcde"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = profile_columns(ds, ["a", "b", "t", "allnull"]).set_index("column")
+    assert out.loc["a", "n"] == 5 and out.loc["a", "nulls"] == 1
+    assert out.loc["a", "min_v"] == 1.0 and out.loc["a", "max_v"] == 5.0
+    assert out.loc["b", "min_v"] == -3.25 and out.loc["b", "max_v"] == 10.0
+    assert out.loc["allnull", "nulls"] == 5
+    assert np.isnan(out.loc["allnull", "min_v"])
+    assert out.loc["t", "min_v"] == pd.Timestamp("2023-12-31").value / 1e3
+    with pytest.raises(Exception, match="non-numeric"):
+        profile_columns(ds, ["s"])
+
+
 def test_window_shift_lag_lead(ray_session):
     """LAG/LEAD per key partition: matches pandas groupby.shift on the
     totally-ordered frame, integer sources stay nullable integer (no
