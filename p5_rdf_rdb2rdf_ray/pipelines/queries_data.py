@@ -61,6 +61,31 @@ FROM documents
 """
 
 
+def q_redact_docs(sf_dir: str) -> rd.Dataset:
+    """Regex redaction scrub (emails → <EMAIL>, then long digit runs →
+    <NUM>); ASCII-explicit classes so polars (Rust regex) and the DuckDB
+    RE2 twin agree byte-for-byte. Map-only."""
+    from ..stages.textstats import redact_text
+
+    return redact_text(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        patterns=[
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+            (r"[0-9]{7,}", "<NUM>"),
+        ],
+    )
+
+
+SQL_REDACT_DOCS = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g') AS text
+FROM documents
+"""
+
+
 def q_quality_docs(sf_dir: str) -> rd.Dataset:
     return quality_features(_read(sf_dir, "documents", ["doc_id", "text"]))
 

@@ -39,6 +39,45 @@ def token_counts(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def redact_text(
+    ds: rd.Dataset,
+    patterns: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Sequential regex redaction — the PII-style scrub pass every
+    training corpus runs (emails/ids/numbers → placeholder tokens).
+    Map-only, no shuffle; the whole batch goes through polars
+    ``str.replace_all`` (Rust regex, compiled once per pattern, no
+    per-row Python).
+
+    ``patterns`` apply IN ORDER — earlier replacements are visible to
+    later patterns, exactly like nested SQL ``regexp_replace(…, 'g')``.
+    Keep patterns to the RE2-compatible subset with EXPLICIT ASCII
+    classes (``[0-9]`` not ``\\d`` — Rust regex makes ``\\d`` Unicode,
+    RE2/DuckDB keep it ASCII) so SQL twins agree byte-for-byte.
+    ``out_col`` defaults to replacing ``text_col`` in place."""
+    out = out_col or text_col
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        expr = pl.col("t")
+        for pat, rep in patterns:
+            expr = expr.str.replace_all(pat, rep)
+        red = (
+            pl.DataFrame(
+                {"t": pl.from_pandas(df[text_col], include_index=False)}
+            )
+            .select(r=expr)["r"]
+            .to_pandas()
+        )
+        df[out] = red.set_axis(df.index)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def quality_features(
     ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:

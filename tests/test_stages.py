@@ -458,6 +458,48 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_redact_text(ray_session):
+    """Patterns apply IN ORDER (earlier replacements visible to later
+    patterns), NULLs pass through, out_col leaves the source intact."""
+    from p5_rdf_rdb2rdf_ray.stages.textstats import redact_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail a.b+c@ex-1.org or 12345678 now",
+                None,
+                "id 9999999x and short 123",
+            ],
+        }
+    )
+    out = (
+        redact_text(
+            rd.from_pandas(df),
+            patterns=[
+                (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+                (r"[0-9]{7,}", "<NUM>"),
+            ],
+            out_col="clean",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["clean"].tolist()[0] == "mail <EMAIL> or <NUM> now"
+    assert pd.isna(out["clean"].tolist()[1])
+    assert out["clean"].tolist()[2] == "id <NUM>x and short 123"
+    assert out["text"].tolist()[0].startswith("mail a.b+c@")  # source kept
+    # order matters: a number-first pass would eat the digits inside the
+    # email's local part before the email pattern sees them
+    swapped = redact_text(
+        rd.from_pandas(pd.DataFrame({"text": ["x 12345678@ex.org"]})),
+        patterns=[(r"[0-9]{7,}", "<NUM>"),
+                  (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<E>")],
+    ).to_pandas()
+    # digits ate the local part, so the email pattern can no longer match
+    assert swapped["text"].tolist() == ["x <NUM>@ex.org"]
+
+
 def test_profile_columns(ray_session):
     """One streaming pass, partial-per-block merge: exact count/nulls/
     min/max across block layouts; timestamps profile as epoch µs;
