@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "kmeans_assign_fixed",
     "kmeans_embeddings",
     "cluster_sample_embeddings",
+    "profile_orders",
+    "redact_docs",
     "graph_diff_events",
     "path_reach_docs",
     "bgp_store",
