@@ -27,6 +27,25 @@ import ray.data as rd
 from ..terms import TRIPLE_COLUMNS
 
 
+def cut_stats_lineage(ds: rd.Dataset) -> rd.Dataset:
+    """Truncate a MATERIALIZED dataset's stats-parent chain (Ray 2.49:
+    ``materialize()`` keeps the full ``DatasetStats.parents`` tree, and
+    ``to_summary`` recurses through it without a depth bound — an
+    ITERATIVE pipeline that materializes per round therefore grows the
+    Python stack linearly and hits RecursionError around ~15 rounds,
+    e.g. PageRank power iterations). Data/blocks are untouched; only the
+    telemetry ancestry is dropped. Best-effort: internals drift across
+    Ray versions, so failures degrade to a no-op."""
+    try:
+        ds._plan._in_stats.parents = []
+        snap = getattr(ds._plan, "_snapshot_stats", None)
+        if snap is not None:
+            snap.parents = []
+    except Exception:
+        pass
+    return ds
+
+
 def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
     """Key-based ``repartition``/``join`` need the hash-shuffle strategy.
     Set it on the current DataContext AND on the context snapshot a Dataset

@@ -1211,6 +1211,35 @@ def q_cluster_sample_embeddings(sf_dir: str) -> rd.Dataset:
     ).select_columns(["vec_id", "cluster"])
 
 
+def q_pagerank_docs(sf_dir: str) -> rd.Dataset:
+    """Distributed PageRank over the deterministic doc-tree edges
+    (``doc_id → doc_id // 2``, the path_reach graph) — link-authority
+    weighting for sampling. Rows-only (float power iterations are
+    block-order dependent in the last ulps; numpy-reference equality to
+    1e-9 is pinned by tests/test_stages.py::test_pagerank_power_iteration)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.pagerank import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    edges = docs.map_batches(
+        lambda t: (
+            lambda s: pa.table(
+                {
+                    "src": s.column("doc_id"),
+                    "dst": pc.divide(s.column("doc_id"), 2),
+                }
+            )
+        )(t.filter(pc.greater(t.column("doc_id"), 0))),
+        batch_format="pyarrow",
+    )
+    # small iteration budget + few partitions: per-round cost at test
+    # scale is shuffle fixed overhead (aggregator actor spin-up), not
+    # data; 5 rounds suffice to rank a depth-~16 tree distinctly
+    return pagerank(edges, damping=0.85, iters=5, num_partitions=4)
+
+
 def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
     """IVF bucket-and-verify approximate near-dup pairs — the
     sub-quadratic scale path of neardup_embeddings; rows-only check

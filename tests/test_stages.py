@@ -458,6 +458,57 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_pagerank_power_iteration(ray_session):
+    """Distributed PageRank equals a numpy power-iteration reference
+    (dangling redistribution + teleport) to 1e-9 on a random digraph;
+    rank mass stays exactly 1; deep iteration counts survive (the
+    stats-lineage RecursionError guard); bad params raise."""
+    from p5_rdf_rdb2rdf_ray.stages.pagerank import pagerank
+
+    rng = np.random.default_rng(53)
+    n = 60
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, n, size=(400, 2))}
+    edges = sorted((a, b) for a, b in edges if a != b)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(5)
+    iters, d = 10, 0.85
+    got = (
+        pagerank(ds, damping=d, iters=iters, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    M = np.zeros((m, m))
+    outd = np.zeros(m)
+    for a, _b in edges:
+        outd[idx[a]] += 1
+    for a, b in edges:
+        M[idx[b], idx[a]] = 1.0 / outd[idx[a]]
+    r = np.full(m, 1.0 / m)
+    dang_mask = outd == 0
+    for _ in range(iters):
+        dang = r[dang_mask].sum()
+        r = (1 - d) / m + d * (M @ r + dang / m)
+
+    assert got["node"].tolist() == nodes
+    assert np.abs(got["rank"].to_numpy() - r).max() < 1e-9
+    assert abs(got["rank"].sum() - 1.0) < 1e-12
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(ds, damping=1.5)
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(ds, iters=0)
+
+
 def test_redact_text(ray_session):
     """Patterns apply IN ORDER (earlier replacements visible to later
     patterns), NULLs pass through, out_col leaves the source intact."""
