@@ -833,6 +833,9 @@ def describe(
         nodes = [nodes]
     if not nodes:
         raise ValueError("describe needs at least one node")
+    # a DESCRIBE result is an RDF graph (set semantics): dedup the
+    # request so a repeated node doesn't duplicate its triples
+    nodes = list(dict.fromkeys(nodes))
     out = get_statements(catalog, subject=nodes[0], base=base)
     for n in nodes[1:]:
         out = out.union(get_statements(catalog, subject=n, base=base))
@@ -984,16 +987,21 @@ def _bind_vars_of(expr) -> set[str]:
 
 
 def _bind_lex(s):
-    """Canonical lexical form of an evaluated series: integral numerics
-    print without a decimal point (xsd:integer style), everything else
-    via pandas "string" (NULLs preserved)."""
+    """Canonical lexical form of an evaluated series: each INTEGRAL
+    numeric value prints without a decimal point (xsd:integer style),
+    non-integral ones as decimals; NULLs preserved. The rule is
+    PER-VALUE, never per-batch — a batch-level "all integral?" test
+    would make the same logical value print differently depending on
+    which rows share a block (block-layout-dependent output that
+    defeats the final distinct)."""
     import pandas as pd
 
     if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_string_dtype(s):
-        nn = s.dropna()
-        if not len(nn) or (nn % 1 == 0).all():
-            return s.astype("Int64").astype("string")
-        return s.astype("string")
+        integral = s.notna() & (s % 1 == 0)
+        out = s.astype("string")
+        if integral.any():
+            out[integral] = s[integral].astype("Int64").astype("string")
+        return out
     return s.astype("string")
 
 
@@ -1097,16 +1105,21 @@ def _extend_bindings(
         # the table itself stays Arrow so hidden uint8 kind columns never
         # take the pandas null-widening round-trip (see memory notes)
         import numpy as np
+        import pandas as pd
 
         refs = sorted({r for _, _, rs in compiled for r in rs})
         present = [c for c in refs if c in t.column_names]
-        df = t.select(present).to_pandas() if present else None
-        if df is None:
-            import pandas as pd
-
-            df = pd.DataFrame(index=range(t.num_rows))
+        df = (
+            t.select(present).to_pandas()
+            if present
+            else pd.DataFrame(index=range(t.num_rows))
+        )
         for v, fn, _rs in compiled:
             res = _bind_lex(fn(df)) if t.num_rows else None
+            # SPARQL §7.6 scopes BINDs sequentially: a later expression
+            # in the same list may reference this variable, so it joins
+            # the pandas frame too, not just the Arrow output
+            df[v] = res if res is not None else pd.Series([], dtype="string")
             arr = (
                 pa.Array.from_pandas(res, type=pa.string())
                 if res is not None

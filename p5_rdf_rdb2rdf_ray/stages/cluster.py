@@ -226,14 +226,13 @@ def kmeans_assign(
             m = _to_matrix(t, vec_col).astype(np.float64)
             if spherical:
                 m = _normalize(m)
-            sim = m @ self.c.T
+            # shared tie-break/distance logic with kmeans_fit — fit and
+            # assign must never diverge
+            a = _assign_ids(m, self.c, spherical)
             if spherical:
-                a = np.argmax(sim, axis=1)
-                score = sim[np.arange(len(a)), a]
+                score = (m * self.c[a]).sum(axis=1)
             else:
-                d = -2.0 * sim + (self.c * self.c).sum(axis=1)[None, :]
-                a = np.argmin(d, axis=1)
-                score = -(d[np.arange(len(a)), a] + (m * m).sum(axis=1))
+                score = -((m - self.c[a]) ** 2).sum(axis=1)
             t = t.append_column(out_col, pa.array(a.astype(np.int64)))
             if score_col:
                 t = t.append_column(score_col, pa.array(score, pa.float64()))

@@ -147,6 +147,10 @@ def pagerank(
         ),
         batch_format="pyarrow",
     ).materialize()
+    # setup-only datasets: release their pinned blocks before the
+    # iteration loop (the full edge/node lists would otherwise stay in
+    # the object store for the whole power-iteration phase)
+    del e, nodes, dsts, outdeg
 
     for _ in range(iters):
         ren = ranks.map_batches(

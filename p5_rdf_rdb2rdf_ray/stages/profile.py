@@ -38,7 +38,11 @@ def profile_columns(
                 # numeric-compatible (every value missing)
                 a = a.cast(pa.float64())
             elif pa.types.is_timestamp(a.type) or pa.types.is_date(a.type):
-                a = a.cast(pa.int64())
+                # normalize through timestamp[us] FIRST: a bare int64
+                # cast keeps the native unit (date32 → days, [ns] → ns),
+                # making mixed-unit temporal profiles mutually
+                # inconsistent with the documented epoch-µs contract
+                a = a.cast(pa.timestamp("us")).cast(pa.int64())
             elif not (
                 pa.types.is_integer(a.type) or pa.types.is_floating(a.type)
             ):

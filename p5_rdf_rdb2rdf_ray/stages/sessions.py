@@ -174,15 +174,28 @@ def window_shift(
     """
     if not shifts:
         raise ValueError("shifts must not be empty")
+    taken = set(keys) | set(order_by) | {s for s, _ in shifts.values()}
     for out, (_src, n) in shifts.items():
         if n == 0:
             raise ValueError(f"shift offset for {out!r} must be non-zero")
         if out.startswith("__"):
             raise ValueError("'__'-prefixed output columns are reserved")
+        if out in taken:
+            # overwriting a source/key in place would feed already-
+            # shifted values to the NEXT shift in the same call (silent,
+            # dict-order-dependent corruption) — fail loud instead
+            raise ValueError(
+                f"shift output {out!r} collides with an input column"
+            )
 
     ensure_hash_shuffle(events)
 
     def shift(df: pd.DataFrame) -> pd.DataFrame:
+        clash = [o for o in shifts if o in df.columns]
+        if clash:  # columns beyond keys/order/src ride along — check all
+            raise ValueError(
+                f"shift outputs {clash} collide with input columns"
+            )
         if not len(df):
             for out, (src, _n) in shifts.items():
                 df[out] = df[src]
@@ -191,10 +204,15 @@ def window_shift(
             keys + order_by, kind="mergesort"
         ).reset_index(drop=True)
         g = df.groupby(keys, dropna=False, sort=False)
+        # compute EVERY shift from the original frame before assigning
+        # any (defense in depth next to the collision check above)
+        computed = {}
         for out, (src, n) in shifts.items():
             s = g[src].shift(n)
             if pd.api.types.is_integer_dtype(df[src]):
                 s = s.astype("Int64")
+            computed[out] = s
+        for out, s in computed.items():
             df[out] = s
         return df
 

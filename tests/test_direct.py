@@ -960,6 +960,26 @@ def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     }
     assert set(trip["obj_kind"]) == {2}  # literal objects
 
+    # sequential scoping (§7.6): a later BIND sees an earlier one
+    out5 = get_pattern(
+        dm_catalog, pats, base=B,
+        bind=[
+            ("?u", ("ucase", "?n")),
+            ("?uu", ("concat", "?u", "+", "?u")),
+        ],
+    ).to_pandas()
+    assert dict(zip(out5["n"], out5["uu"]))["eng"] == "ENG+ENG"
+
+    # lexical form is PER-VALUE (block-layout independent): integral
+    # division results print as integers, fractional ones as decimals
+    out6 = get_pattern(
+        dm_catalog,
+        [("?e", B + "dm_emp#emp_id", "?i")],
+        base=B,
+        bind=[("?h", ("/", "?i", 2))],
+    ).to_pandas()
+    assert sorted(out6["h"]) == ["0.5", "1", "1.5", "2", "2.5"]
+
     # rebinding an in-scope variable is a query error
     with pytest.raises(ValueError, match="already in scope"):
         get_pattern(dm_catalog, pats, base=B, bind=[("?n", ("ucase", "?n"))])

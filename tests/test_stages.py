@@ -618,6 +618,13 @@ def test_window_shift_lag_lead(ray_session):
         )
     with pytest.raises(ValueError, match="non-zero"):
         window_shift(rd.from_pandas(df), ["k"], ["o"], {"x": ("v", 0)})
+    # overwriting a source column in place would feed already-shifted
+    # values to the next shift — must fail loud
+    with pytest.raises(ValueError, match="collides"):
+        window_shift(
+            rd.from_pandas(df), ["k"], ["o"],
+            {"v": ("v", 1), "w": ("v", -1)},
+        )
 
 
 def test_grouped_quantiles(ray_session):
