@@ -758,6 +758,36 @@ FROM customer GROUP BY 1
 """
 
 
+def q_bgp_group_concat(sf_dir: str) -> rd.Dataset:
+    """SPARQL GROUP_CONCAT over BGP bindings [graft extension]: nation
+    names per region node, ordered alphabetically inside each group —
+    the query surfaces compose (`get_pattern` → `grouped_concat`), no
+    special cases."""
+    from ..engine.lookup import get_pattern
+    from ..stages.groupagg import grouped_concat
+
+    cat = catalog_for(sf_dir)
+    bindings = get_pattern(
+        cat,
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?n", BASE + "nation#n_name", "?nn"),
+        ],
+        base=BASE,
+    )
+    return grouped_concat(
+        bindings, keys=["r"], col="nn", sep=",", order_by=["nn"],
+        out="names", num_partitions=4,
+    )
+
+
+SQL_BGP_GROUP_CONCAT = f"""
+SELECT '{BASE}region/r_regionkey=' || n_regionkey AS r,
+       string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_bgp_having(sf_dir: str) -> rd.Dataset:
     """SPARQL HAVING + subquery composition [graft extension]: an inner
     GROUP-BY (customers per nation node) filters to above-average
