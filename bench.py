@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "cluster_sample_embeddings",
     "profile_orders",
     "redact_docs",
+    "bgp_group_concat",
+    "pagerank_docs",
     "graph_diff_events",
     "path_reach_docs",
     "bgp_store",
