@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "profile_orders",
     "redact_docs",
     "bgp_group_concat",
+    "top_orders_per_priority",
+    "importance_sample_docs",
     "pagerank_docs",
     "graph_diff_events",
     "path_reach_docs",

@@ -1086,6 +1086,43 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_importance_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Per-ROW importance sampling: longer documents keep with higher
+    probability (rate = min(1, n_chars/2000)); deterministic fmix32
+    threshold, map-only, bit-exact SQL twin (floor, not round — SQL
+    ROUND is half-away-from-zero, Python round is banker's)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sample import score_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    rated = docs.map_batches(
+        lambda t: t.append_column(
+            "rate",
+            pc.min_element_wise(
+                pa.scalar(1.0, pa.float64()),
+                pc.divide(
+                    t.column("n_chars").cast(pa.float64()),
+                    pa.scalar(2000.0, pa.float64()),
+                ),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return score_sample(rated, "rate", key_col="doc_id", seed=11).map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+SQL_IMPORTANCE_SAMPLE_DOCS = f"""
+SELECT doc_id, n_chars FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=11, src="documents")}
+) WHERE smp_h % 1000000 <
+        CAST(FLOOR(LEAST(1.0, n_chars / 2000.0) * 1000000) AS BIGINT)
+"""
+
+
 def q_stratified_sample_docs(sf_dir: str) -> rd.Dataset:
     """Per-language sampling rates (corpus rebalancing), still map-only."""
     from ..stages.sample import stratified_sample

@@ -211,6 +211,35 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_top_orders_per_priority(sf_dir: str) -> rd.Dataset:
+    """Top-k rows PER GROUP: the 3 priciest orders per order priority
+    (per-block combiner prune -> one keyed shuffle -> exact per-key
+    prune); o_orderkey tiebreak makes the page deterministic."""
+    from ..stages.groupagg import grouped_top_k
+
+    o = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    return grouped_top_k(
+        o,
+        keys=["o_orderpriority"],
+        sort_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+        descending=[True, False],
+        num_partitions=8,
+    )
+
+
+SQL_TOP_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) t WHERE rnk <= 3
+"""
+
+
 def q_profile_orders(sf_dir: str):
     """Single-pass column profile (catalog statistics): count / nulls /
     min / max per numeric column, one tiny partial row per block per

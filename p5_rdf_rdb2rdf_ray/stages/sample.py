@@ -104,6 +104,37 @@ def stratified_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def score_sample(
+    ds: rd.Dataset,
+    rate_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """IMPORTANCE sampling: each row keeps with its OWN probability —
+    ``rate_col`` (float64 in [0, 1]; values clamp, NULL drops). The
+    quality-weighted corpus subsetting op: score documents once, keep
+    high-quality rows at higher rates, deterministically (a re-run or a
+    resumed partition keeps identical rows). Map-only, no shuffle.
+
+    Threshold is ``floor(rate · 1e6)`` — floor, not round: SQL ROUND is
+    half-away-from-zero while Python round is banker's, so only floor
+    twins bit-for-bit (see ``_FMIX32_SQL`` in queries_data)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        rate = t.column(rate_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        rate = np.clip(np.nan_to_num(rate, nan=0.0), 0.0, 1.0)
+        thr = np.floor(rate * 1_000_000.0).astype(np.uint64)
+        keep = fmix32(keys, seed) % np.uint64(1_000_000) < thr
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def mix_corpora(
     sources: list[tuple[rd.Dataset, float]],
     key_col: str = "doc_id",

@@ -458,6 +458,40 @@ def test_top_k(ray_session):
     assert sorted(got.a, reverse=True) == [999, 998, 997, 996, 995]
 
 
+def test_score_sample(ray_session):
+    """Per-row keep probability: rate 1 keeps all, 0 keeps none, NULL
+    and out-of-range rates clamp/drop; deterministic across re-runs and
+    block layouts; matches the scalar fmix32 formula row-by-row."""
+    from p5_rdf_rdb2rdf_ray.stages.sample import fmix32, score_sample
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "rate": np.where(
+                np.arange(n) % 7 == 0, np.nan, (np.arange(n) % 11) / 10.0
+            ),
+        }
+    )
+    df.loc[0, "rate"] = 2.5  # clamps to 1.0
+    df.loc[1, "rate"] = -3.0  # clamps to 0.0
+    got = (
+        score_sample(rd.from_pandas(df).repartition(5), "rate", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    rate = np.clip(np.nan_to_num(df["rate"].to_numpy(), nan=0.0), 0, 1)
+    thr = np.floor(rate * 1_000_000.0).astype(np.uint64)
+    keep = fmix32(df["doc_id"].to_numpy()) % np.uint64(1_000_000) < thr
+    assert got["doc_id"].tolist() == df.loc[keep, "doc_id"].tolist()
+    # rate-1.0 rows always kept, rate-0/NULL rows never
+    assert 0 in set(got["doc_id"]) or rate[0] != 1.0
+    ones = df.index[(rate == 1.0)]
+    assert set(ones) <= set(got["doc_id"])
+    zeros = df.index[(thr == 0)]
+    assert not (set(zeros) & set(got["doc_id"]))
+
+
 def test_pagerank_power_iteration(ray_session):
     """Distributed PageRank equals a numpy power-iteration reference
     (dangling redistribution + teleport) to 1e-9 on a random digraph;
