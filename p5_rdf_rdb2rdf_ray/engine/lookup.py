@@ -356,15 +356,81 @@ def _group_star_patterns(patterns: list[tuple], resolve) -> tuple[list, list]:
     return fused, leftover
 
 
+_PUSH_OPS = {"==", "!=", "<", "<=", ">", ">="}
+
+
+def _filter_pushdown_expr(
+    catalog: Catalog,
+    base: str,
+    table: str,
+    items: list[tuple[str, str]],
+    filters: list[tuple] | None,
+):
+    """FILTER → scan predicate pushdown for one star group: a filter
+    ``("?v", op, val)`` whose variable is one of the group's object
+    variables bound from a plain column predicate becomes a pyarrow
+    row filter on that column — rows the binding-level filter would
+    drop anyway never leave the parquet reader. PRUNING-ONLY (the
+    binding filter still runs): pushed only when the comparison class
+    matches the column type (numeric val ↔ numeric column, string val
+    ↔ string column), where scan and binding semantics provably agree
+    (NULL drops both ways; UTF-8 byte order == codepoint order)."""
+    if not filters:
+        return None
+    var_col = {}
+    for p, it in items:
+        if isinstance(it, str):
+            dec = decode_predicate(p, base)
+            if dec is not None:
+                var_col[it] = dec[1]
+    if not var_col:
+        return None
+    try:
+        schema = catalog.schema(table)
+    except Exception:
+        return None
+    expr = None
+    for var, op, val in filters:
+        v = var.lstrip("?")
+        col = var_col.get(v)
+        if col is None or op not in _PUSH_OPS or col not in schema.names:
+            continue
+        typ = schema.field(col).type
+        numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ)
+        if isinstance(val, bool):
+            continue
+        if isinstance(val, (int, float)) and not numeric:
+            continue  # numeric compare on a string column: lexical vs
+            # numeric semantics diverge — binding filter only
+        if isinstance(val, str) and not pa.types.is_string(typ):
+            continue
+        f = pc.field(col)
+        e = {
+            "==": f == val,
+            "!=": f != val,
+            "<": f < val,
+            "<=": f <= val,
+            ">": f > val,
+            ">=": f >= val,
+        }[op]
+        expr = e if expr is None else expr & e
+    return expr
+
+
 def _star_groups(
-    catalog: Catalog, patterns: list[tuple], base: str
+    catalog: Catalog,
+    patterns: list[tuple],
+    base: str,
+    filters: list[tuple] | None = None,
 ) -> tuple[list, list]:
     """Star-join pushdown planner: patterns that share one subject
     variable and whose bound predicates decode to the SAME Direct-Mapping
     table are served by ONE scan of that table (subject minted once, one
     binding column per pattern) instead of one scan + one broadcast join
     per pattern. Bound-IRI-object patterns stay on the generic path —
-    its parquet value pushdown is the better plan for them. Returns
+    its parquet value pushdown is the better plan for them. ``filters``
+    (the caller's binding-level FILTER list) additionally push as scan
+    predicates where sound (:func:`_filter_pushdown_expr`). Returns
     ``(fused_units, leftover_patterns)``."""
     known = set(catalog.table_names())
 
@@ -379,7 +445,12 @@ def _star_groups(
 
     fused, leftover = _group_star_patterns(patterns, resolve)
     units = [
-        _fused_star_unit(catalog, base, svar, table, items)
+        _fused_star_unit(
+            catalog, base, svar, table, items,
+            row_filter=_filter_pushdown_expr(
+                catalog, base, table, items, filters
+            ),
+        )
         for svar, table, items in fused
     ]
     return units, leftover
@@ -391,6 +462,7 @@ def _fused_star_unit(
     svar: str,
     table: str,
     items: list[tuple[str, str]],
+    row_filter=None,
 ) -> tuple[rd.Dataset, list[str], set[str]]:
     """ONE scan serves every pattern of a star group: the DM map
     restricted to the group's predicates runs once (no distinct — DM is
@@ -417,7 +489,9 @@ def _fused_star_unit(
     def pivot(t: pa.Table) -> pa.Table:
         return _star_pivot(t.to_pandas(), plan, svar)
 
-    bnd = plan_triples_map(tm2, spec2, catalog, post_batch=pivot)
+    bnd = plan_triples_map(
+        tm2, spec2, catalog, post_batch=pivot, row_filter=row_filter
+    )
     obj_vars = [v for _, v in plan if isinstance(v, str)]
     return bnd, [svar] + obj_vars, set(obj_vars)
 
@@ -560,7 +634,7 @@ def get_pattern(
             catalog, base=base, distinct_buckets=num_partitions, **kwargs
         )
 
-    units, rest = _star_groups(catalog, patterns, base)
+    units, rest = _star_groups(catalog, patterns, base, filters=filters)
     if values:
         # VALUES folds LAST: the inline table is tiny and must join
         # into the accumulator as a broadcast side — putting it first

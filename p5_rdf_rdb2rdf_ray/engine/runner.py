@@ -71,6 +71,7 @@ def plan_triples_map(
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
     hash_join_partitions: int = 32,
     post_batch=None,
+    row_filter=None,
 ) -> rd.Dataset:
     """One triples map → a Dataset of triple rows (no distinct yet).
 
@@ -123,7 +124,13 @@ def plan_triples_map(
     if needs_rowid and ROWID_COL in cols:
         cols = [c for c in cols if c != ROWID_COL]
 
-    ds = catalog.load(tmap.table, columns=cols or None, sql=tmap.sql, rowid=needs_rowid)
+    # ``row_filter``: a pruning-only pyarrow expression on CHILD columns
+    # (the BGP planner pushes FILTER constraints here; the binding-level
+    # filter still runs, so this may only drop rows it would drop too)
+    ds = catalog.load(
+        tmap.table, columns=cols or None, sql=tmap.sql, rowid=needs_rowid,
+        row_filter=row_filter if tmap.sql is None and not needs_rowid else None,
+    )
 
     for parent_map, psub_cols, join, parent_needs_rowid in join_needed:
         child_keys = [c for c, _ in join]

@@ -114,15 +114,22 @@ class Catalog:
         columns: list[str] | None = None,
         sql: str | None = None,
         rowid: bool = False,
+        row_filter=None,
     ) -> rd.Dataset:
+        """``row_filter`` is an optional ``pyarrow.dataset`` expression
+        pushed into the scan (parquet row-group/page pruning); CSV/JSON
+        and in-memory tables apply it right after the read. Callers use
+        it as a PRUNING hint only — semantics must not depend on it."""
         if sql is not None:
-            return self._load_sql(sql, columns)
+            return self._load_sql(sql, columns)  # row_filter unsupported here
         if table in self.tables:
             t = self.tables[table]
             if rowid:
                 t = t.append_column(
                     ROWID_COL, pa.array(range(t.num_rows), pa.int64())
                 )
+            if row_filter is not None:
+                t = t.filter(row_filter)
             if columns is not None:
                 keep = [c for c in columns if c in t.column_names]
                 if rowid and ROWID_COL not in keep:
@@ -138,14 +145,23 @@ class Catalog:
                     "convert the table to parquet"
                 )
             ds = rd.read_csv(p) if p.endswith(".csv") else rd.read_json(p)
+            if row_filter is not None:
+                ds = ds.map_batches(
+                    lambda t, _f=row_filter: t.filter(_f),
+                    batch_format="pyarrow",
+                )
             if columns is not None:
                 ds = ds.select_columns(
                     [c for c in columns if c in self.schema(table).names]
                 )
             return ds
         if rowid:
+            if row_filter is not None:
+                # rowids are minted from row-group offsets BEFORE any
+                # filter can apply — pushing one would renumber rows
+                raise ValueError("row_filter is incompatible with rowid")
             return self._load_with_rowid(table, columns)
-        return rd.read_parquet(p, columns=columns)
+        return rd.read_parquet(p, columns=columns, filter=row_filter)
 
     def _load_sql(self, sql: str, columns: list[str] | None) -> rd.Dataset:
         """rr:sqlQuery logical table.

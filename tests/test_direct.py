@@ -900,6 +900,48 @@ def test_bgp_values_inline_data(ray_session, dm_catalog, tmp_path):
         )
 
 
+def test_bgp_filter_scan_pushdown(ray_session, dm_catalog):
+    """FILTER → scan predicate pushdown: type-aligned comparisons reach
+    the reader (pruning-only; binding filter still applies), mismatched
+    classes and BIND vars stay binding-level, and results equal the
+    unpushed plan exactly."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        _filter_pushdown_expr,
+        get_pattern,
+    )
+
+    items = [(B + "dm_emp#emp_id", "i"), (B + "dm_emp#ename", "nm")]
+    # aligned: numeric vs int column, string vs string column
+    e = _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items,
+        [("?i", ">=", 2), ("?nm", "==", "c")],
+    )
+    assert e is not None
+    # misaligned: numeric compare on a string column must NOT push
+    assert _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items, [("?nm", ">=", 3)]
+    ) is None
+    # unknown var (e.g. a BIND target) must not push
+    assert _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items, [("?zz", "==", "x")]
+    ) is None
+
+    # end-to-end: pushdown plan == binding-filter-only plan
+    pats = [
+        ("?e", B + "dm_emp#emp_id", "?i"),
+        ("?e", B + "dm_emp#ename", "?nm"),
+    ]
+    flt = [("?i", ">=", 2), ("?nm", "!=", "d")]
+    got = (
+        get_pattern(dm_catalog, pats, base=B, filters=flt)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert got["i"].tolist() == ["2", "3", "5"]
+    assert got["nm"].tolist() == ["b", "c", "e"]
+
+
 def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     """SPARQL BIND §7.6: computed variables extend the bindings before
     FILTER (a FILTER may constrain a BIND'd var); expression errors
