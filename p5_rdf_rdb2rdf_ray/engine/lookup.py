@@ -1046,6 +1046,9 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
 #                                  a non-numeric binding yields NULL = the
 #                                  SPARQL expression-error -> unbound rule)
 #   ("iri", a)                  -> the value binds as an IRI, not a literal
+#   ("if", ("?v", cmp, val), then, else) -> SPARQL IF (FILTER-semantics
+#                                  condition; erroring condition -> unbound)
+#   ("coalesce", a, b, ...)     -> first non-unbound value
 _BIND_ARITH = {"+", "-", "*", "/"}
 
 
@@ -1053,8 +1056,13 @@ def _bind_vars_of(expr) -> set[str]:
     if isinstance(expr, str) and expr.startswith("?"):
         return {expr[1:]}
     if isinstance(expr, tuple):
+        # element 0 is normally the op NAME — except in an ("if", …)
+        # CONDITION tuple ("?v", cmp, val), where it is the variable
+        head_is_var = bool(expr) and isinstance(expr[0], str) and expr[
+            0
+        ].startswith("?")
         out: set[str] = set()
-        for a in expr[1:]:
+        for a in (expr if head_is_var else expr[1:]):
             out |= _bind_vars_of(a)
         return out
     return set()
@@ -1099,6 +1107,44 @@ def _compile_bind(expr):
     op, *args = expr
     if op == "iri":  # kind marker only — value semantics are identity
         return _compile_bind(args[0])
+    if op == "if":
+        # ("if", ("?v", cmp, val), then, else) — SPARQL IF(): the
+        # condition uses FILTER comparison semantics (numeric value →
+        # numeric compare, lexical otherwise); an erroring/unbound
+        # condition leaves the variable UNBOUND (§10), not `else`
+        (cvar, cop, cval), then_e, else_e = args
+        if cop not in _FILTER_OPS:
+            raise ValueError(f"unsupported IF comparison {cop!r}")
+        cf = _compile_bind(cvar)
+        tf = _compile_bind(then_e)
+        ef = _compile_bind(else_e)
+        meth = _FILTER_OPS[cop]
+
+        def iff(df):
+            s = cf(df)
+            if isinstance(cval, bool) or not isinstance(cval, (int, float)):
+                mask = getattr(s.astype("string"), meth)(str(cval))
+            else:
+                num = pd.to_numeric(s, errors="coerce")
+                mask = getattr(num, meth)(cval)
+                mask = mask.mask(num.isna())
+            mask = mask.mask(s.isna())
+            out = _bind_lex(tf(df)).where(
+                mask.fillna(False).astype(bool), _bind_lex(ef(df))
+            )
+            return out.mask(mask.isna())
+
+        return iff
+    if op == "coalesce":
+        cfs = [_compile_bind(a) for a in args]
+
+        def coalesce(df):
+            out = _bind_lex(cfs[0](df))
+            for g in cfs[1:]:
+                out = out.where(out.notna(), _bind_lex(g(df)))
+            return out
+
+        return coalesce
     fns = [_compile_bind(a) for a in args]
     if op == "concat":
         def concat(df):

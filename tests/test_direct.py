@@ -1002,6 +1002,23 @@ def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     }
     assert set(trip["obj_kind"]) == {2}  # literal objects
 
+    # IF / COALESCE: condition uses FILTER semantics; an erroring
+    # (non-numeric) condition leaves the var unbound, not `else`
+    out_if = get_pattern(
+        dm_catalog,
+        [("?e", B + "dm_emp#emp_id", "?i"), ("?e", B + "dm_emp#ename", "?nm")],
+        base=B,
+        bind=[
+            ("?sz", ("if", ("?i", ">=", 3), "big", ("ucase", "?nm"))),
+            ("?bad", ("if", ("?nm", ">", 2), "x", "y")),  # non-numeric cond
+            ("?co", ("coalesce", ("if", ("?i", ">", 4), "five", None), "?nm")),
+        ],
+    ).to_pandas()
+    m = out_if.set_index("i")
+    assert m.loc["3", "sz"] == "big" and m.loc["1", "sz"] == "A"
+    assert out_if["bad"].isna().all()
+    assert m.loc["5", "co"] == "five" and m.loc["2", "co"] == "b"
+
     # sequential scoping (§7.6): a later BIND sees an earlier one
     out5 = get_pattern(
         dm_catalog, pats, base=B,
