@@ -810,7 +810,7 @@ def get_pattern_store(
     def stmt_fn(**kwargs):
         return store_statements(store_dir, **kwargs)
 
-    units, rest = _store_star_groups(store_dir, patterns)
+    units, rest = _store_star_groups(store_dir, patterns, filters=filters)
     if values:
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     o_units, o_rest = (
@@ -916,25 +916,72 @@ def describe(
     return out
 
 
+def _store_filter_pushdown_expr(
+    items: list[tuple[str, str]], filters: list[tuple] | None
+):
+    """FILTER → store-scan predicate pushdown (the store twin of
+    :func:`_filter_pushdown_expr`): a STRING-valued binding filter on a
+    group object variable becomes ``(pred != p) | (obj CMP val)`` — it
+    prunes only the triples that bind that variable, leaving the other
+    predicates' rows untouched. String comparisons only: the store's
+    ``obj`` column IS the lexical form, so lexical semantics carry
+    exactly (NULL obj never binds; numeric filters compare NUMERICALLY
+    over lexicals and stay binding-level)."""
+    if not filters:
+        return None
+    var_pred = {
+        it: p for p, it in items if isinstance(it, str)
+    }
+    expr = None
+    for var, op, val in filters:
+        p = var_pred.get(var.lstrip("?"))
+        if (
+            p is None
+            or op not in _PUSH_OPS
+            or not isinstance(val, str)
+            or isinstance(val, bool)
+        ):
+            continue
+        f = pc.field("obj")
+        cmpe = {
+            "==": f == val,
+            "!=": f != val,
+            "<": f < val,
+            "<=": f <= val,
+            ">": f > val,
+            ">=": f >= val,
+        }[op]
+        e = (pc.field("pred") != p) | cmpe
+        expr = e if expr is None else expr & e
+    return expr
+
+
 def _store_star_groups(
-    store_dir: str, patterns: list[tuple]
+    store_dir: str, patterns: list[tuple],
+    filters: list[tuple] | None = None,
 ) -> tuple[list, list]:
     """Store-side star-join pushdown: every same-subject-var pattern
     with a bound predicate and a fresh object var joins inside ONE store
     scan — one Ray task per bundle of ``bucket=`` dirs reads its parts
     with a ``pred IN (…)`` row filter and pivots, which is exact because
     a subject's triples never span buckets (subject-hash partitioning).
-    No per-pattern scans, no joins, no shuffle."""
+    No per-pattern scans, no joins, no shuffle. String-valued binding
+    ``filters`` on group object vars additionally push into the scan
+    (:func:`_store_filter_pushdown_expr`, pruning-only)."""
     fused, leftover = _group_star_patterns(patterns, lambda p: "store")
     units = [
-        _fused_store_star_unit(store_dir, svar, items)
+        _fused_store_star_unit(
+            store_dir, svar, items,
+            row_filter=_store_filter_pushdown_expr(items, filters),
+        )
         for svar, _scope, items in fused
     ]
     return units, leftover
 
 
 def _fused_store_star_unit(
-    store_dir: str, svar: str, items: list[tuple[str, str]]
+    store_dir: str, svar: str, items: list[tuple[str, str]],
+    row_filter=None,
 ) -> tuple[rd.Dataset, list[str], set[str]]:
     import os
 
@@ -967,8 +1014,11 @@ def _fused_store_star_unit(
         if not parts:
             t = _empty()
         else:
+            flt = pc.field("pred").isin(preds)
+            if row_filter is not None:
+                flt = flt & row_filter
             t = pads.dataset(parts).to_table(
-                filter=pc.field("pred").isin(preds),
+                filter=flt,
                 columns=["subj", "pred", "obj", "obj_kind"],
             )
         return _star_pivot(t.to_pandas(), plan, svar)

@@ -942,6 +942,58 @@ def test_bgp_filter_scan_pushdown(ray_session, dm_catalog):
     assert got["nm"].tolist() == ["b", "c", "e"]
 
 
+def test_bgp_store_filter_pushdown_multivalued(ray_session, tmp_path):
+    """Store-side FILTER pushdown stays exact when a subject carries
+    MULTIPLE values for the filtered predicate (general graphs, unlike
+    DM): each triple row is its own binding row, so pruning a failing
+    value's ROW equals the binding-level drop of that solution."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+
+    P, Q = B + "p#tag", B + "p#size"
+    rows = [
+        (B + "s1", P, "apple", KIND_LITERAL, None, None, None),
+        (B + "s1", P, "zebra", KIND_LITERAL, None, None, None),
+        (B + "s1", Q, "small", KIND_LITERAL, None, None, None),
+        (B + "s2", P, "apple", KIND_LITERAL, None, None, None),
+        (B + "s2", Q, "large", KIND_LITERAL, None, None, None),
+        (B + "s3", P, "mango", KIND_LITERAL, None, None, None),
+        (B + "s3", Q, "small", KIND_LITERAL, None, None, None),
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array(c, f.type) for c, f in zip(zip(*rows), TRIPLE_SCHEMA)],
+        schema=TRIPLE_SCHEMA,
+    )
+    store = str(tmp_path / "mv_store")
+    write_triplestore(rd.from_arrow(t), store, num_buckets=4)
+
+    pats = [("?s", P, "?v"), ("?s", Q, "?z")]
+    got = (
+        get_pattern_store(store, pats, filters=[("?v", "<=", "mango")])
+        .to_pandas()
+        .sort_values(["s", "v"])
+        .reset_index(drop=True)
+    )
+    # s1 keeps ONLY its apple solution (zebra row pruned, subject stays
+    # via its other value); s2 apple; s3 mango
+    assert list(zip(got["s"], got["v"])) == [
+        (B + "s1", "apple"),
+        (B + "s2", "apple"),
+        (B + "s3", "mango"),
+    ]
+    assert got["z"].tolist() == ["small", "large", "small"]
+    # numeric filter on the store surface never pushes (lexical column);
+    # still correct via the binding filter
+    got2 = get_pattern_store(
+        store, pats, filters=[("?v", ">=", 1)]
+    ).to_pandas()
+    assert len(got2) == 0  # no lexical form parses numeric
+
+
 def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     """SPARQL BIND §7.6: computed variables extend the bindings before
     FILTER (a FILTER may constrain a BIND'd var); expression errors
