@@ -359,6 +359,20 @@ def _group_star_patterns(patterns: list[tuple], resolve) -> tuple[list, list]:
 _PUSH_OPS = {"==", "!=", "<", "<=", ">", ">="}
 
 
+def _cmp_expr(f, op: str, val):
+    """One pyarrow comparison expression for a _PUSH_OPS operator —
+    shared by the source- and store-side pushdown builders so their
+    semantics cannot diverge."""
+    return {
+        "==": f == val,
+        "!=": f != val,
+        "<": f < val,
+        "<=": f <= val,
+        ">": f > val,
+        ">=": f >= val,
+    }[op]
+
+
 def _filter_pushdown_expr(
     catalog: Catalog,
     base: str,
@@ -404,15 +418,7 @@ def _filter_pushdown_expr(
             # numeric semantics diverge — binding filter only
         if isinstance(val, str) and not pa.types.is_string(typ):
             continue
-        f = pc.field(col)
-        e = {
-            "==": f == val,
-            "!=": f != val,
-            "<": f < val,
-            "<=": f <= val,
-            ">": f > val,
-            ">=": f >= val,
-        }[op]
+        e = _cmp_expr(pc.field(col), op, val)
         expr = e if expr is None else expr & e
     return expr
 
@@ -926,11 +932,23 @@ def _store_filter_pushdown_expr(
     predicates' rows untouched. String comparisons only: the store's
     ``obj`` column IS the lexical form, so lexical semantics carry
     exactly (NULL obj never binds; numeric filters compare NUMERICALLY
-    over lexicals and stay binding-level)."""
+    over lexicals and stay binding-level).
+
+    A filter pushes ONLY when its variable's predicate appears in
+    exactly ONE item of the group: unlike a DM column (single value per
+    row), a store predicate is multi-valued, so with the same predicate
+    bound to a second variable (or a ``("lit", x)`` existence item) the
+    pruned row may still be needed as the OTHER item's binding —
+    pruning would drop valid solutions, not just filtered ones."""
     if not filters:
         return None
+    from collections import Counter
+
+    pred_uses = Counter(p for p, _ in items)
     var_pred = {
-        it: p for p, it in items if isinstance(it, str)
+        it: p
+        for p, it in items
+        if isinstance(it, str) and pred_uses[p] == 1
     }
     expr = None
     for var, op, val in filters:
@@ -942,16 +960,7 @@ def _store_filter_pushdown_expr(
             or isinstance(val, bool)
         ):
             continue
-        f = pc.field("obj")
-        cmpe = {
-            "==": f == val,
-            "!=": f != val,
-            "<": f < val,
-            "<=": f <= val,
-            ">": f > val,
-            ">=": f >= val,
-        }[op]
-        e = (pc.field("pred") != p) | cmpe
+        e = (pc.field("pred") != p) | _cmp_expr(pc.field("obj"), op, val)
         expr = e if expr is None else expr & e
     return expr
 

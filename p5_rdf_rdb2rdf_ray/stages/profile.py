@@ -37,12 +37,29 @@ def profile_columns(
                 # an all-null block arrives as Arrow `null` type — it is
                 # numeric-compatible (every value missing)
                 a = a.cast(pa.float64())
-            elif pa.types.is_timestamp(a.type) or pa.types.is_date(a.type):
-                # normalize through timestamp[us] FIRST: a bare int64
-                # cast keeps the native unit (date32 → days, [ns] → ns),
-                # making mixed-unit temporal profiles mutually
-                # inconsistent with the documented epoch-µs contract
-                a = a.cast(pa.timestamp("us")).cast(pa.int64())
+            elif pa.types.is_timestamp(a.type):
+                # normalize to epoch µs by unit-aware int64 SCALING (a
+                # bare int64 cast keeps the native unit, and a safe
+                # timestamp[us] cast raises on sub-µs ns values —
+                # truncation is the right call for a min/max profile;
+                # ns truncates toward zero, off-by-1 µs pre-epoch only)
+                mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[
+                    a.type.unit
+                ]
+                a64 = a.cast(pa.int64())
+                a = (
+                    pc.divide(a64, 1_000)
+                    if mult is None
+                    else pc.multiply(a64, mult)
+                )
+            elif pa.types.is_date(a.type):
+                if pa.types.is_date64(a.type):  # ms since epoch
+                    a = pc.multiply(a.cast(pa.int64()), 1_000)
+                else:  # date32: days since epoch
+                    a = pc.multiply(
+                        a.cast(pa.int32()).cast(pa.int64()),
+                        86_400_000_000,
+                    )
             elif not (
                 pa.types.is_integer(a.type) or pa.types.is_floating(a.type)
             ):

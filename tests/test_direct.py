@@ -993,6 +993,26 @@ def test_bgp_store_filter_pushdown_multivalued(ray_session, tmp_path):
     ).to_pandas()
     assert len(got2) == 0  # no lexical form parses numeric
 
+    # SAME predicate bound to TWO variables: the filter must NOT push
+    # (the pruned row is still needed as the other variable's binding) —
+    # s1 has P->apple and P->zebra; filtering ?v1<=mango must keep the
+    # (apple, zebra) solution
+    got3 = (
+        get_pattern_store(
+            store,
+            [("?s", P, "?v1"), ("?s", P, "?v2")],
+            filters=[("?v1", "<=", "mango")],
+        )
+        .to_pandas()
+        .sort_values(["s", "v1", "v2"])
+        .reset_index(drop=True)
+    )
+    s1 = got3[got3["s"] == B + "s1"]
+    assert sorted(zip(s1["v1"], s1["v2"])) == [
+        ("apple", "apple"),
+        ("apple", "zebra"),
+    ]
+
 
 def test_bgp_bind_extend(ray_session, dm_catalog, tmp_path):
     """SPARQL BIND §7.6: computed variables extend the bindings before

@@ -613,6 +613,20 @@ def test_profile_columns(ray_session):
     with pytest.raises(Exception, match="non-numeric"):
         profile_columns(ds, ["s"])
 
+    # nanosecond timestamps with sub-µs components TRUNCATE to epoch µs
+    # (a safe timestamp[us] cast would raise "would lose data"); date32
+    # scales from days
+    t2 = pa.table(
+        {
+            "tn": pa.array([1001, 2_000_001], pa.timestamp("ns")),
+            "d": pa.array([19723, 19724], pa.date32()),
+        }
+    )
+    out2 = profile_columns(rd.from_arrow(t2)).set_index("column")
+    assert out2.loc["tn", "min_v"] == 1.0  # 1001 ns -> 1 µs
+    assert out2.loc["tn", "max_v"] == 2000.0
+    assert out2.loc["d", "min_v"] == 19723 * 86_400_000_000.0
+
 
 def test_window_shift_lag_lead(ray_session):
     """LAG/LEAD per key partition: matches pandas groupby.shift on the
