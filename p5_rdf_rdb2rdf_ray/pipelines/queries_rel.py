@@ -211,6 +211,28 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_rollup_orders(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP: order counts per (priority, status), per
+    priority, and grand total — the raw data aggregates ONCE, coarser
+    levels re-aggregate the finer (tiny) result."""
+    from ..stages.groupagg import rollup_aggregate
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return rollup_aggregate(
+        o,
+        keys=["o_orderpriority", "o_orderstatus"],
+        aggs={"n_orders": ("o_orderstatus", "count")},
+        num_partitions=8,
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(o_orderstatus) AS BIGINT) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_top_orders_per_priority(sf_dir: str) -> rd.Dataset:
     """Top-k rows PER GROUP: the 3 priciest orders per order priority
     (per-block combiner prune -> one keyed shuffle -> exact per-key

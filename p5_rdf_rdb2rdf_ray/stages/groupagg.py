@@ -92,6 +92,73 @@ def grouped_aggregate(
     )
 
 
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def rollup_aggregate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys…)``: one result row set per prefix level
+    ``keys[:n] … keys[:1], ()``, rolled-up key columns NULL (ANSI
+    semantics). Scale shape: the RAW data aggregates ONCE (the finest
+    level); every coarser level re-aggregates the FINER level's already
+    tiny result (count re-aggregates as sum, sum as sum, min/max as
+    min/max) — no second pass over the input, no extra wide shuffle.
+
+    ``aggs`` fns are limited to the re-aggregable monoids
+    sum/count/min/max (mean does not compose across levels — decompose
+    it into sum+count yourself). Key columns should be string-typed:
+    NULL-padding an integer key would float-widen through pandas and
+    hash-diverge from a SQL twin (see memory notes)."""
+    import pyarrow as pa
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    for out, (_c, fn) in aggs.items():
+        if fn not in _REAGG:
+            raise ValueError(
+                f"rollup agg {out!r}: fn {fn!r} does not re-aggregate "
+                "across levels (use sum/count/min/max)"
+            )
+
+    def null_extend(level_keys: list[str]):
+        missing = [k for k in keys if k not in level_keys]
+
+        def f(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(k, pa.nulls(t.num_rows, pa.string()))
+            order = keys + [c for c in t.column_names if c not in keys]
+            return t.select(order).replace_schema_metadata(None)
+
+        return f
+
+    finest = grouped_aggregate(
+        ds, keys, aggs, num_partitions=num_partitions
+    ).map_batches(to_clean_arrow, batch_format="pandas").materialize()
+    out = finest.map_batches(null_extend(keys), batch_format="pyarrow")
+    cur = finest
+    reagg = {o: (o, _REAGG[fn]) for o, (_c, fn) in aggs.items()}
+    for i in range(len(keys) - 1, 0, -1):
+        sub = keys[:i]
+        cur = grouped_aggregate(
+            cur, sub, reagg, num_partitions=min(num_partitions, 8)
+        ).map_batches(to_clean_arrow, batch_format="pandas").materialize()
+        out = out.union(cur.map_batches(null_extend(sub), batch_format="pyarrow"))
+    # grand-total level: aggregate the coarsest level via a constant key
+    top = cur.map_batches(
+        lambda t: t.append_column("_all", pa.nulls(t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    total = grouped_aggregate(top, ["_all"], reagg, num_partitions=2).map_batches(
+        lambda df: df.drop(columns=["_all"]), batch_format="pandas"
+    ).map_batches(to_clean_arrow, batch_format="pandas")
+    return out.union(total.map_batches(null_extend([]), batch_format="pyarrow"))
+
+
 def grouped_concat(
     ds: rd.Dataset,
     keys: Sequence[str],

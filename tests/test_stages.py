@@ -393,6 +393,48 @@ def test_grouped_aggregate_exact(ray_session):
     )
 
 
+def test_rollup_aggregate(ray_session):
+    """ROLLUP levels re-aggregate the finer level exactly (count→sum,
+    sum→sum, min/max→min/max); rolled-up keys are NULL; mean rejects."""
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import rollup_aggregate
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xyz"), size=n),
+            "b": rng.choice(list("pq"), size=n),
+            "v": rng.integers(0, 100, size=n),
+        }
+    )
+    got = rollup_aggregate(
+        rd.from_pandas(df).repartition(5),
+        keys=["a", "b"],
+        aggs={"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+        num_partitions=4,
+    ).to_pandas()
+
+    lvl2 = got[got["b"].notna()]
+    lvl1 = got[got["b"].isna() & got["a"].notna()]
+    lvl0 = got[got["a"].isna()]
+    assert len(lvl2) == 6 and len(lvl1) == 3 and len(lvl0) == 1
+    want2 = df.groupby(["a", "b"])["v"].agg(["count", "sum", "max"])
+    for r in lvl2.itertuples():
+        w = want2.loc[(r.a, r.b)]
+        assert (r.n, r.s, r.mx) == (w["count"], w["sum"], w["max"])
+    want1 = df.groupby("a")["v"].agg(["count", "sum", "max"])
+    for r in lvl1.itertuples():
+        w = want1.loc[r.a]
+        assert (r.n, r.s, r.mx) == (w["count"], w["sum"], w["max"])
+    t = lvl0.iloc[0]
+    assert (t["n"], t["s"], t["mx"]) == (n, df["v"].sum(), df["v"].max())
+
+    with pytest.raises(ValueError, match="re-aggregate"):
+        rollup_aggregate(
+            rd.from_pandas(df), ["a"], {"m": ("v", "mean")}
+        )
+
+
 def test_grouped_concat(ray_session):
     """string_agg semantics across many blocks: values join in order_by
     order within each key, NULL values skip, an all-NULL group keeps its
