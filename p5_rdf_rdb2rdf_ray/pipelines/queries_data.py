@@ -224,6 +224,23 @@ def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_approx_users_per_event(sf_dir: str) -> rd.Dataset:
+    """Per-group HLL: approximate distinct users per event type — one
+    2^p-byte register row per (group, block) ships instead of every
+    (group, user) pair. Rows-only (HLL estimates are not
+    SQL-reproducible; the ≤5% error bound and block-layout independence
+    are pinned by tests/test_stages.py::test_grouped_approx_distinct)."""
+    from ..stages.sketches import grouped_approx_distinct
+
+    return grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        keys=["event_type"],
+        col="user_id",
+        p=12,
+        num_partitions=4,
+    )
+
+
 def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
     """HyperLogLog estimate of the distinct-bigram vocabulary size —
     the shuffle-free scale companion of ``ngram_counts`` (rows-only:

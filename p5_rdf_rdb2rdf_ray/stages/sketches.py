@@ -75,6 +75,83 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def grouped_approx_distinct(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    p: int = 12,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT col) PER GROUP — one HLL register
+    array per key (e.g. distinct users per event type, vocabulary size
+    per language). The exact answer shuffles every (key, value) pair;
+    this ships one 2^p-byte register row per key PER BLOCK (the
+    combiner), then ONE keyed shuffle of those tiny rows and a
+    per-partition max-merge. Estimates are BLOCK-LAYOUT INDEPENDENT:
+    register max-merge is an exact commutative monoid, so any
+    partitioning yields byte-identical registers.
+
+    → Dataset(keys…, approx_ndistinct int64). NULL values of ``col``
+    are counted like any other distinct value by the row hash (one
+    NULL bucket); filter first if NULLs should not count."""
+    if not keys:
+        raise ValueError("grouped_approx_distinct needs group keys")
+    from ..engine.distinct import ensure_hash_shuffle
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
+        h = row_hash(t, [col])
+        df = t.select(keys).to_pandas()
+        df["__h"] = h
+        rows_k: dict[str, list] = {k: [] for k in keys}
+        regs_out = []
+        for gkey, grp in df.groupby(keys, dropna=False, sort=False):
+            kt = gkey if isinstance(gkey, tuple) else (gkey,)
+            for k, v in zip(keys, kt):
+                rows_k[k].append(v)
+            regs_out.append(
+                hll_partial(grp["__h"].to_numpy(), p=p).tobytes()
+            )
+        return pa.table(
+            {
+                **{
+                    k: pa.array(rows_k[k], t.schema.field(k).type)
+                    for k in keys
+                },
+                "regs": pa.array(regs_out, pa.binary()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.reindex(columns=keys).copy()
+            out["approx_ndistinct"] = pd.Series([], dtype="int64")
+            return out
+        rows = []
+        for gkey, grp in df.groupby(keys, dropna=False, sort=False):
+            kt = gkey if isinstance(gkey, tuple) else (gkey,)
+            est = hll_estimate(hll_merge(list(grp["regs"])))
+            rows.append((*kt, round(est)))
+        out = pd.DataFrame(rows, columns=keys + ["approx_ndistinct"])
+        out["approx_ndistinct"] = out["approx_ndistinct"].astype("int64")
+        return out
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
 def _reduce_registers(partials: rd.Dataset, p: int, fan_in: int) -> rd.Dataset:
     """Shared tail: bundled max-merge of register rows → one result row."""
 
