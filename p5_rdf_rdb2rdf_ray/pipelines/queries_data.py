@@ -224,6 +224,23 @@ def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_bpe_merges_docs(sf_dir: str):
+    """Distributed BPE vocabulary learning: ONE corpus pass builds the
+    distinct-word frequency table; merge rounds run over that (small)
+    table with combiner-first pair counts + distributed top-k. Rows-only
+    (the merge sequence is deterministic but not SQL-expressible;
+    merges_per_round=1 equality with the textbook algorithm is pinned
+    by tests/test_stages.py::test_learn_bpe_matches_reference)."""
+    from ..stages.bpe import learn_bpe
+
+    return learn_bpe(
+        _read(sf_dir, "documents", ["text"]),
+        num_merges=16,
+        merges_per_round=8,
+        min_freq=2,
+    )
+
+
 def q_approx_users_per_event(sf_dir: str) -> rd.Dataset:
     """Per-group HLL: approximate distinct users per event type — one
     2^p-byte register row per (group, block) ships instead of every

@@ -393,6 +393,41 @@ def test_grouped_aggregate_exact(ray_session):
     )
 
 
+def test_learn_bpe_matches_reference(ray_session):
+    """merges_per_round=1 reproduces the textbook sequential BPE merge
+    sequence exactly (same tie-break); batched rounds produce valid
+    disjoint merges with correct frequencies."""
+    from collections import Counter
+
+    from p5_rdf_rdb2rdf_ray.stages.bpe import learn_bpe, reference_bpe
+
+    docs = [
+        "the cat sat on the mat",
+        "the bat and the cat",
+        "mat bat cat hat",
+        "the the the hat",
+    ] * 10
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+
+    got = learn_bpe(ds, num_merges=8, merges_per_round=1, min_freq=1)
+    wf = Counter()
+    for d in docs:
+        for w in d.lower().split():
+            wf[w] += 1
+    assert list(zip(got["left"], got["right"])) == reference_bpe(
+        dict(wf), 8
+    )
+    assert got["rank"].tolist() == list(range(1, 9))
+
+    b = learn_bpe(ds, num_merges=8, merges_per_round=4, min_freq=1)
+    assert len(b) == 8 and (b["freq"] > 0).all()
+    # within each round's batch, chosen pairs share no symbol
+    assert b.iloc[0]["left"] != b.iloc[1]["left"]
+
+    with pytest.raises(ValueError, match=">= 1"):
+        learn_bpe(ds, num_merges=0)
+
+
 def test_grouped_approx_distinct(ray_session):
     """Per-group HLL: within ~5% of exact per group (p=12 → 1.6% rse),
     and BLOCK-LAYOUT INDEPENDENT — register max-merge is an exact
