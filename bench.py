@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "top_orders_per_priority",
     "importance_sample_docs",
     "pagerank_docs",
+    "approx_users_per_event",
+    "rollup_orders",
+    "bpe_merges_docs",
     "graph_diff_events",
     "path_reach_docs",
     "bgp_store",
