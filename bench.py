@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     "pagerank_docs",
     "approx_users_per_event",
     "rollup_orders",
+    "cube_orders",
+    "pivot_events",
+    "rolling_minmax_events",
+    "rank_orders_date",
+    "oov_rate_docs",
     "bpe_merges_docs",
     "graph_diff_events",
     "path_reach_docs",

@@ -1324,3 +1324,33 @@ def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
     )
 
 
+
+
+def q_oov_rate_docs(sf_dir: str) -> rd.Dataset:
+    """Vocabulary-coverage quality signal: per-doc OOV token count/rate
+    against the corpus's own top-16 unigram vocabulary (two passes:
+    combiner-first vocab build + broadcast top-k set, then a map-only
+    score — see ``stages/vocab.oov_stats``)."""
+    from ..stages.vocab import oov_stats
+
+    return oov_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        vocab_k=16,
+        num_partitions=16,
+    )
+
+
+SQL_OOV_RATE_DOCS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 16)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+FROM toks GROUP BY doc_id
+"""

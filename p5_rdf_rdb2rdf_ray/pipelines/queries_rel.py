@@ -302,3 +302,122 @@ def q_distinct_event_types(sf_dir: str) -> rd.Dataset:
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
 
+
+
+def q_rolling_minmax_events(sf_dir: str) -> rd.Dataset:
+    """Sliding 3-row window min/max/count per user event stream
+    (SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — exact window fns
+    only (min/max/count; float sums would ulp-diverge from a re-summing
+    SQL engine, see ``stages/windows.rolling_aggregate``)."""
+    from ..stages.windows import rolling_aggregate
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return rolling_aggregate(
+        ev,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        aggs={
+            "mv_min": ("value", "min", 3),
+            "mv_max": ("value", "max", 3),
+            "mv_cnt": ("value", "count", 3),
+        },
+        num_partitions=16,
+    )
+
+
+SQL_ROLLING_MINMAX_EVENTS = """
+SELECT event_id, ts, user_id, value,
+       min(value)   OVER w AS mv_min,
+       max(value)   OVER w AS mv_max,
+       count(value) OVER w AS mv_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rank_orders_date(sf_dir: str) -> rd.Dataset:
+    """rank / dense_rank / percent_rank per priority by order date —
+    ties are frequent (day-granular dates), so the entry exercises the
+    peer-run semantics; all three fns are tie-stable (equal inputs get
+    equal outputs), keeping the row set deterministic."""
+    from ..stages.windows import grouped_rank
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    return grouped_rank(
+        o,
+        keys=["o_orderpriority"],
+        order_by=["o_orderdate"],
+        ranks={
+            "rk": ("rank", None),
+            "drk": ("dense_rank", None),
+            "prk": ("percent_rank", None),
+        },
+        num_partitions=16,
+    )
+
+
+SQL_RANK_ORDERS_DATE = """
+SELECT o_orderkey, o_orderpriority, o_orderdate,
+       rank()         OVER w AS rk,
+       dense_rank()   OVER w AS drk,
+       percent_rank() OVER w AS prk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+"""
+
+
+def q_cube_orders(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE over (status, priority): 4 aggregation levels, the
+    finest computed once from the raw data, every subset re-aggregated
+    from it (count→sum / max→max monoids)."""
+    from ..stages.groupagg import cube_aggregate
+
+    o = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return cube_aggregate(
+        o,
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={
+            "n_orders": ("o_totalprice", "count"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        num_partitions=8,
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, max(o_totalprice) AS max_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_events(sf_dir: str) -> rd.Dataset:
+    """Static PIVOT-by-count: per-user event-type count columns
+    (schema declared by the value list — stable across shards) plus an
+    all-rows total."""
+    from ..stages.groupagg import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(
+        ev,
+        keys=["user_id"],
+        col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        total="n_total",
+        num_partitions=16,
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+ CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+ CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+ CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+ CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+ CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+ count(*) AS n_total
+FROM events GROUP BY user_id
+"""

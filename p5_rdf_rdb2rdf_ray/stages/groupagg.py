@@ -418,3 +418,118 @@ def top_k(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    values: Sequence[str],
+    prefix: str = "n_",
+    total: str | None = "n_total",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """PIVOT-by-count: one output row per key group with one int64 count
+    column per listed value of ``col`` (``SUM(CASE WHEN col = v THEN 1
+    ELSE 0 END)``), plus an optional all-rows ``total``. The schema is
+    declared by ``values`` — data-independent, so the pipeline's output
+    schema is stable across shards/scales (a dynamic pivot would not
+    be); unlisted values count only toward ``total``.
+
+    Scale shape: the indicator columns are added batch-wise (vectorized
+    ``==``), then :func:`grouped_aggregate` does its usual
+    combiner → one keyed shuffle → exact merge; a group appearing in B
+    blocks ships B partial rows regardless of group size.
+    """
+    keys = list(keys)
+    values = list(values)
+    if len(set(values)) != len(values):
+        raise ValueError(f"duplicate pivot values: {values}")
+    out_cols = [f"{prefix}{v}" for v in values]
+    clash = set(out_cols) & set(keys + [col])
+    if clash:
+        raise ValueError(f"pivot output columns collide with input: {clash}")
+
+    def indicate(df: pd.DataFrame):
+        out = df[keys].copy()
+        for v, oc in zip(values, out_cols):
+            out[oc] = (df[col] == v).astype("int64")
+        if total is not None:
+            out[total] = 1
+        return to_clean_arrow(out)
+
+    aggs = {oc: (oc, "sum") for oc in out_cols}
+    if total is not None:
+        aggs[total] = (total, "sum")
+    return grouped_aggregate(
+        ds.map_batches(indicate, batch_format="pandas"),
+        keys=keys,
+        aggs=aggs,
+        num_partitions=num_partitions,
+    )
+
+
+def cube_aggregate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """``GROUP BY CUBE(keys…)``: one result row set per key SUBSET
+    (2^len(keys) levels), absent key columns NULL (ANSI semantics).
+    Same scale shape as :func:`rollup_aggregate`: the raw data
+    aggregates ONCE at the finest level; every subset re-aggregates the
+    already tiny finest result (count→sum, sum→sum, min/max→min/max) —
+    no second pass over the input.
+
+    ``aggs`` fns limited to the re-aggregable monoids sum/count/min/max
+    (decompose mean yourself). Key columns should be string-typed —
+    NULL-padding an integer key would float-widen through pandas and
+    hash-diverge from a SQL twin (same rule as rollup).
+    """
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube needs at least one key")
+    for out, (_c, fn) in aggs.items():
+        if fn not in _REAGG:
+            raise ValueError(
+                f"cube agg {out!r}: fn {fn!r} does not re-aggregate "
+                "across levels (use sum/count/min/max)"
+            )
+
+    def null_extend(level_keys: list[str]):
+        missing = [k for k in keys if k not in level_keys]
+
+        def f(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(k, pa.nulls(t.num_rows, pa.string()))
+            order = keys + [c for c in t.column_names if c not in keys]
+            return t.select(order).replace_schema_metadata(None)
+
+        return f
+
+    finest = grouped_aggregate(
+        ds, keys, aggs, num_partitions=num_partitions
+    ).map_batches(to_clean_arrow, batch_format="pandas").materialize()
+    out = finest.map_batches(null_extend(keys), batch_format="pyarrow")
+    reagg = {o: (o, _REAGG[fn]) for o, (_c, fn) in aggs.items()}
+    for r in range(len(keys) - 1, 0, -1):
+        for sub in combinations(keys, r):
+            lvl = grouped_aggregate(
+                finest, list(sub), reagg, num_partitions=min(num_partitions, 8)
+            ).map_batches(to_clean_arrow, batch_format="pandas")
+            out = out.union(
+                lvl.map_batches(null_extend(list(sub)), batch_format="pyarrow")
+            )
+    top = finest.map_batches(
+        lambda t: t.append_column("_all", pa.nulls(t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    total = grouped_aggregate(top, ["_all"], reagg, num_partitions=2).map_batches(
+        lambda df: df.drop(columns=["_all"]), batch_format="pandas"
+    ).map_batches(to_clean_arrow, batch_format="pandas")
+    return out.union(total.map_batches(null_extend([]), batch_format="pyarrow"))

@@ -354,3 +354,82 @@ def chunk_docs(
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def oov_stats(
+    docs: rd.Dataset,
+    vocab_k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    lowercase: bool = True,
+) -> rd.Dataset:
+    """Per-document out-of-vocabulary statistics against the corpus's own
+    top-``vocab_k`` unigram vocabulary — the vocabulary-coverage quality
+    filter of an LLM data pipeline (drop docs whose token mass is mostly
+    rare/garbage terms).
+
+    Two passes over the text, both combiner-first:
+
+    1. vocabulary: :func:`ngram_counts` (n=1) → distributed top-k by
+       ``(count DESC, term ASC)`` (total order ⇒ deterministic vocab) →
+       the k terms land on the driver and broadcast via ``ray.put`` —
+       the documented small side (k ≤ ~1e6 terms ≈ tens of MB; the
+       count table itself never materializes on the driver);
+    2. scoring: map-only — polars tokenize + ``is_in(vocab)`` per batch,
+       no shuffle.
+
+    → ``(id_col, n_tokens:int64, n_oov:int64, oov_rate:float64)``, one
+    row per document that has ≥1 token (tokenless docs are skipped, like
+    a SQL twin built on the exploded token table). ``oov_rate`` is one
+    IEEE divide — bit-identical to ``CAST(n_oov AS DOUBLE)/n_tokens``.
+    """
+    import ray
+
+    from .groupagg import top_k
+
+    vocab_tbl = top_k(
+        ngram_counts(
+            docs, n=1, text_col=text_col,
+            num_partitions=num_partitions, lowercase=lowercase,
+        ),
+        ["count", "ngram"],
+        k=vocab_k,
+        descending=[True, False],
+    )
+    vocab = [r["ngram"] for r in vocab_tbl.take(vocab_k)]
+    ref = ray.put(frozenset(vocab))
+
+    class Score:
+        def __init__(self):
+            import polars as pl
+
+            self.vocab = pl.Series("v", sorted(ray.get(ref)))
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            import polars as pl
+
+            e = _token_frame(df, text_col, lowercase)
+            ids = pl.Series(id_col, df[id_col].to_numpy())
+            g = (
+                e.with_columns(
+                    (~pl.col("t").is_in(self.vocab)).cast(pl.Int64).alias("oov")
+                )
+                .group_by("r")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("oov").sum().alias("n_oov"),
+                )
+            )
+            return pa.table(
+                {
+                    id_col: ids.gather(g["r"]).to_arrow(),
+                    "n_tokens": g["n_tokens"].to_arrow(),
+                    "n_oov": g["n_oov"].to_arrow(),
+                    "oov_rate": (
+                        g["n_oov"].cast(pl.Float64) / g["n_tokens"]
+                    ).to_arrow(),
+                }
+            )
+
+    return docs.map_batches(Score, batch_format="pandas", concurrency=(1, 8))

@@ -2109,3 +2109,225 @@ def test_p_plus_property_path_literal_no_splice(ray_session, tmp_path):
         (N + "d", N + "e", L),      # terminal literal hop only
         (N + "e", N + "f", I),      # no (d → f): literal never splices
     }
+
+
+def test_rolling_aggregate_matches_duckdb(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.windows import rolling_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 23, n),
+            "seq": np.arange(n),
+            "v": rng.integers(0, 100, n).astype("float64"),
+        }
+    )
+    out = (
+        rolling_aggregate(
+            rd.from_pandas(df).repartition(6),
+            keys=["k"],
+            order_by=["seq"],
+            aggs={
+                "mv_sum": ("v", "sum", 4),
+                "mv_min": ("v", "min", 4),
+                "mv_cnt": ("v", "count", 4),
+            },
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(
+        """
+        SELECT *,
+          sum(v)   OVER w AS mv_sum,
+          min(v)   OVER w AS mv_min,
+          count(v) OVER w AS mv_cnt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY seq
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY k, seq
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+
+def test_grouped_rank_matches_duckdb(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.windows import grouped_rank
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("xyz"), n),
+            "v": rng.integers(0, 40, n),  # heavy ties
+            "u": np.arange(n),
+        }
+    )
+    # total order -> every fn deterministic, incl. row_number and ntile
+    out = (
+        grouped_rank(
+            rd.from_pandas(df).repartition(7),
+            keys=["g"],
+            order_by=["v", "u"],
+            ranks={
+                "rnum": ("row_number", None),
+                "rk": ("rank", None),
+                "drk": ("dense_rank", None),
+                "prk": ("percent_rank", None),
+                "nt": ("ntile", 5),
+            },
+            descending=[True, False],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["g", "u"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(
+        """
+        SELECT *, row_number() OVER w AS rnum, rank() OVER w AS rk,
+               dense_rank() OVER w AS drk, percent_rank() OVER w AS prk,
+               ntile(5) OVER w AS nt
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY v DESC, u ASC)
+        ORDER BY g, u
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+    # tie-only ordering: rank family must be peer-stable
+    out2 = (
+        grouped_rank(
+            rd.from_pandas(df).repartition(7),
+            keys=["g"],
+            order_by=["v"],
+            ranks={"rk": ("rank", None), "drk": ("dense_rank", None)},
+            num_partitions=5,
+        )
+        .to_pandas()
+        .groupby(["g", "v"])[["rk", "drk"]]
+        .first()
+        .sort_index()
+    )
+    ref2 = (
+        con.sql(
+            """
+            SELECT g, v, rank() OVER w AS rk, dense_rank() OVER w AS drk
+            FROM t WINDOW w AS (PARTITION BY g ORDER BY v)
+            """
+        )
+        .df()
+        .groupby(["g", "v"])[["rk", "drk"]]
+        .first()
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out2, ref2.astype(out2.dtypes.to_dict()))
+
+
+def test_pivot_counts_and_cube(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import cube_aggregate, pivot_counts
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n),
+            "a": rng.choice(["p", "q", "r"], n),
+            "b": rng.choice(["s", "t"], n),
+            "x": rng.integers(0, 1000, n),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+
+    out = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(6),
+            keys=["k"], col="a", values=["p", "q"], total="n_total",
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = con.sql(
+        """
+        SELECT k,
+          CAST(sum(CASE WHEN a='p' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+          CAST(sum(CASE WHEN a='q' THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+          count(*) AS n_total
+        FROM t GROUP BY k ORDER BY k
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+    cube = cube_aggregate(
+        rd.from_pandas(df).repartition(6),
+        keys=["a", "b"],
+        aggs={"n": ("x", "count"), "mx": ("x", "max")},
+        num_partitions=5,
+    ).to_pandas()
+    refc = con.sql(
+        "SELECT a, b, count(*) AS n, max(x) AS mx FROM t GROUP BY CUBE(a, b)"
+    ).df()
+    key = ["a", "b"]
+    a_ = cube.sort_values(key, na_position="first").reset_index(drop=True)
+    b_ = refc.sort_values(key, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a_, b_[a_.columns].astype(a_.dtypes.to_dict()), check_dtype=True
+    )
+    assert len(cube) == len(refc)
+
+
+def test_oov_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.vocab import oov_stats
+
+    rng = np.random.default_rng(19)
+    words = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(200),
+            "text": [
+                " ".join(rng.choice(words, rng.integers(3, 40)))
+                for _ in range(200)
+            ],
+        }
+    )
+    out = (
+        oov_stats(rd.from_pandas(docs).repartition(4), vocab_k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ref = con.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents
+        ),
+        cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 8)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        FROM toks GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
