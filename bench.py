@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "rolling_minmax_events",
     "rank_orders_date",
     "oov_rate_docs",
+    "shared_shingle_docs",
+    "zscore_docs",
     "bpe_merges_docs",
     "graph_diff_events",
     "path_reach_docs",

@@ -1354,3 +1354,60 @@ SELECT doc_id, count(*) AS n_tokens,
                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
 FROM toks GROUP BY doc_id
 """
+
+
+def q_shared_shingle_docs(sf_dir: str) -> rd.Dataset:
+    """Cross-document duplication: per-doc count/rate of distinct
+    3-gram shingles that appear in other docs too (C4-style duplicated-
+    span signal; see ``stages/dedup.shared_shingle_stats``)."""
+    from ..stages.dedup import shared_shingle_stats
+
+    return shared_shingle_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3,
+        num_partitions=16,
+    )
+
+
+SQL_SHARED_SHINGLE_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS shared_rate
+FROM sh JOIN cnt USING (s) GROUP BY doc_id
+"""
+
+
+def q_zscore_docs(sf_dir: str) -> rd.Dataset:
+    """Z-score feature scaling of the integer n_chars column (exact
+    integer moments, fixed IEEE op sequence — see
+    ``stages/profile.zscore_column``)."""
+    from ..stages.profile import zscore_column
+
+    return zscore_column(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        col="n_chars",
+        id_cols=["doc_id"],
+    )
+
+
+SQL_ZSCORE_DOCS = """
+WITH stats AS (
+  SELECT CAST(sum(n_chars) AS DOUBLE) AS s,
+         CAST(sum(n_chars * n_chars) AS DOUBLE) AS ss,
+         CAST(count(n_chars) AS DOUBLE) AS n
+  FROM documents
+),
+m AS (SELECT s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std
+      FROM stats)
+SELECT doc_id, n_chars,
+       (CAST(n_chars AS DOUBLE) - mean) / std AS z
+FROM documents, m
+"""

@@ -1005,3 +1005,73 @@ def decontaminate_docs(
         )
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def shared_shingle_stats(
+    ds: rd.Dataset,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Cross-document duplication signal: for every doc, how many of its
+    DISTINCT word-``n``-grams also occur in at least one OTHER document
+    (the C4/RefinedWeb "duplicated span" filter signal, at shingle
+    granularity). → ``(id_col, n_shingles:int64, n_shared:int64,
+    shared_rate:float64)``; docs with < n tokens have no shingles and no
+    row (matching a SQL twin built on the exploded shingle table).
+
+    Scale shape — two keyed shuffles, both on pre-combined rows:
+
+    1. :func:`doc_shingles` (distinct (doc, shingle-hash) per batch, no
+       n-gram strings materialized) → repartition on ``sh``: a shingle
+       never spans blocks, so its document-frequency is block-local;
+       each block emits ONE partial row per doc it saw
+       (n_shingles/n_shared partial counts) — output is ≤ docs×blocks
+       rows, independent of shingle count;
+    2. sum partials per doc (combiner-first grouped aggregate), then a
+       single IEEE divide for the rate.
+
+    Exactness: counts are over 64-bit shingle hashes, not strings —
+    identical to the string-keyed SQL twin except at ~2^-64 collision
+    odds (the same documented trade as ``ngram_jaccard_pairs``).
+    """
+
+    sh = doc_shingles(ds, n=n, text_col=text_col, id_col=id_col)
+
+    def per_shingle_partials(df: pd.DataFrame):
+        if not len(df):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        dfc = df.groupby("sh", sort=False)["sh"].transform("size")
+        shared = (dfc > 1).astype("int64")
+        g = df.assign(__shared=shared).groupby(id_col, sort=False)
+        out = g.agg(
+            n_shingles=("sh", "size"), n_shared=("__shared", "sum")
+        ).reset_index()
+        return to_clean_arrow(out)
+
+    partials = (
+        sh.repartition(num_partitions, keys=["sh"])
+        .map_batches(per_shingle_partials, batch_format="pandas", batch_size=None)
+    )
+    totals = grouped_aggregate(
+        partials,
+        keys=[id_col],
+        aggs={
+            "n_shingles": ("n_shingles", "sum"),
+            "n_shared": ("n_shared", "sum"),
+        },
+        num_partitions=num_partitions,
+    )
+
+    def rate(df: pd.DataFrame):
+        df["shared_rate"] = df["n_shared"].astype("float64") / df["n_shingles"]
+        return to_clean_arrow(df)
+
+    return totals.map_batches(rate, batch_format="pandas")

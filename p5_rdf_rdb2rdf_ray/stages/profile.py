@@ -107,3 +107,78 @@ def profile_columns(
         max_v=("max_v", "max"),
     ).reset_index()
     return out
+
+
+def zscore_column(
+    ds: rd.Dataset,
+    col: str,
+    out: str = "z",
+    id_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Z-score normalization of an INTEGER column — the standard feature
+    scaling pass before mixing quality signals. Two executions:
+
+    1. tiny global moments: per-block ``(sum, sum-of-squares, count)``
+       int partials (exact — integer addition is associative; sums are
+       Python ints on the driver, no float accumulation order issues),
+       ≤ 3 ints per block to the driver;
+    2. map-only transform with the broadcast scalars.
+
+    Float contract for SQL-twin hashing: mean/std/z are built from the
+    exact integer moments by the fixed IEEE op sequence
+    ``mean = S/N; var = SS/N - mean*mean; std = sqrt(var);
+    z = (x - mean)/std`` — mirror the same expression shape in the SQL
+    twin and the doubles match bit-for-bit. Integer-only input is a
+    hard requirement (float sums would be order-dependent); raises on
+    non-integer ``col``.
+    """
+    import math
+
+    import ray
+
+    id_cols = list(id_cols) if id_cols else []
+
+    def moments(t: pa.Table) -> pa.Table:
+        a = t.column(col)
+        if not pa.types.is_integer(a.type):
+            raise TypeError(
+                f"zscore_column needs an integer column, got {a.type}"
+            )
+        s = pc.sum(a).as_py() or 0
+        ss = pc.sum(pc.multiply_checked(a, a)).as_py() or 0
+        n = len(a) - a.null_count
+        return pa.table(
+            {
+                "s": pa.array([s], pa.int64()),
+                "ss": pa.array([ss], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        moments, batch_format="pyarrow"
+    ).take_all()
+    S = sum(p["s"] for p in parts)
+    SS = sum(p["ss"] for p in parts)
+    N = sum(p["n"] for p in parts)
+    if N == 0:
+        raise ValueError(f"zscore_column: no non-null values in {col!r}")
+    mean = float(S) / float(N)
+    var = float(SS) / float(N) - mean * mean
+    std = math.sqrt(var)
+    if std == 0.0:
+        raise ValueError(f"zscore_column: {col!r} is constant")
+    scal = ray.put((mean, std))
+
+    class Z:
+        def __init__(self):
+            self.mean, self.std = ray.get(scal)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = pc.cast(t.column(col), pa.float64())
+            z = pc.divide(pc.subtract(x, self.mean), self.std)
+            return t.append_column(out, z)
+
+    keep = (id_cols + [col]) if id_cols else None
+    src = ds.select_columns(keep) if keep else ds
+    return src.map_batches(Z, batch_format="pyarrow", concurrency=(1, 8))

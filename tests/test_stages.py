@@ -2331,3 +2331,87 @@ def test_oov_stats_matches_duckdb(ray_session):
         """
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+
+def test_shared_shingle_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.dedup import shared_shingle_stats
+
+    rng = np.random.default_rng(23)
+    words = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 25))) for _ in range(150)]
+    texts[7] = texts[3]  # exact dup -> every shingle shared
+    docs = pd.DataFrame({"doc_id": np.arange(150), "text": texts})
+    out = (
+        shared_shingle_stats(
+            rd.from_pandas(docs).repartition(5), n=3, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ref = con.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS s
+          FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(g)
+        ),
+        cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS shared_rate
+        FROM sh JOIN cnt USING (s) GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+    # the duplicated pair is fully shared
+    dup = out[out.doc_id.isin([3, 7])]
+    assert (dup.shared_rate == 1.0).all()
+
+
+def test_zscore_column_matches_duckdb(ray_session):
+    import duckdb
+
+    from p5_rdf_rdb2rdf_ray.stages.profile import zscore_column
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {"id": np.arange(1000), "x": rng.integers(0, 5000, 1000)}
+    )
+    out = (
+        zscore_column(
+            rd.from_pandas(df).repartition(6), col="x", id_cols=["id"]
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    ref = con.sql(
+        """
+        WITH stats AS (
+          SELECT CAST(sum(x) AS DOUBLE) AS s,
+                 CAST(sum(x * x) AS DOUBLE) AS ss,
+                 CAST(count(x) AS DOUBLE) AS n FROM t
+        ),
+        m AS (SELECT s / n AS mean, sqrt(ss / n - (s / n) * (s / n)) AS std
+              FROM stats)
+        SELECT id, x, (CAST(x AS DOUBLE) - mean) / std AS z FROM t, m
+        ORDER BY id
+        """
+    ).df().reset_index(drop=True)
+    # bit-exact: the stage mirrors the SQL's IEEE op sequence
+    pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+    with pytest.raises(Exception):
+        zscore_column(
+            rd.from_pandas(pd.DataFrame({"x": [1.5, 2.5]})), col="x"
+        ).materialize()
