@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "multimodal_features",
     "join_orders_customer",
     "anti_join_customers",
+    "semi_join_customers",
+    "full_outer_segments",
+    "monthly_orders",
+    "histogram_events",
     "bgp_filter",
     "bgp_optional",
     "bgp_union",

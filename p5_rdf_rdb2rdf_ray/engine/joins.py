@@ -103,9 +103,14 @@ def hash_join(
     child_keys: Sequence[str],
     parent_keys: Sequence[str],
     num_partitions: int = 32,
+    join_type: str = "left outer",
 ) -> rd.Dataset:
-    """Big×big LEFT OUTER join: union-tag single hash shuffle + one
-    per-partition Acero join.
+    """Big×big equi-join: union-tag single hash shuffle + one
+    per-partition Acero join. ``join_type`` ∈ left outer (default) /
+    inner / full outer / left semi / left anti — all correct
+    per-partition because the co-hash shuffle puts every occurrence of
+    a key in ONE partition (unmatched rows of either side are local to
+    that key's partition). Semi/anti keep only the child columns.
 
     Deliberately NOT ``Dataset.join``: Ray 2.49's distributed join
     crashes with ``ArrowInvalid: No match … for key field`` whenever a
@@ -146,6 +151,9 @@ def hash_join(
             ]
         )
 
+    allowed = {"left outer", "inner", "full outer", "left semi", "left anti"}
+    if join_type not in allowed:
+        raise ValueError(f"join_type {join_type!r} not in {sorted(allowed)}")
     child_keys = list(child_keys)
     parent_keys = list(parent_keys)
     cs, ps = _arrow_schema(child), _arrow_schema(parent)
@@ -157,8 +165,10 @@ def hash_join(
     key_of_parent = dict(zip(child_keys, parent_keys))
     types = {n: cs.field(n).type for n in c_cols}
     types.update({n: ps.field(n).type for n in p_payload})
+    semi = join_type in ("left semi", "left anti")
     cols_u = c_cols + p_payload
-    out_schema = pa.schema([pa.field(n, types[n]) for n in cols_u])
+    out_cols = c_cols if semi else cols_u
+    out_schema = pa.schema([pa.field(n, types[n]) for n in out_cols])
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -185,14 +195,14 @@ def hash_join(
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.Table.from_arrays(
-                [pa.nulls(0, types[n]) for n in cols_u], schema=out_schema
+                [pa.nulls(0, types[n]) for n in out_cols], schema=out_schema
             )
         side = t.column("__side")
         left = t.filter(pc.equal(side, 0)).select(c_cols)
         right = t.filter(pc.equal(side, 1)).select(child_keys + p_payload)
         return left.join(
-            right, keys=child_keys, join_type="left outer"
-        ).select(cols_u)
+            right, keys=child_keys, join_type=join_type
+        ).select(out_cols)
 
     return u.repartition(num_partitions, keys=child_keys).map_batches(
         merge, batch_format="pyarrow", batch_size=None

@@ -421,3 +421,132 @@ SELECT user_id,
  count(*) AS n_total
 FROM events GROUP BY user_id
 """
+
+
+def q_semi_join_customers(sf_dir: str) -> rd.Dataset:
+    """LEFT SEMI hash join: customers with at least one order. The
+    order side per-block dedups its key before the union-tag shuffle
+    (the semi-join combiner: a customer with K orders ships ≤ blocks
+    rows, not K)."""
+    import pyarrow as pa
+
+    from ..engine.joins import hash_join
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    o = _read(sf_dir, "orders", ["o_custkey"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
+
+    o = o.map_batches(uniq, batch_format="pyarrow")
+    return hash_join(
+        c, o, ["c_custkey"], ["o_custkey"],
+        num_partitions=8, join_type="left semi",
+    )
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_full_outer_segments(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER hash join + grouped aggregate: order counts per market
+    segment INCLUDING segments whose customers placed no orders (the
+    right-only rows a left join would drop)."""
+    from ..engine.joins import hash_join
+    from ..stages.groupagg import grouped_aggregate
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = hash_join(
+        o, c, ["o_custkey"], ["c_custkey"],
+        num_partitions=8, join_type="full outer",
+    )
+    return grouped_aggregate(
+        j,
+        keys=["c_mktsegment"],
+        aggs={
+            "n_orders": ("o_orderkey", "count"),
+            "n_rows": ("c_mktsegment", "count"),
+        },
+        num_partitions=4,
+    )
+
+
+SQL_FULL_OUTER_SEGMENTS = """
+SELECT c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       count(c_mktsegment) AS n_rows
+FROM orders FULL JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_monthly_orders(sf_dir: str) -> rd.Dataset:
+    """Temporal rollup: orders per calendar month (vectorized
+    floor_temporal + combiner-first grouped aggregate) — the
+    time-bucketed variant of the tumbling window, keyed on a derived
+    column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import grouped_aggregate
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def month(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "o_month", pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        )
+
+    return grouped_aggregate(
+        o.map_batches(month, batch_format="pyarrow"),
+        keys=["o_month"],
+        aggs={
+            "n_orders": ("o_orderkey", "count"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        num_partitions=8,
+    )
+
+
+SQL_MONTHLY_ORDERS = """
+SELECT date_trunc('month', o_orderdate) AS o_month,
+       count(*) AS n_orders, max(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_histogram_events(sf_dir: str) -> rd.Dataset:
+    """Fixed-width histogram of event values (bin = floor(value/50), one
+    IEEE divide + floor — bit-identical to the SQL twin) — the
+    distribution profile pass that sizes quantile sketches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import grouped_aggregate
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(t.column("value"), pa.scalar(50.0))), pa.int64()
+        )
+        return t.append_column("bin", b)
+
+    return grouped_aggregate(
+        ev.map_batches(binned, batch_format="pyarrow"),
+        keys=["bin"],
+        aggs={"n": ("value", "count")},
+        num_partitions=4,
+    )
+
+
+SQL_HISTOGRAM_EVENTS = """
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY 1
+"""

@@ -1,6 +1,7 @@
 """RefObjectMap join paths (W3C-R2RML §8; SURVEY §2 #21)."""
 
 import pyarrow as pa
+import pytest
 
 from p5_rdf_rdb2rdf_ray.engine.runner import run_mapping
 from p5_rdf_rdb2rdf_ray.mapping.spec import (
@@ -119,3 +120,55 @@ def test_general_path_hash_join(ray_session):
     )
     assert f"<{EX}book/1> <{EX}author> <{EX}a/herman> ." in lines
     assert f"<{EX}book/2> <{EX}author> <{EX}a/toby> ." in lines
+
+
+def test_hash_join_types_match_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.joins import hash_join
+
+    rng = np.random.default_rng(31)
+    # unmatched rows on BOTH sides + duplicate keys on both sides
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 30, 200), "lv": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(15, 45, 150), "rv": np.arange(150) * 10}
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    L = rd.from_pandas(left).repartition(4)
+    R = rd.from_pandas(right).repartition(3)
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return (
+            df.sort_values(list(df.columns), kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    cases = {
+        "inner": "SELECT k, lv, rv FROM l JOIN r ON k = rk",
+        "left outer": "SELECT k, lv, rv FROM l LEFT JOIN r ON k = rk",
+        "full outer": (
+            "SELECT COALESCE(k, rk) AS k, lv, rv "
+            "FROM l FULL JOIN r ON k = rk"
+        ),
+        "left semi": "SELECT k, lv FROM l WHERE k IN (SELECT rk FROM r)",
+        "left anti": "SELECT k, lv FROM l WHERE k NOT IN (SELECT rk FROM r)",
+    }
+    for jt, sql in cases.items():
+        out = hash_join(
+            L, R, ["k"], ["rk"], num_partitions=4, join_type=jt
+        ).to_pandas()
+        ref = con.sql(sql).df()
+        # nullable int64 → float64 via pandas on both sides; unify
+        got, want = norm(out).astype("float64"), norm(ref).astype("float64")
+        pd.testing.assert_frame_equal(got, want), jt
+
+    with pytest.raises(ValueError):
+        hash_join(L, R, ["k"], ["rk"], join_type="right outer")
