@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "winnow_fp_docs",
     "langid_docs",
     "window_events",
+    "funnel_events",
+    "cohort_events",
+    "postings_docs",
     "asof_events_orders",
     "range_join_orders",
     "near_dedup_docs",

@@ -1411,3 +1411,85 @@ SELECT doc_id, n_chars,
        (CAST(n_chars AS DOUBLE) - mean) / std AS z
 FROM documents, m
 """
+
+
+def q_funnel_events(sf_dir: str) -> rd.Dataset:
+    """Two-step funnel (view → purchase within 1 h) per user: one keyed
+    shuffle + per-user searchsorted match (the SQL twin's a×b self-join
+    is quadratic per user — exactly what the native operator avoids)."""
+    from ..stages.sessions import funnel_conversion
+
+    return funnel_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        step_a="view",
+        step_b="purchase",
+        within_s=3600.0,
+        num_partitions=16,
+    )
+
+
+SQL_FUNNEL_EVENTS = """
+WITH conv AS (
+  SELECT DISTINCT a.user_id
+  FROM events a JOIN events b USING (user_id)
+  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_a,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_b,
+  CAST(user_id IN (SELECT user_id FROM conv) AS BIGINT) AS converted
+FROM events GROUP BY user_id
+"""
+
+
+def q_cohort_events(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix (first-event month × active month →
+    distinct users): one user-keyed shuffle emitting per-user month
+    pairs (the combiner), then a tiny grouped count."""
+    from ..stages.sessions import cohort_retention
+
+    return cohort_retention(
+        _read(sf_dir, "events", ["user_id", "ts"]), num_partitions=16
+    )
+
+
+SQL_COHORT_EVENTS = """
+WITH first AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS active_month
+  FROM events
+)
+SELECT cohort_month, active_month, count(*) AS n_users
+FROM first JOIN act USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_postings_docs(sf_dir: str) -> rd.Dataset:
+    """Inverted index over the corpus: term → document frequency +
+    comma-joined sorted posting list (distinct per-batch (doc, term)
+    pairs, one term-keyed shuffle)."""
+    from ..stages.vocab import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_df=2,
+        num_partitions=16,
+    )
+
+
+SQL_POSTINGS_DOCS = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+HAVING count(*) >= 2
+"""

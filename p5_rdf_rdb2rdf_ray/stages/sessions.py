@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle
+from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
 
 
 def tumbling_window(
@@ -261,4 +261,132 @@ def sessionize(
         events.repartition(num_partitions, keys=[user_col])
         # whole blocks: all of a user's events are in one block post-shuffle
         .map_batches(window, batch_format="pandas", batch_size=None)
+    )
+
+
+def funnel_conversion(
+    events: rd.Dataset,
+    step_a: str,
+    step_b: str,
+    within_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Two-step funnel: per user, did a ``step_b`` event occur strictly
+    after a ``step_a`` event and within ``within_s`` seconds of it?
+    → ``(user_col, n_a:int64, n_b:int64, converted:int64)``, one row per
+    user present in the event stream (0/1 flag — integer, so a SQL twin
+    hash-matches; no float windows).
+
+    Scale shape: ONE hash shuffle on the user key (a user's events never
+    span blocks afterwards), then a per-block vectorized pass — per user
+    the a/b timestamps are matched with ``searchsorted`` (O(n log n) in
+    the user's events, no self-join materialization; the SQL twin's
+    a×b join is quadratic per user, which is exactly why funnels need a
+    native operator at scale).
+    """
+    import numpy as np
+
+    ensure_hash_shuffle(events)
+    within_us = int(round(within_s * 1_000_000))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                    "converted": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([user_col, ts_col], kind="mergesort")
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        et = df[type_col].to_numpy()
+        rows = []
+        for uid, idx in df.groupby(user_col, sort=False).indices.items():
+            t = ts[idx]
+            is_a = et[idx] == step_a
+            is_b = et[idx] == step_b
+            ta, tb = t[is_a], t[is_b]
+            conv = 0
+            if len(ta) and len(tb):
+                # for each a, the first b strictly after it
+                pos = np.searchsorted(tb, ta, side="right")
+                ok = pos < len(tb)
+                conv = int(np.any((tb[pos[ok]] - ta[ok]) <= within_us))
+            rows.append((uid, int(is_a.sum()), int(is_b.sum()), conv))
+        return pd.DataFrame(
+            rows, columns=[user_col, "n_a", "n_b", "converted"]
+        ).astype({user_col: "int64", "n_a": "int64", "n_b": "int64",
+                  "converted": "int64"})
+
+    return (
+        events.repartition(num_partitions, keys=[user_col])
+        .map_batches(flag, batch_format="pandas", batch_size=None)
+    )
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Cohort retention matrix: users bucketed by the calendar month of
+    their FIRST event (the cohort), counted against every later month
+    they were active in. → ``(cohort_month, active_month, n_users:int64)``.
+
+    Scale shape: one hash shuffle on the user key; per block (a user's
+    rows are complete there) each user contributes its cohort month ×
+    distinct active months — at most ``#months`` rows per user, already
+    the combiner — then a tiny grouped count over (cohort, month).
+    """
+    import numpy as np
+
+    ensure_hash_shuffle(events)
+
+    def explode(df: pd.DataFrame):
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "cohort_month": pd.Series([], dtype="datetime64[us]"),
+                    "active_month": pd.Series([], dtype="datetime64[us]"),
+                    "one": pd.Series([], dtype="int64"),
+                }
+            )
+        m = (
+            df[ts_col]
+            .astype("datetime64[us]")
+            .dt.to_period("M")
+            .dt.to_timestamp()
+            .astype("datetime64[us]")
+        )
+        u = df[[user_col]].assign(__m=m)
+        cohort = u.groupby(user_col, sort=False)["__m"].transform("min")
+        out = (
+            u.assign(cohort_month=cohort)
+            .rename(columns={"__m": "active_month"})[
+                [user_col, "cohort_month", "active_month"]
+            ]
+            .drop_duplicates()
+        )
+        out = out[["cohort_month", "active_month"]].copy()
+        # count carrier: a grouped count needs a non-key column
+        out["one"] = np.int64(1)
+        return to_clean_arrow(out)
+
+    from .groupagg import grouped_aggregate
+
+    pairs = (
+        events.repartition(num_partitions, keys=[user_col])
+        .map_batches(explode, batch_format="pandas", batch_size=None)
+    )
+    return grouped_aggregate(
+        pairs,
+        keys=["cohort_month", "active_month"],
+        aggs={"n_users": ("one", "count")},
+        num_partitions=min(num_partitions, 8),
     )

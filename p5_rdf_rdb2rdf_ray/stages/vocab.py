@@ -433,3 +433,70 @@ def oov_stats(
             )
 
     return docs.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+
+
+def inverted_index(
+    docs: rd.Dataset,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    lowercase: bool = True,
+) -> rd.Dataset:
+    """Inverted index (posting lists): one row per term with its document
+    frequency and the comma-joined sorted doc ids —
+    ``(term:string, df:int64, postings:string)``. The retrieval-side
+    build every dedup/contamination audit wants next to the corpus.
+
+    Scale shape: per-batch DISTINCT (doc, term) pairs (polars tokenize +
+    unique — the combiner: a term repeated T× in a doc ships once), ONE
+    hash shuffle on the term, then a per-block sort + join (a term never
+    spans blocks after the keyed repartition). ``min_df`` prunes the
+    long tail at the finalize step, BEFORE the strings are built.
+
+    Posting lists are strings, not ``list<int64>``, so the row set is
+    hashable against a ``string_agg(... ORDER BY ...)`` SQL twin; at
+    real scale you would write the Arrow list column instead (one flag
+    flip in ``finalize``).
+    """
+
+    def pairs(df: pd.DataFrame):
+        e = _token_frame(df, text_col, lowercase)
+        import polars as pl
+
+        ids = pl.Series("__id", df[id_col].to_numpy())
+        u = (
+            pl.DataFrame({"term": e["t"], id_col: ids.gather(e["r"])})
+            .unique()
+        )
+        return u.to_arrow().replace_schema_metadata(None)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["term", id_col], kind="mergesort")
+        g = df.groupby("term", sort=False)[id_col]
+        out = pd.DataFrame(
+            {
+                "df": g.size().astype("int64"),
+                "postings": g.agg(
+                    lambda s: ",".join(s.astype(str))
+                ),
+            }
+        ).reset_index()
+        if min_df > 1:
+            out = out[out["df"] >= min_df]
+        return out[["term", "df", "postings"]].reset_index(drop=True)
+
+    ensure_hash_shuffle(docs)
+    return (
+        docs.map_batches(pairs, batch_format="pandas")
+        .repartition(num_partitions, keys=["term"])
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
