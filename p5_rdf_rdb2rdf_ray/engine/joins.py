@@ -104,6 +104,7 @@ def hash_join(
     parent_keys: Sequence[str],
     num_partitions: int = 32,
     join_type: str = "left outer",
+    salt: int | None = None,
 ) -> rd.Dataset:
     """Big×big equi-join: union-tag single hash shuffle + one
     per-partition Acero join. ``join_type`` ∈ left outer (default) /
@@ -111,6 +112,17 @@ def hash_join(
     per-partition because the co-hash shuffle puts every occurrence of
     a key in ONE partition (unmatched rows of either side are local to
     that key's partition). Semi/anti keep only the child columns.
+
+    ``salt`` (hot-key defense): with ``salt=S`` the shuffle key becomes
+    ``(key, salt)`` — each child row gets a deterministic salt in
+    ``[0, S)`` (hash of its block-local position, so a hot key's rows
+    spread over S partitions instead of melting one aggregator) and
+    each parent row is REPLICATED S times (parent is the smaller side
+    by contract, same as the broadcast path's assumption; shuffle bytes
+    grow by S×parent, not S×child). Results are identical to the
+    unsalted join for inner / left outer / left semi / left anti;
+    ``full outer`` is rejected (a right-only row would surface once per
+    salt bucket).
 
     Deliberately NOT ``Dataset.join``: Ray 2.49's distributed join
     crashes with ``ArrowInvalid: No match … for key field`` whenever a
@@ -154,6 +166,14 @@ def hash_join(
     allowed = {"left outer", "inner", "full outer", "left semi", "left anti"}
     if join_type not in allowed:
         raise ValueError(f"join_type {join_type!r} not in {sorted(allowed)}")
+    if salt is not None:
+        if salt < 2:
+            raise ValueError("salt must be >= 2 (or None)")
+        if join_type == "full outer":
+            raise ValueError(
+                "salt is incompatible with full outer (right-only rows "
+                "would duplicate per salt bucket)"
+            )
     child_keys = list(child_keys)
     parent_keys = list(parent_keys)
     cs, ps = _arrow_schema(child), _arrow_schema(parent)
@@ -183,7 +203,27 @@ def hash_join(
                 else:
                     arrays.append(pa.nulls(t.num_rows, types[n]))
             arrays.append(pa.repeat(pa.scalar(side, pa.int8()), t.num_rows))
-            return pa.Table.from_arrays(arrays, names=cols_u + ["__side"])
+            out = pa.Table.from_arrays(arrays, names=cols_u + ["__side"])
+            if salt is None:
+                return out
+            if side == 0:
+                import numpy as np
+
+                s = pa.array(
+                    (np.arange(out.num_rows, dtype=np.int64) % salt).astype(
+                        np.int32
+                    )
+                )
+                return out.append_column("__salt", s)
+            # parent: replicate once per salt bucket
+            reps = []
+            for k in range(salt):
+                reps.append(
+                    out.append_column(
+                        "__salt", pa.repeat(pa.scalar(k, pa.int32()), out.num_rows)
+                    )
+                )
+            return pa.concat_tables(reps)
 
         return f
 
@@ -198,12 +238,18 @@ def hash_join(
                 [pa.nulls(0, types[n]) for n in out_cols], schema=out_schema
             )
         side = t.column("__side")
-        left = t.filter(pc.equal(side, 0)).select(c_cols)
-        right = t.filter(pc.equal(side, 1)).select(child_keys + p_payload)
+        # salted: __salt joins along too (several salt buckets can land
+        # in one hash partition; without it a left row would match every
+        # replica of its parent row)
+        jk = child_keys + (["__salt"] if salt is not None else [])
+        lcols = c_cols + (["__salt"] if salt is not None else [])
+        left = t.filter(pc.equal(side, 0)).select(lcols)
+        right = t.filter(pc.equal(side, 1)).select(jk + p_payload)
         return left.join(
-            right, keys=child_keys, join_type=join_type
+            right, keys=jk, join_type=join_type
         ).select(out_cols)
 
-    return u.repartition(num_partitions, keys=child_keys).map_batches(
+    part_keys = child_keys + (["__salt"] if salt is not None else [])
+    return u.repartition(num_partitions, keys=part_keys).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )

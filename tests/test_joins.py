@@ -172,3 +172,45 @@ def test_hash_join_types_match_duckdb(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(L, R, ["k"], ["rk"], join_type="right outer")
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from p5_rdf_rdb2rdf_ray.engine.joins import hash_join
+
+    rng = np.random.default_rng(47)
+    # pathological skew: 80% of left rows share ONE key
+    k = np.where(rng.random(3000) < 0.8, 7, rng.integers(0, 40, 3000))
+    left = pd.DataFrame({"k": k, "lv": np.arange(3000)})
+    right = pd.DataFrame({"rk": np.arange(0, 25), "rv": np.arange(0, 25) * 10})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    L = rd.from_pandas(left).repartition(4)
+    R = rd.from_pandas(right).repartition(2)
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("float64")
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    for jt, sql in {
+        "inner": "SELECT k, lv, rv FROM l JOIN r ON k = rk",
+        "left outer": "SELECT k, lv, rv FROM l LEFT JOIN r ON k = rk",
+        "left semi": "SELECT k, lv FROM l WHERE k IN (SELECT rk FROM r)",
+        "left anti": "SELECT k, lv FROM l WHERE k NOT IN (SELECT rk FROM r)",
+    }.items():
+        out = hash_join(
+            L, R, ["k"], ["rk"], num_partitions=6, join_type=jt, salt=4
+        ).to_pandas()
+        pd.testing.assert_frame_equal(norm(out), norm(con.sql(sql).df())), jt
+
+    with pytest.raises(ValueError):
+        hash_join(L, R, ["k"], ["rk"], join_type="full outer", salt=4)
+    with pytest.raises(ValueError):
+        hash_join(L, R, ["k"], ["rk"], salt=1)
