@@ -553,6 +553,94 @@ SELECT 'pos',
 """
 
 
+def q_path_seq_nation(sf_dir: str) -> rd.Dataset:
+    """SPARQL §9.1 SEQUENCE path over the materialized store [graft
+    extension — `stages.paths.eval_path`]:
+    ``<nation#ref-n_regionkey>/<region#r_name>`` walks nation node →
+    region node → region-name literal in one co-hash composition join
+    (bag semantics, NT-formatted term endpoints)."""
+    from ..stages.paths import eval_path
+
+    store = _nation_region_store(sf_dir)
+    return eval_path(
+        store,
+        f"<{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name>",
+        num_partitions=8,
+    )
+
+
+SQL_PATH_SEQ_NATION = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS src,
+       '"' || r_name || '"' AS dst
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_path_alt_region(sf_dir: str) -> rd.Dataset:
+    """SPARQL §9.1 INVERSE + ALTERNATIVE path over the store:
+    ``^<nation#ref-n_regionkey>|<region#r_name>`` — from a region node,
+    backwards over the FK ref to its nations, unioned with its name
+    literal (block union, no shuffle; duplicates preserved per spec)."""
+    from ..stages.paths import eval_path
+
+    store = _nation_region_store(sf_dir)
+    return eval_path(
+        store,
+        f"^<{BASE}nation#ref-n_regionkey>|<{BASE}region#r_name>",
+        num_partitions=8,
+    )
+
+
+SQL_PATH_ALT_REGION = f"""
+SELECT '<{BASE}region/r_regionkey=' || n_regionkey || '>' AS src,
+       '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS dst
+FROM nation
+UNION ALL
+SELECT '<{BASE}region/r_regionkey=' || r_regionkey || '>',
+       '"' || r_name || '"'
+FROM region
+"""
+
+
+def q_path_star_nation(sf_dir: str) -> rd.Dataset:
+    """SPARQL §9.1 ZERO-OR-MORE path ``<nation#ref-n_regionkey>*``:
+    per §18.4 the zero-length part matches EVERY term in the graph
+    (all subjects ∪ objects, streamed through one distinct shuffle),
+    plus the path-doubling closure of the FK edges (here 1-hop: region
+    nodes have no outgoing ref)."""
+    from ..stages.paths import eval_path
+
+    store = _nation_region_store(sf_dir)
+    return eval_path(
+        store, f"<{BASE}nation#ref-n_regionkey>*", num_partitions=8
+    )
+
+
+# zero-length part = every graph term paired with itself; the DM store
+# over nation+region contains: row nodes, the two class IRIs, the typed
+# integer literals and the plain name literals. UNION dedups identical
+# literals exactly as the engine's distinct does.
+SQL_PATH_STAR_NATION = f"""
+WITH terms AS (
+  SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS t FROM nation
+  UNION
+  SELECT '<{BASE}region/r_regionkey=' || r_regionkey || '>' FROM region
+  UNION SELECT '<{BASE}nation>'
+  UNION SELECT '<{BASE}region>'
+  UNION SELECT '"' || n_nationkey || '"^^<{XSD_INT}>' FROM nation
+  UNION SELECT '"' || n_regionkey || '"^^<{XSD_INT}>' FROM nation
+  UNION SELECT '"' || r_regionkey || '"^^<{XSD_INT}>' FROM region
+  UNION SELECT '"' || n_name || '"' FROM nation
+  UNION SELECT '"' || r_name || '"' FROM region
+)
+SELECT t AS src, t AS dst FROM terms
+UNION
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>',
+       '<{BASE}region/r_regionkey=' || n_regionkey || '>'
+FROM nation
+"""
+
+
 def q_bgp_optional(sf_dir: str) -> rd.Dataset:
     """BGP with an OPTIONAL (left-outer) group [graft extension]: every
     customer keeps its row; the nation-key binding appears only where

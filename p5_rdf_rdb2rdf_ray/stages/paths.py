@@ -31,6 +31,8 @@ whose lexical form spells a node IRI cannot splice two paths together.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -228,3 +230,272 @@ def p_plus(
         ["src", "dst", "dst_kind"],
         num_buckets=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full SPARQL 1.1 §9.1 property-path ALGEBRA over a materialized store
+# [graft extension — the reference Store answers single-hop
+# get_statements only; path forms recalled from the public spec].
+#
+# Representation: a path relation is a Dataset(src, dst) whose node
+# values are N-TRIPLES-FORMATTED TERM STRINGS ("<iri>", "_:label",
+# '"lex"@lang' / '"lex"^^<dt>').  The formatting is injective across
+# term kinds, so one string column carries full term identity:
+#   - a literal's serialization can never equal an IRI's, so literals
+#     never splice two path steps (the p_plus invariant for free);
+#   - joins / closures / distincts are plain string-column operations —
+#     transitive_closure above is reused UNCHANGED;
+#   - output is directly comparable with SQL oracles that mint the same
+#     lexical forms.
+#
+# Cardinality: pred / ^ / seq / alt / !(…) preserve DUPLICATES (SPARQL
+# translates them to triple patterns + joins — bag semantics), while
+# `+` / `*` / `?` are evaluated with SET semantics per the spec's
+# arbitrary-length-path evaluation.  Zero-length paths (`*`, `?`) match
+# every TERM IN THE GRAPH (all subjects and objects), per §18.4.
+# ---------------------------------------------------------------------------
+
+#: AST shapes accepted by :func:`eval_path` (also produced by
+#: :func:`parse_path`):
+#:   ("pred", iri)          — single predicate hop
+#:   ("inv", p)             — ^p
+#:   ("seq", p1, p2)        — p1 / p2
+#:   ("alt", p1, p2)        — p1 | p2
+#:   ("plus", p)            — p+
+#:   ("star", p)            — p*
+#:   ("opt", p)             — p?
+#:   ("nps", [iri, ...])    — !(iri1 | iri2 | ...)
+
+
+def parse_path(expr: str):
+    """SPARQL §9.1 path syntax → tuple AST.  Supported: ``<iri>``,
+    ``^``, ``/``, ``|``, postfix ``+ * ?``, ``!(<a>|<b>)`` / ``!<a>``,
+    and parentheses.  Precedence per the grammar: ``|`` < ``/`` <
+    unary ``^``/``!`` < postfix.  Fail-loud on anything else
+    (CURIE-form path atoms are not accepted — pass full IRIs)."""
+    toks: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c.isspace():
+            i += 1
+        elif c == "<":
+            j = expr.index(">", i)
+            toks.append(expr[i : j + 1])
+            i = j + 1
+        elif c in "^/|+*?!()":
+            toks.append(c)
+            i += 1
+        else:
+            raise ValueError(f"path syntax: unexpected {c!r} at {i} in {expr!r}")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        if pos >= len(toks) or (t is not None and toks[pos] != t):
+            raise ValueError(
+                f"path syntax: expected {t or 'token'} at #{pos} in {expr!r}"
+            )
+        pos += 1
+        return toks[pos - 1]
+
+    def p_alt():
+        left = p_seq()
+        while peek() == "|":
+            eat("|")
+            left = ("alt", left, p_seq())
+        return left
+
+    def p_seq():
+        left = p_elt_or_inverse()
+        while peek() == "/":
+            eat("/")
+            left = ("seq", left, p_elt_or_inverse())
+        return left
+
+    def p_elt_or_inverse():
+        if peek() == "^":
+            eat("^")
+            return ("inv", p_elt())
+        return p_elt()
+
+    def p_elt():
+        prim = p_primary()
+        t = peek()
+        if t in ("+", "*", "?"):
+            eat()
+            prim = ({"+": "plus", "*": "star", "?": "opt"}[t], prim)
+        return prim
+
+    def p_primary():
+        t = peek()
+        if t == "(":
+            eat("(")
+            inner = p_alt()
+            eat(")")
+            return inner
+        if t == "!":
+            eat("!")
+            if peek() == "(":
+                eat("(")
+                iris = [eat()]
+                while peek() == "|":
+                    eat("|")
+                    iris.append(eat())
+                eat(")")
+            else:
+                iris = [eat()]
+            bad = [x for x in iris if not (x.startswith("<") and x.endswith(">"))]
+            if bad:
+                raise ValueError(f"path syntax: !() accepts IRIs only, got {bad}")
+            return ("nps", [x[1:-1] for x in iris])
+        if t and t.startswith("<"):
+            eat()
+            return ("pred", t[1:-1])
+        raise ValueError(f"path syntax: unexpected {t!r} in {expr!r}")
+
+    ast = p_alt()
+    if pos != len(toks):
+        raise ValueError(f"path syntax: trailing tokens {toks[pos:]} in {expr!r}")
+    return ast
+
+
+def _rel_edges(
+    store_dir: str,
+    predicate: str | None = None,
+    exclude: Sequence[str] | None = None,
+) -> rd.Dataset:
+    """One-hop path relation from the store: (src, dst) as N-Triples
+    term strings.  ``predicate`` prunes with the store's parquet filter
+    pushdown; ``exclude`` is the negated-property-set filter (applied
+    batch-wise — NPS has no single-predicate pushdown by nature)."""
+    from ..sinks.ntriples import format_terms_batch
+    from ..sinks.triplestore import store_statements
+
+    trips = store_statements(store_dir, predicate=predicate)
+    ex = list(exclude or [])
+
+    def f(t: pa.Table) -> pa.Table:
+        if ex and t.num_rows:
+            m = pc.invert(
+                pc.is_in(t.column("pred"), value_set=pa.array(ex, pa.string()))
+            )
+            t = t.filter(m)
+        ft = format_terms_batch(t)
+        return pa.table({"src": ft.column("subj"), "dst": ft.column("obj")})
+
+    return trips.map_batches(f, batch_format="pyarrow")
+
+
+def _graph_terms(store_dir: str, num_partitions: int) -> rd.Dataset:
+    """All terms in the graph (distinct formatted subjects ∪ objects) —
+    the zero-length-path node set per SPARQL §18.4."""
+    from ..engine.distinct import distinct_rows
+    from ..sinks.ntriples import format_terms_batch
+    from ..sinks.triplestore import store_statements
+
+    def f(t: pa.Table) -> pa.Table:
+        ft = format_terms_batch(t)
+        return pa.concat_tables(
+            [
+                pa.table({"t": ft.column("subj")}),
+                pa.table({"t": ft.column("obj")}),
+            ]
+        )
+
+    nodes = store_statements(store_dir).map_batches(f, batch_format="pyarrow")
+    return distinct_rows(nodes, ["t"], num_buckets=num_partitions)
+
+
+def _identity(store_dir: str, num_partitions: int) -> rd.Dataset:
+    return _graph_terms(store_dir, num_partitions).map_batches(
+        lambda t: pa.table({"src": t.column("t"), "dst": t.column("t")}),
+        batch_format="pyarrow",
+    )
+
+
+def _compose(
+    left: rd.Dataset, right: rd.Dataset, num_partitions: int
+) -> rd.Dataset:
+    """Bag-semantics sequence composition: (a,b) ∘ (b,c) → (a,c) via
+    ONE union-tag co-hash inner join on the mid term (duplicates
+    multiply, as SPARQL's triple-pattern translation requires)."""
+    from ..engine.joins import hash_join
+
+    ren = right.map_batches(
+        lambda t: pa.table({"m_src": t.column("src"), "m_dst": t.column("dst")}),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        left, ren, ["dst"], ["m_src"],
+        num_partitions=num_partitions, join_type="inner",
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("src"), "dst": t.column("m_dst")}),
+        batch_format="pyarrow",
+    )
+
+
+def eval_path(
+    store_dir: str,
+    path,
+    num_partitions: int = 8,
+    max_rounds: int = 16,
+) -> rd.Dataset:
+    """Evaluate a SPARQL §9.1 property-path expression over a
+    materialized triple store → lazy Dataset(src, dst) of N-Triples
+    term strings (see the algebra notes above for representation and
+    cardinality).  ``path`` is a tuple AST or a path-syntax string
+    (parsed with :func:`parse_path`).
+
+    Scale shape: leaves are predicate-pruned store scans; ``seq`` is
+    one co-hash shuffle; ``alt`` a block union; ``+``/``*`` run the
+    path-doubling closure (O(log diameter) rounds).  Nothing touches
+    the driver; zero-length node sets stream through the distinct
+    shuffle."""
+    from ..engine.distinct import distinct_rows
+
+    if isinstance(path, str):
+        path = parse_path(path)
+
+    def ev(p) -> rd.Dataset:
+        op = p[0]
+        if op == "pred":
+            return _rel_edges(store_dir, predicate=p[1])
+        if op == "nps":
+            return _rel_edges(store_dir, exclude=p[1])
+        if op == "inv":
+            return ev(p[1]).map_batches(
+                lambda t: pa.table(
+                    {"src": t.column("dst"), "dst": t.column("src")}
+                ),
+                batch_format="pyarrow",
+            )
+        if op == "seq":
+            return _compose(ev(p[1]), ev(p[2]), num_partitions)
+        if op == "alt":
+            return ev(p[1]).union(ev(p[2]))
+        if op == "plus":
+            return transitive_closure(
+                ev(p[1]), num_partitions=num_partitions, max_rounds=max_rounds
+            )
+        if op == "star":
+            closed = transitive_closure(
+                ev(p[1]), num_partitions=num_partitions, max_rounds=max_rounds
+            )
+            return distinct_rows(
+                closed.union(_identity(store_dir, num_partitions)),
+                ["src", "dst"],
+                num_buckets=num_partitions,
+            )
+        if op == "opt":
+            return distinct_rows(
+                ev(p[1]).union(_identity(store_dir, num_partitions)),
+                ["src", "dst"],
+                num_buckets=num_partitions,
+            )
+        raise ValueError(f"unknown path op {p!r}")
+
+    return ev(path)

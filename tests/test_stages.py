@@ -2552,3 +2552,115 @@ def test_inverted_index_matches_duckdb(ray_session):
         """
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(out[ref.columns], ref, check_dtype=True)
+
+
+def test_parse_path_precedence():
+    from p5_rdf_rdb2rdf_ray.stages.paths import parse_path
+
+    P, Q, R = "http://n/p", "http://n/q", "http://n/r"
+    assert parse_path(f"<{P}>") == ("pred", P)
+    # | binds loosest, / tighter, unary/postfix tightest
+    assert parse_path(f"<{P}>/<{Q}>|<{R}>") == (
+        "alt", ("seq", ("pred", P), ("pred", Q)), ("pred", R)
+    )
+    # ^ applies to the element INCLUDING its modifier (PathEltOrInverse)
+    assert parse_path(f"^<{P}>+") == ("inv", ("plus", ("pred", P)))
+    assert parse_path(f"(^<{P}>)/(<{Q}>|<{R}>)*") == (
+        "seq",
+        ("inv", ("pred", P)),
+        ("star", ("alt", ("pred", Q), ("pred", R))),
+    )
+    assert parse_path(f"!(<{P}>|<{Q}>)") == ("nps", [P, Q])
+    assert parse_path(f"!<{P}>?") == ("opt", ("nps", [P]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_path(f"<{P}>/")
+    with _pytest.raises(ValueError):
+        parse_path("p:q")  # CURIEs not accepted — fail loud
+
+
+def _path_store(tmp_path, rows):
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    t = pa.table(
+        {
+            "subj": [s for s, _, _, _ in rows],
+            "pred": [p for _, p, _, _ in rows],
+            "obj": [o for _, _, o, _ in rows],
+            "obj_kind": pa.array([k for _, _, _, k in rows], pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    store = str(tmp_path / "pathstore")
+    write_triplestore(rd.from_arrow(t), store, num_buckets=4)
+    return store
+
+
+def test_eval_path_algebra(ray_session, tmp_path):
+    """Full §9.1 algebra over a materialized store: seq keeps BAG
+    multiplicity (two mid nodes ⇒ duplicate pair), alt unions without
+    dedup, NPS filters predicates, ?/* add the zero-length identity
+    over EVERY graph term (literals included), and a literal whose
+    lexical form spells a node IRI never splices a sequence."""
+    from collections import Counter
+
+    from p5_rdf_rdb2rdf_ray.stages.paths import eval_path
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    P, Q = N + "p", N + "q"
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        # a -P-> m1 -Q-> z   and   a -P-> m2 -Q-> z  (duplicate (a,z))
+        (N + "a", P, N + "m1", I),
+        (N + "a", P, N + "m2", I),
+        (N + "m1", Q, N + "z", I),
+        (N + "m2", Q, N + "z", I),
+        # splice trap: d -P-> literal spelling e's IRI; e -Q-> f is real
+        (N + "d", P, N + "e", L),
+        (N + "e", Q, N + "f", I),
+    ]
+    store = _path_store(tmp_path, rows)
+
+    def pairs(path):
+        return Counter(
+            (r["src"], r["dst"])
+            for r in eval_path(store, path, num_partitions=4).take_all()
+        )
+
+    a, z = f"<{N}a>", f"<{N}z>"
+    # sequence: bag semantics — (a,z) appears TWICE (two mid nodes);
+    # the d → "…e" literal edge never joins e's outgoing Q edge
+    seq = pairs(f"<{P}>/<{Q}>")
+    assert seq == Counter({(a, z): 2})
+    # alternative: plain union, duplicates preserved (6 edges total)
+    alt = pairs(f"<{P}>|<{Q}>")
+    assert sum(alt.values()) == 6 and alt[(f"<{N}d>", f'"{N}e"')] == 1
+    # negated property set: everything but P = the Q edges
+    nps = pairs(f"!<{P}>")
+    assert set(nps) == {
+        (f"<{N}m1>", z), (f"<{N}m2>", z), (f"<{N}e>", f"<{N}f>")
+    }
+    # zero-or-one: Q edges + identity over ALL graph terms — subjects,
+    # IRI objects, and the literal term
+    opt = pairs(f"<{Q}>?")
+    terms = {
+        f"<{N}{x}>" for x in ("a", "m1", "m2", "z", "d", "e", "f")
+    } | {f'"{N}e"'}
+    assert opt == Counter(
+        {(t, t): 1 for t in terms}
+        | {(f"<{N}m1>", z): 1, (f"<{N}m2>", z): 1, (f"<{N}e>", f"<{N}f>"): 1}
+    )
+    # star == plus ∪ identity, and plus of the 2-hop chain closes a→z
+    star = pairs(f"(<{P}>|<{Q}>)*")
+    plus = pairs(f"(<{P}>|<{Q}>)+")
+    assert (a, z) in plus and all(v == 1 for v in plus.values())
+    assert star == plus | Counter({(t, t): 1 for t in terms})
+    # inverse of a sequence element: z reached backwards
+    inv = pairs(f"^<{Q}>")
+    assert (z, f"<{N}m1>") in inv and (z, f"<{N}m2>") in inv
