@@ -258,6 +258,33 @@ def q_approx_users_per_event(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_heavy_hitters_docs(sf_dir: str) -> rd.Dataset:
+    """Misra–Gries top-20 corpus words (`stages.sketches.
+    heavy_hitter_tokens`) — per-block token fold → MG(k) summaries →
+    bundled fan-in merge; NO vocabulary shuffle. k=4096 exceeds the
+    corpus vocabulary, so no truncation fires anywhere and the counts
+    are EXACT with err=0 — the SQL-checkable mode (truncated estimates
+    carry their bound in ``err``; the guarantee is pinned by
+    tests/test_stages.py::test_heavy_hitters_bounds)."""
+    from ..stages.sketches import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(
+        _read(sf_dir, "documents", ["text"]), k=4096, limit=20
+    )
+
+
+SQL_HEAVY_HITTERS_DOCS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS item
+  FROM documents
+)
+SELECT item, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+FROM toks GROUP BY item
+ORDER BY cnt DESC, item
+LIMIT 20
+"""
+
+
 def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
     """HyperLogLog estimate of the distinct-bigram vocabulary size —
     the shuffle-free scale companion of ``ngram_counts`` (rows-only:

@@ -53,6 +53,91 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q3-shaped composition: segment-filtered customers SEMI-join
+    orders, date-filtered lineitem INNER-joins the surviving orders
+    (both via `engine.joins.hash_join` — one co-hash shuffle each),
+    grouped revenue, then distributed top-10. Revenue is computed in
+    EXACT integer 1e-4 currency units (price and discount are
+    centi-integral), so the sum is order-independent and the driver
+    hash is deterministic — the float-sum form would depend on
+    reduction order."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..engine.joins import hash_join
+
+    CUT = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), CUT)),
+        batch_format="pyarrow",
+    )
+    building_orders = hash_join(
+        orders, cust, ["o_custkey"], ["c_custkey"],
+        num_partitions=8, join_type="left semi",
+    ).drop_columns(["o_custkey"])
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.greater(t.column("l_shipdate"), CUT))
+        price_c = pc.round(pc.multiply(s.column("l_extendedprice"), 100.0))
+        disc_c = pc.round(pc.multiply(s.column("l_discount"), 100.0))
+        rev = pc.multiply(
+            price_c.cast(pa.int64()),
+            pc.subtract(pa.scalar(100, pa.int64()), disc_c.cast(pa.int64())),
+        )
+        return pa.table(
+            {"l_orderkey": s.column("l_orderkey"), "rev_e4": rev}
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_rev, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, building_orders, ["l_orderkey"], ["o_orderkey"],
+        num_partitions=8, join_type="inner",
+    )
+    agg = grouped_aggregate(
+        joined,
+        keys=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        aggs={"revenue_e4": ("rev_e4", "sum")},
+        num_partitions=8,
+    )
+    return top_k(
+        agg, ["revenue_e4", "l_orderkey"], k=10, descending=[True, False]
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_purchase_events(sf_dir: str) -> rd.Dataset:
     """Filter + project with expression pushdown."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])

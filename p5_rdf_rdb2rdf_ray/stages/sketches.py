@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..engine.distinct import row_hash
@@ -381,4 +382,194 @@ def approx_quantiles(
             out_v.append(float(v[idx]))
     return pd.DataFrame(
         {"q": pd.Series(out_q, dtype="float64"), "value": out_v}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries / Space-Saving heavy hitters: the bounded-state answer to
+# "top words / top keys" that the exact path (ngram_counts: full keyed
+# shuffle) pays an all-to-all for. One MG(k) summary per block (≤ k
+# (item, count) pairs + one error scalar), bundled fan-in merges, ONE
+# tiny row at the root — the data columns never shuffle. Mergeability
+# per Agarwal et al., "Mergeable Summaries" (PODS'12): merge = counter
+# sum, then subtract the (k+1)-th largest count from everyone and drop
+# the non-positive; errors add.
+#
+# Guarantees (true count f, reported count c, reported error e):
+#   c ≤ f ≤ c + e  for every reported item, and every item with
+#   f > n/(k+1) is reported. With NO truncation anywhere (k ≥ distinct
+#   items in every block and bundle) counts are EXACT and e = 0 — the
+#   oracle-checkable mode. Truncated estimates depend on merge order
+#   (bounds always hold; byte-identity across layouts does not).
+# ---------------------------------------------------------------------------
+
+
+def mg_truncate(
+    items: list, cnts: np.ndarray, k: int
+) -> tuple[list, np.ndarray, int]:
+    """Keep at most ``k`` counters: subtract the (k+1)-th largest count
+    from all and drop the non-positive. Returns (items, counts,
+    subtracted) — ``subtracted`` adds to the summary's error bound."""
+    if len(items) <= k:
+        return items, cnts, 0
+    c = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
+    keep = cnts > c
+    return (
+        [it for it, m in zip(items, keep) if m],
+        cnts[keep] - c,
+        c,
+    )
+
+
+def _mg_summary_row(items: list, cnts: np.ndarray, err: int) -> pa.Table:
+    return pa.table(
+        {
+            "items": pa.array([list(map(str, items))], pa.list_(pa.string())),
+            "cnts": pa.array(
+                [np.asarray(cnts, np.int64)], pa.list_(pa.int64())
+            ),
+            "err": pa.array([err], pa.int64()),
+        }
+    )
+
+
+def _mg_merge_table(t: pa.Table, k: int) -> pa.Table:
+    """Merge a bundle of summary rows into one (the monoid op)."""
+    if t.num_rows == 0:
+        return _mg_summary_row([], np.zeros(0, np.int64), 0)
+    import polars as pl
+
+    d = pl.from_arrow(t.select(["items", "cnts"])).explode(["items", "cnts"])
+    d = (
+        d.drop_nulls("items")
+        .group_by("items")
+        .agg(pl.col("cnts").sum())
+        .sort("items")
+    )
+    items = d["items"].to_list()
+    cnts = d["cnts"].to_numpy().astype(np.int64)
+    err = int(pc.sum(t.column("err")).as_py() or 0)
+    items, cnts, sub = mg_truncate(items, cnts, k)
+    return _mg_summary_row(items, cnts, err + sub)
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    k: int = 256,
+    limit: int | None = None,
+    fan_in: int = 64,
+) -> rd.Dataset:
+    """Approximate top items of ``col`` → Dataset(item, cnt, err),
+    sorted by (cnt desc, item asc), at most ``limit`` rows (default
+    ``k``). ``cnt`` is a LOWER bound; the true count is ≤ cnt + err
+    (err is the summary-wide subtraction total). NULLs are skipped.
+
+    Shape: per-block exact value counts → MG(k) truncate (one ≤ k-pair
+    row per block) → bundled ``fan_in`` merges → one root row →
+    explode/sort. Nothing but k-sized summaries ever moves."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _mg_summary_row([], np.zeros(0, np.int64), 0)
+        d = (
+            pl.from_arrow(t.select([col]))
+            .rename({col: "items"})
+            .drop_nulls("items")
+            .group_by("items")
+            .len()
+            .sort("items")
+        )
+        items, cnts, sub = mg_truncate(
+            d["items"].to_list(), d["len"].to_numpy().astype(np.int64), k
+        )
+        return _mg_summary_row(items, cnts, sub)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = _mg_merge_table(t, k)
+        items = m.column("items").to_pylist()[0]
+        cnts = np.asarray(m.column("cnts").to_pylist()[0], np.int64)
+        err = int(m.column("err").to_pylist()[0])
+        order = np.lexsort((np.array(items, dtype=object), -cnts))
+        if limit is not None or k:
+            order = order[: (limit if limit is not None else k)]
+        return pa.table(
+            {
+                "item": pa.array([items[i] for i in order], pa.string()),
+                "cnt": pa.array(cnts[order], pa.int64()),
+                "err": pa.array(
+                    np.full(len(order), err, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    folded = partials.map_batches(
+        lambda t: _mg_merge_table(t, k),
+        batch_format="pyarrow",
+        batch_size=fan_in,
+    )
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def heavy_hitter_tokens(
+    docs: rd.Dataset,
+    k: int = 4096,
+    limit: int = 20,
+    text_col: str = "text",
+    lowercase: bool = True,
+    fan_in: int = 64,
+) -> rd.Dataset:
+    """Top words across a corpus without a vocabulary shuffle: each
+    block explodes its own lowercased ``\\S+`` tokens (the exploded
+    stream exists only inside the batch) and folds them straight into
+    an MG(k) summary. Same output/guarantees as :func:`heavy_hitters`.
+    """
+    import pandas as pd
+
+    from .vocab import _token_frame
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _mg_summary_row([], np.zeros(0, np.int64), 0)
+        e = _token_frame(df, text_col, lowercase)
+        d = (
+            e.drop_nulls("t")
+            .rename({"t": "items"})
+            .group_by("items")
+            .len()
+            .sort("items")
+        )
+        items, cnts, sub = mg_truncate(
+            d["items"].to_list(), d["len"].to_numpy().astype(np.int64), k
+        )
+        return _mg_summary_row(items, cnts, sub)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = _mg_merge_table(t, k)
+        items = m.column("items").to_pylist()[0]
+        cnts = np.asarray(m.column("cnts").to_pylist()[0], np.int64)
+        err = int(m.column("err").to_pylist()[0])
+        order = np.lexsort((np.array(items, dtype=object), -cnts))[:limit]
+        return pa.table(
+            {
+                "item": pa.array([items[i] for i in order], pa.string()),
+                "cnt": pa.array(cnts[order], pa.int64()),
+                "err": pa.array(
+                    np.full(len(order), err, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    folded = partials.map_batches(
+        lambda t: _mg_merge_table(t, k),
+        batch_format="pyarrow",
+        batch_size=fan_in,
+    )
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
     )

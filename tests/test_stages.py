@@ -2664,3 +2664,43 @@ def test_eval_path_algebra(ray_session, tmp_path):
     # inverse of a sequence element: z reached backwards
     inv = pairs(f"^<{Q}>")
     assert (z, f"<{N}m1>") in inv and (z, f"<{N}m2>") in inv
+
+
+def test_heavy_hitters_bounds(ray_session):
+    """Misra–Gries guarantees on a skewed stream with FORCED truncation
+    (tiny k, many blocks): for every reported item the true count f
+    satisfies cnt ≤ f ≤ cnt + err, and every item with
+    f > n/(k+1) is reported. Exact mode (k ≥ distinct) returns exact
+    counts with err = 0."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: a few heavy keys + a long tail
+    vals = (
+        ["hot_a"] * 4000 + ["hot_b"] * 2500 + ["hot_c"] * 1200
+        + [f"tail_{i}" for i in rng.integers(0, 800, 6000)]
+    )
+    rng.shuffle(vals)
+    true = Counter(vals)
+    n, k = len(vals), 16
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(20)
+
+    got = heavy_hitters(ds, "v", k=k, limit=k).take_all()
+    assert 0 < len(got) <= k
+    reported = {r["item"] for r in got}
+    for r in got:
+        f = true[r["item"]]
+        assert r["cnt"] <= f <= r["cnt"] + r["err"], (r, f)
+    for item, f in true.items():
+        if f > n / (k + 1):
+            assert item in reported, (item, f)
+
+    # exact mode: k ≥ distinct — no truncation, err 0, exact counts
+    exact = heavy_hitters(ds, "v", k=4096, limit=4096).take_all()
+    assert {(r["item"], r["cnt"]) for r in exact} == set(true.items())
+    assert all(r["err"] == 0 for r in exact)
