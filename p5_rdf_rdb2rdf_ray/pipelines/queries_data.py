@@ -224,6 +224,51 @@ def q_ngram_counts_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_collocations_docs(sf_dir: str) -> rd.Dataset:
+    """Top-20 PMI-lift collocations (`stages.vocab.collocations`):
+    two combiner-first count passes, vocabulary-sized joins, exact
+    integer counts, one bit-deterministic IEEE division for the score
+    (PMI = log2(lift); log omitted so the hash compare stays exact)."""
+    from ..stages.vocab import collocations
+
+    return collocations(
+        _read(sf_dir, "documents", ["text"]), k=20, min_count=5,
+        num_partitions=8,
+    )
+
+
+SQL_COLLOCATIONS_DOCS = r"""
+WITH arrs AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(arr) AS word FROM arrs) GROUP BY word
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+    SELECT arr[i] AS w1, arr[i+1] AS w2
+    FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) t
+  ) GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nu,
+         (SELECT CAST(sum(c12) AS DOUBLE) FROM big) AS nb
+)
+SELECT w1, w2, c12, c1, c2,
+       ((CAST(c12 AS DOUBLE) * nu) * nu)
+       / ((CAST(c1 AS DOUBLE) * c2) * nb) AS lift
+FROM big
+JOIN uni u1 ON big.w1 = u1.word
+JOIN uni u2 ON big.w2 = u2.word
+CROSS JOIN tot
+, LATERAL (SELECT u1.c AS c1, u2.c AS c2) x
+WHERE c12 >= 5
+ORDER BY lift DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_bpe_merges_docs(sf_dir: str):
     """Distributed BPE vocabulary learning: ONE corpus pass builds the
     distinct-word frequency table; merge rounds run over that (small)

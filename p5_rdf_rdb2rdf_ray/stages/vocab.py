@@ -500,3 +500,108 @@ def inverted_index(
         .repartition(num_partitions, keys=["term"])
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+def collocations(
+    ds: rd.Dataset,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: int = 32,
+    lowercase: bool = True,
+) -> rd.Dataset:
+    """PMI-style collocation mining → top-``k``
+    ``(w1, w2, c12, c1, c2, lift)`` bigrams by association lift
+    ``(c12/Nb) / ((c1/Nu)·(c2/Nu))`` (PMI = log2(lift) — the log is
+    monotone, so ranking by lift IS ranking by PMI while keeping the
+    score a single IEEE division of exactly-represented integers:
+    multiplication/division are exact-rounded and bit-deterministic
+    across engines, unlike transcendental log implementations, so the
+    score is SQL-hash-comparable).
+
+    Shape: two ``ngram_counts`` passes (combiner + one keyed shuffle
+    each) → the aggregated unigram/bigram tables are VOCABULARY-sized
+    (≪ corpus) and are materialized once in the object store (each is
+    consumed twice: total + join) → two co-hash joins attach c1/c2 →
+    per-block lift + distributed top-k. ``Nb`` counts ALL bigrams
+    (before the ``min_count`` support filter), per the standard PMI
+    estimator."""
+    import pyarrow.compute as _pc
+
+    from ..engine.joins import hash_join
+    from .groupagg import top_k
+
+    uni = ngram_counts(
+        ds, n=1, text_col=text_col,
+        num_partitions=num_partitions, lowercase=lowercase,
+    ).materialize()
+    big = ngram_counts(
+        ds, n=2, text_col=text_col,
+        num_partitions=num_partitions, lowercase=lowercase,
+    ).materialize()
+    n_uni = float(uni.sum("count") or 0)
+    n_big = float(big.sum("count") or 0)
+
+    def split_b(t: pa.Table) -> pa.Table:
+        s = t.filter(
+            _pc.greater_equal(t.column("count"), min_count)
+        )
+        ng = s.column("ngram").combine_chunks()
+        parts = _pc.split_pattern(ng, " ")
+        return pa.table(
+            {
+                "w1": _pc.list_element(parts, 0)
+                if s.num_rows
+                else pa.array([], pa.string()),
+                "w2": _pc.list_element(parts, 1)
+                if s.num_rows
+                else pa.array([], pa.string()),
+                "c12": s.column("count"),
+            }
+        )
+
+    pairs = big.map_batches(split_b, batch_format="pyarrow")
+    u1 = uni.map_batches(
+        lambda t: pa.table(
+            {"u1_w": t.column("ngram"), "c1": t.column("count")}
+        ),
+        batch_format="pyarrow",
+    )
+    u2 = uni.map_batches(
+        lambda t: pa.table(
+            {"u2_w": t.column("ngram"), "c2": t.column("count")}
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        pairs, u1, ["w1"], ["u1_w"],
+        num_partitions=num_partitions, join_type="inner",
+    )
+    j = hash_join(
+        j, u2, ["w2"], ["u2_w"],
+        num_partitions=num_partitions, join_type="inner",
+    )
+
+    def lift_fn(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").cast(pa.float64())
+        c1 = t.column("c1").cast(pa.float64())
+        c2 = t.column("c2").cast(pa.float64())
+        # fixed association: ((c12·Nu)·Nu) / ((c1·c2)·Nb) — the SQL twin
+        # spells the identical tree, so the doubles match bit-for-bit
+        num = _pc.multiply(_pc.multiply(c12, n_uni), n_uni)
+        den = _pc.multiply(_pc.multiply(c1, c2), n_big)
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "c12": t.column("c12"),
+                "c1": t.column("c1"),
+                "c2": t.column("c2"),
+                "lift": _pc.divide(num, den),
+            }
+        )
+
+    lifted = j.map_batches(lift_fn, batch_format="pyarrow")
+    return top_k(
+        lifted, ["lift", "w1", "w2"], k=k, descending=[True, False, False]
+    )
