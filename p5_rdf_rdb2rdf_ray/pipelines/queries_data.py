@@ -1192,6 +1192,44 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_uniform_k_docs(sf_dir: str) -> rd.Dataset:
+    """EXACT-k deterministic uniform sample (`stages.sample.
+    uniform_k_sample`): fmix32-hash-ranked, per-block prune + one tiny
+    merge — no RNG, no full sort; bit-exact SQL twin."""
+    from ..stages.sample import uniform_k_sample
+
+    return uniform_k_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), k=12, seed=7
+    )
+
+
+SQL_UNIFORM_K_DOCS = f"""
+SELECT doc_id, lang, smp_h FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=7, src="(SELECT doc_id, lang FROM documents)")}
+) ORDER BY smp_h, doc_id LIMIT 12
+"""
+
+
+def q_per_lang_k_docs(sf_dir: str) -> rd.Dataset:
+    """Exact k-PER-GROUP deterministic sample (`stages.sample.
+    grouped_k_sample`): 3 docs per language, hash-ranked — block-wise
+    per-group prune, ONE keyed shuffle, exact per-group head."""
+    from ..stages.sample import grouped_k_sample
+
+    return grouped_k_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        k=3, group_col="lang", seed=7, num_partitions=8,
+    )
+
+
+SQL_PER_LANG_K_DOCS = f"""
+SELECT doc_id, lang, smp_h FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=7, src="(SELECT doc_id, lang FROM documents)")}
+)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY smp_h, doc_id) <= 3
+"""
+
+
 def q_importance_sample_docs(sf_dir: str) -> rd.Dataset:
     """Per-ROW importance sampling: longer documents keep with higher
     probability (rate = min(1, n_chars/2000)); deterministic fmix32

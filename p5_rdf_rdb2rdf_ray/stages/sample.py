@@ -152,3 +152,65 @@ def mix_corpora(
     ]
     out = parts[0]
     return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def _with_sample_hash(
+    ds: rd.Dataset, key_col: str, seed: int
+) -> rd.Dataset:
+    def add_h(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("smp_h", pa.array([], pa.int64()))
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        # fmix32 < 2^32 always fits int64 (signed, SQL-friendly)
+        h = fmix32(keys, seed).astype(np.int64)
+        return t.append_column("smp_h", pa.array(h, pa.int64()))
+
+    return ds.map_batches(add_h, batch_format="pyarrow")
+
+
+def uniform_k_sample(
+    ds: rd.Dataset,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """EXACT-k deterministic uniform sample: rows are ranked by
+    ``fmix32(key)`` and the k smallest hashes win (hash order is a
+    uniform random permutation of keys, but a pure function of them —
+    re-runs, resumed partitions and other stages all agree on the
+    sample; a rate-based ``hash_sample`` cannot hit an exact count).
+    Output keeps the ``smp_h`` rank column. Distributed as per-block
+    prune + one ≤ blocks×k merge (``top_k``) — no full sort, no RNG,
+    no driver loop. Ties on the (unique-per-key) hash break by key."""
+    from .groupagg import top_k
+
+    return top_k(
+        _with_sample_hash(ds, key_col, seed),
+        ["smp_h", key_col],
+        k=k,
+        descending=False,
+    )
+
+
+def grouped_k_sample(
+    ds: rd.Dataset,
+    k: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact k-PER-GROUP deterministic sample (balanced eval subsets,
+    per-language spot-check corpora): hash-ranked like
+    :func:`uniform_k_sample`, pruned per group block-wise, then ONE
+    keyed shuffle and an exact per-group head (``grouped_top_k``)."""
+    from .groupagg import grouped_top_k
+
+    return grouped_top_k(
+        _with_sample_hash(ds, key_col, seed),
+        [group_col],
+        ["smp_h", key_col],
+        k=k,
+        descending=False,
+        num_partitions=num_partitions,
+    )
