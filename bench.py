@@ -185,6 +185,14 @@ BENCH_QUERIES = [
     "bpe_merges_docs",
     "graph_diff_events",
     "path_reach_docs",
+    "path_seq_nation",
+    "path_alt_region",
+    "path_star_nation",
+    "heavy_hitters_docs",
+    "collocations_docs",
+    "shipping_priority",
+    "uniform_k_docs",
+    "per_lang_k_docs",
     "bgp_store",
     "store_contexts",
 ]
