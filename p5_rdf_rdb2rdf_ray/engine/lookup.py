@@ -796,6 +796,7 @@ def get_pattern_store(
     not_exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
     bind: list[tuple] | None = None,
+    paths: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -817,6 +818,15 @@ def get_pattern_store(
         return store_statements(store_dir, **kwargs)
 
     units, rest = _store_star_groups(store_dir, patterns, filters=filters)
+    if paths:
+        # §9.1 property-path items: each becomes one binding unit whose
+        # relation is the distributed path evaluation (seq = one co-hash
+        # join, closures = path doubling); folds with the ordinary
+        # patterns on shared variables like any other side
+        units = list(units) + [
+            _path_unit(store_dir, s, p, o, num_partitions)
+            for (s, p, o) in paths
+        ]
     if values:
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     o_units, o_rest = (
@@ -1359,6 +1369,172 @@ def _values_unit(
         }
     )
     return rd.from_arrow(t), names, set(names)
+
+
+def _path_can_literal(p, end: str) -> bool:
+    """Static endpoint analysis for a path AST: can the ``src``/``dst``
+    endpoint of its relation bind a LITERAL term?  Forward edges start
+    at subjects (never literals); inverse swaps the question; the
+    zero-length forms (`*`, `?`) include the §18.4 all-graph-terms
+    identity, which contains literals on BOTH ends.  Decides whether a
+    path unit's endpoint variable carries a ``__k_`` term-kind column
+    (kind visibility must match the sharing side — see
+    :func:`_bgp_join`'s mixed-pair restriction)."""
+    op = p[0]
+    if op in ("pred", "nps"):
+        return end == "dst"
+    if op == "inv":
+        return _path_can_literal(p[1], "src" if end == "dst" else "dst")
+    if op == "seq":
+        return _path_can_literal(p[1] if end == "src" else p[2], end)
+    if op == "alt":
+        return _path_can_literal(p[1], end) or _path_can_literal(p[2], end)
+    if op == "plus":
+        return _path_can_literal(p[1], end)
+    if op in ("star", "opt"):
+        return True
+    raise ValueError(f"unknown path op {p!r}")
+
+
+def _parse_nt_terms(arr: pa.Array):
+    """Vectorized single-term N-Triples parse: ``<iri>`` → iri,
+    ``_:label`` → label as-is, ``"lex"[@lang|^^<dt>]`` → unescaped
+    lexical form.  → (lexical: pa.Array[string], kind: pa.Array[uint8]).
+    Language/datatype suffixes are dropped — BGP bindings carry the
+    lexical form + kind, same as the store pivot's object columns."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sinks.ntriples import _unescape_nt
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+    s = pd.Series(arr.to_pylist(), dtype="object")
+    is_lit = s.str.startswith('"')
+    is_bn = s.str.startswith("_:")
+    kind = np.where(
+        is_lit, KIND_LITERAL, np.where(is_bn, KIND_BNODE, KIND_IRI)
+    ).astype("uint8")
+    lex = s.copy()
+    lex[~is_lit & ~is_bn] = s[~is_lit & ~is_bn].str.slice(1, -1)  # <iri>
+    if is_lit.any():
+        body = s[is_lit].str.extract(r'^"((?:[^"\\]|\\.)*)"', expand=False)
+        esc = body.str.contains("\\", regex=False)
+        if esc.any():
+            body = body.copy()
+            body[esc] = body[esc].map(_unescape_nt)
+        lex[is_lit] = body
+    return pa.array(lex, pa.string()), pa.array(kind, pa.uint8())
+
+
+def _path_unit(
+    store_dir: str,
+    s_term,
+    path,
+    o_term,
+    num_partitions: int,
+) -> tuple[rd.Dataset, list[str], set[str]] | None:
+    """A SPARQL §9.1 property-path item as a BGP binding unit
+    [graft extension — paths compose with ordinary triple patterns]:
+    the path relation (``stages.paths.eval_path`` over the materialized
+    store) parses back into binding columns; bound endpoints filter the
+    relation (their N-Triples form compares in one vectorized pass);
+    endpoint kind columns appear only where the path can actually bind
+    a literal (:func:`_path_can_literal`), so sharing a variable with a
+    subject position joins cleanly.  Returns None when both endpoints
+    are bound and at least one solution exists is all that matters —
+    callers get a 0/1-row unit instead."""
+    from ..stages.paths import eval_path, parse_path
+    from ..terms import KIND_LITERAL
+
+    if isinstance(path, str):
+        path = parse_path(path)
+    rel = eval_path(store_dir, path, num_partitions=num_partitions)
+
+    def fmt_bound(term) -> str:
+        if isinstance(term, tuple) and len(term) == 2 and term[0] == "lit":
+            from ..functions.scalars import ntriples_escape
+
+            return f'"{ntriples_escape(str(term[1]))}"'
+        if isinstance(term, str):
+            return term if term.startswith("_:") else f"<{term}>"
+        raise ValueError(f"unsupported path endpoint {term!r}")
+
+    s_var = isinstance(s_term, str) and s_term.startswith("?")
+    o_var = isinstance(o_term, str) and o_term.startswith("?")
+    names: list[str] = []
+    kinds: set[str] = set()
+
+    def project(t: pa.Table) -> pa.Table:
+        # bound endpoints: one vectorized equality on the NT form;
+        # literal bounds compare lexical+kind (datatype-insensitive,
+        # matching store_statements' obj_literal semantics)
+        if not s_var:
+            want = fmt_bound(s_term)
+            if want.startswith('"'):
+                lex, kd = _parse_nt_terms(t.column("src").combine_chunks())
+                m = pc.and_(
+                    pc.equal(kd, KIND_LITERAL),
+                    pc.equal(lex, want[1:-1]),
+                )
+            else:
+                m = pc.equal(t.column("src"), want)
+            t = t.filter(pc.fill_null(m, False))
+        if not o_var:
+            want = fmt_bound(o_term)
+            if want.startswith('"'):
+                lex, kd = _parse_nt_terms(t.column("dst").combine_chunks())
+                m = pc.and_(
+                    pc.equal(kd, KIND_LITERAL),
+                    pc.equal(lex, want[1:-1]),
+                )
+            else:
+                m = pc.equal(t.column("dst"), want)
+            t = t.filter(pc.fill_null(m, False))
+        if s_var and o_var and s_term == o_term:
+            t = t.filter(
+                pc.fill_null(pc.equal(t.column("src"), t.column("dst")), False)
+            )
+        cols: dict[str, pa.Array] = {}
+        if s_var:
+            lex, kd = _parse_nt_terms(t.column("src").combine_chunks())
+            n = s_term.lstrip("?")
+            cols[n] = lex
+            if _path_can_literal(path, "src"):
+                cols[f"__k_{n}"] = kd
+        if o_var and not (s_var and s_term == o_term):
+            lex, kd = _parse_nt_terms(t.column("dst").combine_chunks())
+            n = o_term.lstrip("?")
+            cols[n] = lex
+            if _path_can_literal(path, "dst"):
+                cols[f"__k_{n}"] = kd
+        if not cols:
+            # fully-bound path probe: contributes existence only
+            return pa.table(
+                {"__path_probe": pa.nulls(t.num_rows, pa.uint8())}
+            )
+        return pa.table(cols)
+
+    ds = rel.map_batches(project, batch_format="pyarrow")
+    if s_var:
+        n = s_term.lstrip("?")
+        names.append(n)
+        if _path_can_literal(path, "src"):
+            kinds.add(n)
+    if o_var and not (s_var and s_term == o_term):
+        n = o_term.lstrip("?")
+        names.append(n)
+        if _path_can_literal(path, "dst"):
+            kinds.add(n)
+    if not names:
+        # both bound: reduce to a 0/1-row unit (existence gate)
+        one = ds.limit(1).map_batches(
+            lambda t: pa.table(
+                {"__path_probe": pa.nulls(t.num_rows, pa.uint8())}
+            ),
+            batch_format="pyarrow",
+        )
+        return one, ["__path_probe"], set()
+    return ds, names, kinds
 
 
 def _bgp_acc(

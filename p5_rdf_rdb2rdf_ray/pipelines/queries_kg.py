@@ -641,6 +641,36 @@ FROM nation
 """
 
 
+def q_bgp_path(sf_dir: str) -> rd.Dataset:
+    """Property-path item COMPOSED with an ordinary triple pattern
+    [graft extension — `get_pattern_store(paths=…)`]: ``?n <n_name> ?nm``
+    joins on ``?n`` with the sequence path
+    ``?n <ref-n_regionkey>/<region#r_name> ?rn`` — the path relation
+    (one co-hash composition join) folds into the BGP like any other
+    binding unit, endpoint term kinds derived statically."""
+    from ..engine.lookup import get_pattern_store
+
+    store = _nation_region_store(sf_dir)
+    return get_pattern_store(
+        store,
+        [("?n", BASE + "nation#n_name", "?nm")],
+        paths=[
+            (
+                "?n",
+                f"<{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name>",
+                "?rn",
+            )
+        ],
+    )
+
+
+SQL_BGP_PATH = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       n_name AS nm, r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_bgp_optional(sf_dir: str) -> rd.Dataset:
     """BGP with an OPTIONAL (left-outer) group [graft extension]: every
     customer keeps its row; the nation-key binding appears only where

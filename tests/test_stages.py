@@ -2704,3 +2704,77 @@ def test_heavy_hitters_bounds(ray_session):
     exact = heavy_hitters(ds, "v", k=4096, limit=4096).take_all()
     assert {(r["item"], r["cnt"]) for r in exact} == set(true.items())
     assert all(r["err"] == 0 for r in exact)
+
+
+def test_bgp_path_unit_composition(ray_session, tmp_path):
+    """Property-path items inside the store BGP planner: a path with a
+    BOUND source endpoint filters the relation; a shared variable joins
+    path bindings against ordinary pattern bindings; a fully-bound path
+    acts as an existence probe (1-row cross unit when satisfied, empty
+    otherwise); literal-capable endpoints carry term-kind columns so a
+    literal spelling an IRI never joins it."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern_store
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    P, Q, NAME = N + "p", N + "q", N + "name"
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        (N + "a", P, N + "b", I),
+        (N + "b", Q, N + "c", I),
+        (N + "a", NAME, "alpha", L),
+        (N + "c", NAME, "gamma", L),
+        # literal trap: spells b's IRI but is a literal
+        (N + "x", P, N + "b", L),
+    ]
+    store = _path_store(tmp_path, rows)
+
+    # seq path ?s <p>/<q> ?o joined with ?s <name> ?nm on shared ?s;
+    # x must NOT reach c (its p-edge object is a literal)
+    got = get_pattern_store(
+        store,
+        [("?s", NAME, "?nm")],
+        paths=[("?s", f"<{P}>/<{Q}>", "?o")],
+        num_partitions=4,
+    ).take_all()
+    assert [(r["s"], r["nm"], r["o"]) for r in got] == [
+        (N + "a", "alpha", N + "c")
+    ]
+
+    # bound source endpoint: (a, <p>+, ?o)
+    got = get_pattern_store(
+        store, [], paths=[(N + "a", f"<{P}>+", "?o")], num_partitions=4
+    ).take_all()
+    assert {r["o"] for r in got} == {N + "b"}
+
+    # bound literal object: ?s reaches the literal "alpha" via <name>
+    got = get_pattern_store(
+        store, [], paths=[("?s", f"<{NAME}>", ("lit", "alpha"))],
+        num_partitions=4,
+    ).take_all()
+    assert {r["s"] for r in got} == {N + "a"}
+
+    # fully bound: existence probe gates the other pattern
+    sat = get_pattern_store(
+        store,
+        [("?s", NAME, "?nm")],
+        paths=[(N + "a", f"<{P}>/<{Q}>", N + "c")],
+        num_partitions=4,
+    ).take_all()
+    assert len(sat) == 2  # both name bindings survive the probe
+    unsat = get_pattern_store(
+        store,
+        [("?s", NAME, "?nm")],
+        paths=[(N + "a", f"<{P}>/<{Q}>", N + "b")],
+        num_partitions=4,
+    ).take_all()
+    assert unsat == []
+
+    # literal-capable endpoint carries kinds: ?o of <p> can be literal —
+    # keep_kinds exposes __k_o and distinguishes x's literal edge
+    got = get_pattern_store(
+        store, [], paths=[("?s", f"<{P}>", "?o")],
+        num_partitions=4, keep_kinds=True,
+    ).take_all()
+    kinds = {(r["s"], r["o"]): r["__k_o"] for r in got}
+    assert kinds[(N + "a", N + "b")] == I and kinds[(N + "x", N + "b")] == L
