@@ -641,6 +641,29 @@ FROM nation
 """
 
 
+def q_path_dm_customer(sf_dir: str) -> rd.Dataset:
+    """Property path over the Direct-Mapping VIRTUAL graph — NO
+    materialized store: ``eval_path((catalog, base), …)`` compiles each
+    path leaf to a single-column DM scan (`engine.lookup.
+    get_statements` with the predicate bound), here the two-hop FK walk
+    customer → nation → region as one sequence composition join."""
+    from ..stages.paths import eval_path
+
+    cat = catalog_for(sf_dir)
+    return eval_path(
+        (cat, BASE),
+        f"<{BASE}customer#ref-c_nationkey>/<{BASE}nation#ref-n_regionkey>",
+        num_partitions=8,
+    )
+
+
+SQL_PATH_DM_CUSTOMER = f"""
+SELECT '<{BASE}customer/c_custkey=' || c_custkey || '>' AS src,
+       '<{BASE}region/r_regionkey=' || n_regionkey || '>' AS dst
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 def q_bgp_path(sf_dir: str) -> rd.Dataset:
     """Property-path item COMPOSED with an ordinary triple pattern
     [graft extension — `get_pattern_store(paths=…)`]: ``?n <n_name> ?nm``

@@ -363,19 +363,34 @@ def parse_path(expr: str):
     return ast
 
 
+def _source_statements(source, predicate: str | None = None) -> rd.Dataset:
+    """Graph-source dispatch: a string is a materialized-store directory
+    (``store_statements`` — bucket pruning + parquet filters); a
+    ``(catalog, base)`` tuple is the Direct-Mapping VIRTUAL graph
+    (``engine.lookup.get_statements`` — the bound predicate compiles
+    only that column's triples map, so a path leaf scans one column)."""
+    if isinstance(source, str):
+        from ..sinks.triplestore import store_statements
+
+        return store_statements(source, predicate=predicate)
+    catalog, base = source
+    from ..engine.lookup import get_statements
+
+    return get_statements(catalog, predicate=predicate, base=base)
+
+
 def _rel_edges(
-    store_dir: str,
+    source,
     predicate: str | None = None,
     exclude: Sequence[str] | None = None,
 ) -> rd.Dataset:
-    """One-hop path relation from the store: (src, dst) as N-Triples
-    term strings.  ``predicate`` prunes with the store's parquet filter
+    """One-hop path relation from the graph source: (src, dst) as
+    N-Triples term strings.  ``predicate`` prunes with the source's
     pushdown; ``exclude`` is the negated-property-set filter (applied
     batch-wise — NPS has no single-predicate pushdown by nature)."""
     from ..sinks.ntriples import format_terms_batch
-    from ..sinks.triplestore import store_statements
 
-    trips = store_statements(store_dir, predicate=predicate)
+    trips = _source_statements(source, predicate=predicate)
     ex = list(exclude or [])
 
     def f(t: pa.Table) -> pa.Table:
@@ -390,12 +405,11 @@ def _rel_edges(
     return trips.map_batches(f, batch_format="pyarrow")
 
 
-def _graph_terms(store_dir: str, num_partitions: int) -> rd.Dataset:
+def _graph_terms(source, num_partitions: int) -> rd.Dataset:
     """All terms in the graph (distinct formatted subjects ∪ objects) —
     the zero-length-path node set per SPARQL §18.4."""
     from ..engine.distinct import distinct_rows
     from ..sinks.ntriples import format_terms_batch
-    from ..sinks.triplestore import store_statements
 
     def f(t: pa.Table) -> pa.Table:
         ft = format_terms_batch(t)
@@ -406,7 +420,7 @@ def _graph_terms(store_dir: str, num_partitions: int) -> rd.Dataset:
             ]
         )
 
-    nodes = store_statements(store_dir).map_batches(f, batch_format="pyarrow")
+    nodes = _source_statements(source).map_batches(f, batch_format="pyarrow")
     return distinct_rows(nodes, ["t"], num_buckets=num_partitions)
 
 
@@ -439,16 +453,18 @@ def _compose(
 
 
 def eval_path(
-    store_dir: str,
+    store_dir,
     path,
     num_partitions: int = 8,
     max_rounds: int = 16,
 ) -> rd.Dataset:
-    """Evaluate a SPARQL §9.1 property-path expression over a
-    materialized triple store → lazy Dataset(src, dst) of N-Triples
-    term strings (see the algebra notes above for representation and
-    cardinality).  ``path`` is a tuple AST or a path-syntax string
-    (parsed with :func:`parse_path`).
+    """Evaluate a SPARQL §9.1 property-path expression over a graph
+    source — a materialized-store directory, or a ``(catalog, base)``
+    tuple for the Direct-Mapping VIRTUAL graph (no store needed; path
+    leaves compile to single-column DM scans) — → lazy
+    Dataset(src, dst) of N-Triples term strings (see the algebra notes
+    above for representation and cardinality).  ``path`` is a tuple AST
+    or a path-syntax string (parsed with :func:`parse_path`).
 
     Scale shape: leaves are predicate-pruned store scans; ``seq`` is
     one co-hash shuffle; ``alt`` a block union; ``+``/``*`` run the
