@@ -1192,6 +1192,49 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_corr_docs(sf_dir: str) -> rd.Dataset:
+    """Single-pass Pearson correlation between document length
+    (n_chars) and whitespace token count (`stages.profile.pearson_corr`
+    — six integer partials per block, exact Python-int fold, one fixed
+    IEEE expression tree for the float so the SQL hash matches)."""
+    import pandas as pd
+
+    from ..stages.profile import pearson_corr
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": df["n_chars"].astype("int64"),
+                "y": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["n_chars", "text"]).map_batches(
+        xy, batch_format="pandas"
+    )
+    return pearson_corr(docs, "x", "y")
+
+
+SQL_CORR_DOCS = r"""
+WITH t AS (
+  SELECT CAST(n_chars AS HUGEINT) AS x,
+         CAST(len(regexp_extract_all(text, '\S+')) AS HUGEINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM m
+"""
+
+
 def q_uniform_k_docs(sf_dir: str) -> rd.Dataset:
     """EXACT-k deterministic uniform sample (`stages.sample.
     uniform_k_sample`): fmix32-hash-ranked, per-block prune + one tiny

@@ -182,3 +182,70 @@ def zscore_column(
     keep = (id_cols + [col]) if id_cols else None
     src = ds.select_columns(keep) if keep else ds
     return src.map_batches(Z, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def pearson_corr(
+    ds: rd.Dataset,
+    x: str,
+    y: str,
+) -> rd.Dataset:
+    """Pearson correlation of two INTEGER columns in ONE pass → a
+    one-row Dataset ``(n:int64, r:float64)``.
+
+    Same exact-moment discipline as :func:`zscore_column`: each block
+    ships six integer partials ``(n, Σx, Σy, Σx², Σy², Σxy)`` (checked
+    64-bit products — overflow raises rather than wrapping), the driver
+    folds them as Python ints (arbitrary precision, no float
+    accumulation order), and the final float is the fixed IEEE tree
+    ``(N·Σxy − Σx·Σy) / (√(N·Σx² − Σx²ᵗᵒᵗ) · √(N·Σy² − Σy²ᵗᵒᵗ))`` —
+    mirror the identical expression shape in the SQL twin (HUGEINT
+    arithmetic, one cast to DOUBLE per operand) and the doubles match
+    bit-for-bit. Integer-only input is a hard requirement."""
+    import math
+
+    def moments(t: pa.Table) -> pa.Table:
+        ax, ay = t.column(x), t.column(y)
+        if not (pa.types.is_integer(ax.type) and pa.types.is_integer(ay.type)):
+            raise TypeError(
+                f"pearson_corr needs integer columns, got {ax.type}/{ay.type}"
+            )
+        if ax.null_count or ay.null_count:
+            raise ValueError("pearson_corr: NULLs not supported — filter first")
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sx": pa.array([pc.sum(ax).as_py() or 0], pa.int64()),
+                "sy": pa.array([pc.sum(ay).as_py() or 0], pa.int64()),
+                "sxx": pa.array(
+                    [pc.sum(pc.multiply_checked(ax, ax)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "syy": pa.array(
+                    [pc.sum(pc.multiply_checked(ay, ay)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "sxy": pa.array(
+                    [pc.sum(pc.multiply_checked(ax, ay)).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = sum(p["n"] for p in parts)
+    sx = sum(p["sx"] for p in parts)
+    sy = sum(p["sy"] for p in parts)
+    sxx = sum(p["sxx"] for p in parts)
+    syy = sum(p["syy"] for p in parts)
+    sxy = sum(p["sxy"] for p in parts)
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy)
+    )
+    r = num / den if den else float("nan")
+    return rd.from_arrow(
+        pa.table({"n": pa.array([n], pa.int64()),
+                  "r": pa.array([r], pa.float64())})
+    )
