@@ -1192,6 +1192,72 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_fuzzy_names_customers(sf_dir: str) -> rd.Dataset:
+    """Blocked fuzzy (edit-distance) join (`stages.fuzzy.fuzzy_join`):
+    customer names against a deterministically-perturbed copy
+    (``m → n``, distance 1), blocked on the last-6-char key — ONE
+    co-hash shuffle, per-block batched Levenshtein DP (numpy across
+    all pairs, no per-pair Python)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.fuzzy import fuzzy_join
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+    pert = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "p_name": pc.replace_substring(
+                    t.column("c_name").combine_chunks(), "m", "n"
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return fuzzy_join(
+        cust, pert, "c_name", "p_name",
+        max_dist=2, block_last=6, num_partitions=8,
+    )
+
+
+SQL_FUZZY_NAMES_CUSTOMERS = """
+WITH r AS (SELECT replace(c_name, 'm', 'n') AS p_name FROM customer)
+SELECT c_name, p_name,
+       CAST(levenshtein(c_name, p_name) AS BIGINT) AS dist
+FROM customer JOIN r ON right(c_name, 6) = right(p_name, 6)
+WHERE levenshtein(c_name, p_name) <= 2
+"""
+
+
+def q_json_props_events(sf_dir: str) -> rd.Dataset:
+    """Vectorized JSON field extraction (`stages.jsonx.
+    json_extract_fields`: polars Rust JSON path match, map-only) from
+    the events ``props`` payload column, composed with a grouped
+    aggregate — the semi-structured-column ingestion shape."""
+    from ..stages.groupagg import grouped_aggregate
+    from ..stages.jsonx import json_extract_fields
+
+    ev = json_extract_fields(
+        _read(sf_dir, "events", ["event_type", "props"]),
+        "props",
+        {"k": ("$.k", "int64")},
+    )
+    return grouped_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={"sum_k": ("k", "sum"), "n": ("k", "count")},
+        num_partitions=4,
+    )
+
+
+SQL_JSON_PROPS_EVENTS = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(props->>'$.k') AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_corr_docs(sf_dir: str) -> rd.Dataset:
     """Single-pass Pearson correlation between document length
     (n_chars) and whitespace token count (`stages.profile.pearson_corr`

@@ -2778,3 +2778,69 @@ def test_bgp_path_unit_composition(ray_session, tmp_path):
     ).take_all()
     kinds = {(r["s"], r["o"]): r["__k_o"] for r in got}
     assert kinds[(N + "a", N + "b")] == I and kinds[(N + "x", N + "b")] == L
+
+
+def test_levenshtein_batch_matches_reference():
+    """Batched numpy DP == the textbook per-pair DP, including empty
+    strings, unicode, and unequal lengths."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_ray.stages.fuzzy import levenshtein_batch
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcdeü∂")
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting")]
+    for _ in range(200):
+        a = "".join(rng.choice(alpha, rng.integers(0, 12)))
+        b = "".join(rng.choice(alpha, rng.integers(0, 12)))
+        pairs.append((a, b))
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [ref(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_fuzzy_join_blocked(ray_session):
+    """Blocked fuzzy join: matches within the block and max_dist; an
+    edit INSIDE the blocking suffix is missed (the documented blocking
+    trade-off), a too-distant pair is dropped."""
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.stages.fuzzy import fuzzy_join
+
+    left = rd.from_arrow(
+        pa.table({"a": ["hello world", "foo bar", "same suffix"]})
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "b": [
+                    "hallo world",    # dist 1, same last-6 "⊃ world"
+                    "foo bat",        # edit in the suffix → different block
+                    "sane suffix",    # dist 1, same suffix
+                    "xxxx suffix",    # same block, dist 4 → dropped
+                ]
+            }
+        )
+    )
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_join(
+            left, right, "a", "b", max_dist=2, block_last=6,
+            num_partitions=4,
+        ).take_all()
+    }
+    assert got == {
+        ("hello world", "hallo world", 1),
+        ("same suffix", "sane suffix", 1),
+    }
