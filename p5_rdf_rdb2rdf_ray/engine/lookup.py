@@ -606,6 +606,7 @@ def get_pattern(
     not_exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
     bind: list[tuple] | None = None,
+    paths: list[tuple] | None = None,
     order_by: list | None = None,
     limit: int | None = None,
     offset: int = 0,
@@ -641,6 +642,13 @@ def get_pattern(
         )
 
     units, rest = _star_groups(catalog, patterns, base, filters=filters)
+    if paths:
+        # §9.1 property-path items over the DM VIRTUAL graph — the path
+        # evaluator's (catalog, base) source; folds like any other unit
+        units = list(units) + [
+            _path_unit((catalog, base), s, p, o, num_partitions)
+            for (s, p, o) in paths
+        ]
     if values:
         # VALUES folds LAST: the inline table is tiny and must join
         # into the accumulator as a broadcast side — putting it first
@@ -1427,7 +1435,7 @@ def _parse_nt_terms(arr: pa.Array):
 
 
 def _path_unit(
-    store_dir: str,
+    source,
     s_term,
     path,
     o_term,
@@ -1435,8 +1443,9 @@ def _path_unit(
 ) -> tuple[rd.Dataset, list[str], set[str]] | None:
     """A SPARQL §9.1 property-path item as a BGP binding unit
     [graft extension — paths compose with ordinary triple patterns]:
-    the path relation (``stages.paths.eval_path`` over the materialized
-    store) parses back into binding columns; bound endpoints filter the
+    the path relation (``stages.paths.eval_path`` over ``source`` — a
+    store directory or the ``(catalog, base)`` DM virtual graph)
+    parses back into binding columns; bound endpoints filter the
     relation (their N-Triples form compares in one vectorized pass);
     endpoint kind columns appear only where the path can actually bind
     a literal (:func:`_path_can_literal`), so sharing a variable with a
@@ -1448,7 +1457,7 @@ def _path_unit(
 
     if isinstance(path, str):
         path = parse_path(path)
-    rel = eval_path(store_dir, path, num_partitions=num_partitions)
+    rel = eval_path(source, path, num_partitions=num_partitions)
 
     def fmt_bound(term) -> str:
         if isinstance(term, tuple) and len(term) == 2 and term[0] == "lit":

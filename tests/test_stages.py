@@ -2844,3 +2844,28 @@ def test_fuzzy_join_blocked(ray_session):
         ("hello world", "hallo world", 1),
         ("same suffix", "sane suffix", 1),
     }
+
+
+def test_get_pattern_dm_paths(ray_session):
+    """paths= on the DM planner (virtual graph, no store): the two-hop
+    FK sequence path composes with an ordinary pattern on the shared
+    variable."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+    from p5_rdf_rdb2rdf_ray.pipelines.queries_kg import BASE, catalog_for
+
+    cat = catalog_for("/root/testdata/sf0.001")
+    got = get_pattern(
+        cat,
+        [("?n", BASE + "nation#n_name", "?nm")],
+        base=BASE,
+        paths=[
+            (
+                "?n",
+                f"<{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name>",
+                "?rn",
+            )
+        ],
+    ).take_all()
+    assert len(got) == 25
+    assert all(r["n"].startswith(BASE + "nation/") for r in got)
+    assert len({r["rn"] for r in got}) == 5  # the five region names
