@@ -138,6 +138,64 @@ LIMIT 10
 """
 
 
+def q_latest_order_per_customer(sf_dir: str) -> rd.Dataset:
+    """CDC-compaction shape — latest version per key (`groupagg.
+    grouped_top_k` k=1: per-block prune to one row per key seen, ONE
+    keyed shuffle, exact per-key head). The upsert/SCD pattern every
+    incremental ingest needs."""
+    from ..stages.groupagg import grouped_top_k
+
+    o = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return grouped_top_k(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], k=1,
+        descending=True, num_partitions=8,
+    )
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+
+def q_throttle_events(sf_dir: str) -> rd.Dataset:
+    """Windowed event dedup (retry/duplicate throttle): FIRST event per
+    (user, type, hour) — tumbling-window id is row-local
+    (``floor_temporal``), then one grouped_top_k(k=1) shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import grouped_top_k
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "wnd", pc.floor_temporal(t.column("ts"), unit="hour")
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_top_k(
+        ev, ["user_id", "event_type", "wnd"], ["ts", "event_id"], k=1,
+        descending=False, num_partitions=8,
+    )
+
+
+SQL_THROTTLE_EVENTS = """
+SELECT event_id, user_id, event_type, ts, date_trunc('hour', ts) AS wnd
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type, date_trunc('hour', ts)
+  ORDER BY ts, event_id
+) = 1
+"""
+
+
 def q_purchase_events(sf_dir: str) -> rd.Dataset:
     """Filter + project with expression pushdown."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
