@@ -193,6 +193,13 @@ BENCH_QUERIES = [
     "shipping_priority",
     "uniform_k_docs",
     "per_lang_k_docs",
+    "corr_docs",
+    "json_props_events",
+    "fuzzy_names_customers",
+    "bgp_path",
+    "path_dm_customer",
+    "latest_order_per_customer",
+    "throttle_events",
     "bgp_store",
     "store_contexts",
 ]

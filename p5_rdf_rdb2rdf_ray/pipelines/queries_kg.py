@@ -641,6 +641,49 @@ FROM nation
 """
 
 
+def q_void_stats(sf_dir: str) -> rd.Dataset:
+    """VoID-style per-predicate dataset statistics (`engine.void.
+    void_statistics` over the materialized nation+region store): triple
+    count + distinct subjects/objects per predicate — two keyed
+    distinct shuffles + combiner-first counts, final predicate-sized
+    merge."""
+    from ..engine.void import void_statistics
+
+    return void_statistics(_nation_region_store(sf_dir), num_partitions=4)
+
+
+SQL_VOID_STATS = f"""
+WITH t AS (
+  SELECT '{RDF_TYPE}' AS pred,
+         '{BASE}nation/n_nationkey=' || n_nationkey AS subj,
+         '{BASE}nation' AS obj, 0 AS k FROM nation
+  UNION ALL SELECT '{RDF_TYPE}',
+         '{BASE}region/r_regionkey=' || r_regionkey, '{BASE}region', 0
+  FROM region
+  UNION ALL SELECT '{BASE}nation#n_nationkey',
+         '{BASE}nation/n_nationkey=' || n_nationkey,
+         CAST(n_nationkey AS VARCHAR), 2 FROM nation
+  UNION ALL SELECT '{BASE}nation#n_name',
+         '{BASE}nation/n_nationkey=' || n_nationkey, n_name, 2 FROM nation
+  UNION ALL SELECT '{BASE}nation#n_regionkey',
+         '{BASE}nation/n_nationkey=' || n_nationkey,
+         CAST(n_regionkey AS VARCHAR), 2 FROM nation
+  UNION ALL SELECT '{BASE}nation#ref-n_regionkey',
+         '{BASE}nation/n_nationkey=' || n_nationkey,
+         '{BASE}region/r_regionkey=' || n_regionkey, 0 FROM nation
+  UNION ALL SELECT '{BASE}region#r_regionkey',
+         '{BASE}region/r_regionkey=' || r_regionkey,
+         CAST(r_regionkey AS VARCHAR), 2 FROM region
+  UNION ALL SELECT '{BASE}region#r_name',
+         '{BASE}region/r_regionkey=' || r_regionkey, r_name, 2 FROM region
+)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj || '#' || k) AS BIGINT) AS n_objects
+FROM t GROUP BY pred
+"""
+
+
 def q_path_dm_customer(sf_dir: str) -> rd.Dataset:
     """Property path over the Direct-Mapping VIRTUAL graph — NO
     materialized store: ``eval_path((catalog, base), …)`` compiles each
