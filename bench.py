@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "path_dm_customer",
     "latest_order_per_customer",
     "throttle_events",
+    "void_stats",
+    "normalize_docs",
     "bgp_store",
     "store_contexts",
 ]

@@ -1192,6 +1192,25 @@ SELECT doc_id, text FROM (
 """
 
 
+def q_normalize_docs(sf_dir: str) -> rd.Dataset:
+    """Unicode canonicalization pass (`stages.textstats.normalize_text`:
+    NFC + lowercase + whitespace collapse, all Arrow kernels, map-only)
+    — byte-exact SQL twin."""
+    from ..stages.textstats import normalize_text
+
+    return normalize_text(
+        _read(sf_dir, "documents", ["doc_id", "text"]), out_col="norm"
+    )
+
+
+SQL_NORMALIZE_DOCS = r"""
+SELECT doc_id, text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+       AS norm
+FROM documents
+"""
+
+
 def q_fuzzy_names_customers(sf_dir: str) -> rd.Dataset:
     """Blocked fuzzy (edit-distance) join (`stages.fuzzy.fuzzy_join`):
     customer names against a deterministically-perturbed copy

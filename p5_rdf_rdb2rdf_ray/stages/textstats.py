@@ -377,3 +377,41 @@ def repetition_stats(
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> rd.Dataset:
+    """Unicode text canonicalization — the first pass of every corpus
+    cleaner (NFC so byte-different equal strings dedup together, then
+    optional lowercase + whitespace collapse/trim). Entirely Arrow
+    kernels (``utf8_normalize`` / ``utf8_lower`` / regex replace):
+    map-only, zero-copy in, no Python per row. The identical transform
+    is ANSI-SQL-expressible (``nfc_normalize``/``lower``/
+    ``regexp_replace(…, 'g')``/``trim``), so oracle-checkable
+    byte-for-byte. ``out_col`` defaults to replacing ``text_col``."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    out = out_col or text_col
+
+    def f(t: _pa.Table) -> _pa.Table:
+        v = _pc.utf8_normalize(t.column(text_col).combine_chunks(), form=form)
+        if lowercase:
+            v = _pc.utf8_lower(v)
+        if collapse_ws:
+            v = _pc.utf8_trim_whitespace(
+                _pc.replace_substring_regex(v, r"\s+", " ")
+            )
+        if out in t.column_names:
+            t = t.set_column(t.schema.get_field_index(out), out, v)
+        else:
+            t = t.append_column(out, v)
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
