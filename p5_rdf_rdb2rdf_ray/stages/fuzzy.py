@@ -13,7 +13,13 @@ no per-pair Python loop.
 Recall caveat (inherent to blocking, document per use): pairs whose
 edits fall INSIDE the blocking suffix land in different blocks and are
 missed; pick the key from the stable part of the string (or union
-several blocking passes with different keys)."""
+several blocking passes with different keys).
+
+Skew caveat: a hot blocking key concentrates its whole n_left×n_right
+candidate square in ONE partition (the quadratic is per block by
+design — that is what blocking is for). If a key's block is corpus-
+sized, the blocking key is wrong for the data; lengthen it or salt the
+verify like the engine's hash-join hot-key defense."""
 
 from __future__ import annotations
 

@@ -520,12 +520,20 @@ def collocations(
     score is SQL-hash-comparable).
 
     Shape: two ``ngram_counts`` passes (combiner + one keyed shuffle
-    each) → the aggregated unigram/bigram tables are VOCABULARY-sized
-    (≪ corpus) and are materialized once in the object store (each is
-    consumed twice: total + join) → two co-hash joins attach c1/c2 →
-    per-block lift + distributed top-k. ``Nb`` counts ALL bigrams
-    (before the ``min_count`` support filter), per the standard PMI
-    estimator."""
+    each) → the aggregated unigram/bigram tables are materialized once
+    in the object store (each is consumed twice: total + join) → two
+    co-hash joins attach c1/c2 → per-block lift + distributed top-k.
+    ``Nb`` counts ALL bigrams (before the ``min_count`` support
+    filter), per the standard PMI estimator.
+
+    Memory note: the unigram table is vocabulary-sized; the PRE-filter
+    bigram table is the larger side (distinct bigrams ≈ corpus-scale on
+    diverse text) — its materialization lives in the object store,
+    which SPILLS to disk rather than holding worker heap, and is the
+    price of computing ``Nb`` without a second corpus pass. If bigram
+    vocabulary outgrows disk, trade it for the extra pass: count
+    ``n_big`` with a tiny separate aggregate and let the filtered
+    pairs recompute their lineage."""
     import pyarrow.compute as _pc
 
     from ..engine.joins import hash_join
