@@ -2869,3 +2869,27 @@ def test_get_pattern_dm_paths(ray_session):
     assert len(got) == 25
     assert all(r["n"].startswith(BASE + "nation/") for r in got)
     assert len({r["rn"] for r in got}) == 5  # the five region names
+
+
+def test_void_statistics_kind_distinct(ray_session, tmp_path):
+    """VoID stats count object TERMS: a literal spelling a node IRI is
+    a distinct object from the IRI itself; duplicate-free triple and
+    subject counts per predicate."""
+    from p5_rdf_rdb2rdf_ray.engine.void import void_statistics
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    P, Q = N + "p", N + "q"
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        (N + "a", P, N + "b", I),
+        (N + "c", P, N + "b", L),   # literal spelling b's IRI → distinct
+        (N + "a", Q, "x", L),
+        (N + "c", Q, "x", L),       # same literal twice → ONE object
+    ]
+    store = _path_store(tmp_path, rows)
+    got = {
+        r["pred"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
+        for r in void_statistics(store, num_partitions=4).take_all()
+    }
+    assert got == {P: (2, 2, 2), Q: (2, 2, 1)}
