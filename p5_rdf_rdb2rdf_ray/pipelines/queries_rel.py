@@ -196,6 +196,35 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_mode_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Per-group MODE (each user's dominant event type): combiner-first
+    grouped counts, then grouped_top_k(k=1) by (count desc, value asc)
+    — the SQL ``mode()`` aggregate as two keyed shuffles, both
+    combiner-pruned."""
+    from ..stages.groupagg import grouped_aggregate, grouped_top_k
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = grouped_aggregate(
+        ev,
+        keys=["user_id", "event_type"],
+        aggs={"cnt": ("event_type", "count")},
+        num_partitions=8,
+    )
+    return grouped_top_k(
+        counts, ["user_id"], ["cnt", "event_type"], k=1,
+        descending=[True, False], num_partitions=8,
+    )
+
+
+SQL_MODE_EVENT_PER_USER = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id, event_type
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY count(*) DESC, event_type
+) = 1
+"""
+
+
 def q_purchase_events(sf_dir: str) -> rd.Dataset:
     """Filter + project with expression pushdown."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "event_type"])
