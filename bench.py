@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "path_dm_customer",
     "latest_order_per_customer",
     "throttle_events",
+    "mode_event_per_user",
     "void_stats",
     "normalize_docs",
     "bgp_store",
