@@ -737,6 +737,41 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_construct_from_path(sf_dir: str) -> rd.Dataset:
+    """The full KG-enrichment loop over a PATH: sequence-path bindings
+    (``?n <ref>/<r_name> ?rn`` — one composition join) instantiate a
+    derived ``regionNamed`` edge via CONSTRUCT (zero joins, §10.2
+    invalid-triple suppression), yielding store-ready TRIPLE_SCHEMA —
+    paths, BGP units and CONSTRUCT composing end-to-end."""
+    from ..engine.construct import construct
+    from ..engine.lookup import get_pattern_store
+
+    store = _nation_region_store(sf_dir)
+    b = get_pattern_store(
+        store,
+        [],
+        paths=[
+            (
+                "?n",
+                f"<{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name>",
+                "?rn",
+            )
+        ],
+        keep_kinds=True,
+    )
+    return to_term_columns(
+        construct(b, [("?n", BASE + "regionNamed", "?rn")])
+    )
+
+
+SQL_CONSTRUCT_FROM_PATH = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+       '<{BASE}regionNamed>' AS pred,
+       '"' || r_name || '"' AS obj
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def q_bgp_optional(sf_dir: str) -> rd.Dataset:
     """BGP with an OPTIONAL (left-outer) group [graft extension]: every
     customer keeps its row; the nation-key binding appears only where
