@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "latest_order_per_customer",
     "throttle_events",
     "mode_event_per_user",
+    "construct_from_path",
     "void_stats",
     "normalize_docs",
     "bgp_store",
