@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "path_alt_region",
     "path_star_nation",
     "heavy_hitters_docs",
+    "top_words_per_lang",
     "collocations_docs",
     "shipping_priority",
     "uniform_k_docs",

@@ -330,6 +330,36 @@ LIMIT 20
 """
 
 
+def q_top_words_per_lang(sf_dir: str) -> rd.Dataset:
+    """Misra–Gries heavy hitters PER GROUP (`sketches.
+    grouped_heavy_hitter_tokens`): top-5 words per language — per-block
+    per-group summaries (combiner), one keyed shuffle of k-bounded
+    rows, per-group merge. k=4096 ≥ vocabulary ⇒ exact, err=0 (the
+    SQL-checkable mode)."""
+    from ..stages.sketches import grouped_heavy_hitter_tokens
+
+    return grouped_heavy_hitter_tokens(
+        _read(sf_dir, "documents", ["lang", "text"]),
+        group_col="lang", k=4096, limit=5, num_partitions=8,
+    )
+
+
+SQL_TOP_WORDS_PER_LANG = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS item
+  FROM documents
+),
+cnt AS (
+  SELECT lang, item, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, item
+)
+SELECT lang, item, cnt, CAST(0 AS BIGINT) AS err FROM cnt
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY cnt DESC, item
+) <= 5
+"""
+
+
 def q_approx_vocab_docs(sf_dir: str) -> rd.Dataset:
     """HyperLogLog estimate of the distinct-bigram vocabulary size —
     the shuffle-free scale companion of ``ngram_counts`` (rows-only:

@@ -573,3 +573,88 @@ def heavy_hitter_tokens(
     return folded.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_heavy_hitter_tokens(
+    docs: rd.Dataset,
+    group_col: str,
+    k: int = 4096,
+    limit: int = 5,
+    text_col: str = "text",
+    lowercase: bool = True,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Misra–Gries heavy hitters PER GROUP (top words per language /
+    per source) → Dataset(group_col, item, cnt, err), ≤ ``limit`` rows
+    per group ordered (cnt desc, item asc). Same guarantees as
+    :func:`heavy_hitters`, per group.
+
+    Shape: each block folds its own tokens into one MG(k) summary row
+    PER GROUP SEEN (combiner — a group in B blocks ships ≤ B rows of
+    ≤ k pairs), then ONE keyed shuffle of summary rows and a per-group
+    merge + explode. The exploded token stream never leaves its batch;
+    only k-bounded summaries move."""
+    import pandas as pd
+
+    from .vocab import _token_frame
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = []
+        if len(df) and not (
+            df[group_col].map(lambda v: v is None or isinstance(v, str)).all()
+        ):
+            raise TypeError(
+                "grouped_heavy_hitter_tokens needs a STRING group column "
+                "(summary rows carry the group as string)"
+            )
+        if len(df):
+            for g, sub in df.groupby(group_col, dropna=False, sort=False):
+                e = _token_frame(sub, text_col, lowercase)
+                d = (
+                    e.drop_nulls("t")
+                    .rename({"t": "items"})
+                    .group_by("items")
+                    .len()
+                    .sort("items")
+                )
+                items, cnts, sub_err = mg_truncate(
+                    d["items"].to_list(),
+                    d["len"].to_numpy().astype(np.int64),
+                    k,
+                )
+                row = _mg_summary_row(items, cnts, sub_err)
+                out.append(row.append_column(
+                    group_col, pa.array([g], pa.string())
+                ))
+        if not out:
+            return _mg_summary_row([], np.zeros(0, np.int64), 0).append_column(
+                group_col, pa.array([None], pa.string())
+            ).slice(0, 0)
+        return pa.concat_tables(out)
+
+    def merge_explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, dropna=False, sort=False):
+            t = pa.Table.from_pandas(
+                sub[["items", "cnts", "err"]], preserve_index=False
+            )
+            m = _mg_merge_table(t, k)
+            items = m.column("items").to_pylist()[0]
+            cnts = np.asarray(m.column("cnts").to_pylist()[0], np.int64)
+            err = int(m.column("err").to_pylist()[0])
+            order = np.lexsort((np.array(items, dtype=object), -cnts))[:limit]
+            for i in order:
+                rows.append((g, items[i], int(cnts[i]), err))
+        out = pd.DataFrame(
+            rows, columns=[group_col, "item", "cnt", "err"]
+        )
+        return out.astype({"cnt": "int64", "err": "int64"})
+
+    from ..engine.distinct import ensure_hash_shuffle
+
+    ensure_hash_shuffle(docs)
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .repartition(num_partitions, keys=[group_col])
+        .map_batches(merge_explode, batch_format="pandas", batch_size=None)
+    )
