@@ -389,19 +389,46 @@ def normalize_text(
 ) -> rd.Dataset:
     """Unicode text canonicalization — the first pass of every corpus
     cleaner (NFC so byte-different equal strings dedup together, then
-    optional lowercase + whitespace collapse/trim). Entirely Arrow
-    kernels (``utf8_normalize`` / ``utf8_lower`` / regex replace):
-    map-only, zero-copy in, no Python per row. The identical transform
+    optional lowercase + whitespace collapse/trim). Lower/collapse are
+    Arrow kernels; normalization is HYBRID: ASCII rows (the bulk of
+    most corpora) are NFC-invariant and skip it entirely, only rows
+    containing non-ASCII take the per-value ``unicodedata.normalize``
+    path — pyarrow 16.1's ``utf8_normalize(form="NFC")`` does NOT
+    compose combining sequences (``e`` + U+0301 stays decomposed), so
+    it cannot be used: DuckDB's ``nfc_normalize`` composes, and the
+    byte-exact oracle contract is the point. The identical transform
     is ANSI-SQL-expressible (``nfc_normalize``/``lower``/
     ``regexp_replace(…, 'g')``/``trim``), so oracle-checkable
     byte-for-byte. ``out_col`` defaults to replacing ``text_col``."""
+    import unicodedata
+
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
     out = out_col or text_col
 
+    def _nfc(arr):
+        # only rows that actually contain non-ASCII pay the Python
+        # normalize (the N-Triples escaper's escape-hatch pattern)
+        nonascii = _pc.fill_null(
+            _pc.match_substring_regex(arr, r"[^\x00-\x7F]"), False
+        )
+        if not _pc.any(nonascii).as_py():
+            return arr
+        vals = arr.to_pylist()
+        mask = nonascii.to_pylist()
+        return _pa.array(
+            [
+                unicodedata.normalize(form, v)
+                if (m and v is not None)
+                else v
+                for v, m in zip(vals, mask)
+            ],
+            _pa.string(),
+        )
+
     def f(t: _pa.Table) -> _pa.Table:
-        v = _pc.utf8_normalize(t.column(text_col).combine_chunks(), form=form)
+        v = _nfc(t.column(text_col).combine_chunks())
         if lowercase:
             v = _pc.utf8_lower(v)
         if collapse_ws:

@@ -2893,3 +2893,51 @@ def test_void_statistics_kind_distinct(ray_session, tmp_path):
         for r in void_statistics(store, num_partitions=4).take_all()
     }
     assert got == {P: (2, 2, 2), Q: (2, 2, 1)}
+
+
+def test_normalize_json_corr_edges(ray_session):
+    """Edge cases for the late-round operators: NFC canonical
+    equivalence + in-place replace (normalize_text); malformed JSON and
+    missing paths → NULL (json_extract_fields); non-integer input →
+    TypeError, NULLs → ValueError (pearson_corr)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from p5_rdf_rdb2rdf_ray.stages.jsonx import json_extract_fields
+    from p5_rdf_rdb2rdf_ray.stages.profile import pearson_corr
+    from p5_rdf_rdb2rdf_ray.stages.textstats import normalize_text
+
+    # NFC: decomposed é (e + U+0301) normalizes equal to composed é
+    ds = rd.from_arrow(
+        pa.table({"id": [1, 2], "text": ["Café  X", "café x"]})
+    )
+    got = {r["id"]: r["text"] for r in normalize_text(ds).take_all()}
+    assert got[1] == got[2] == "café x"
+
+    j = rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4],
+                "props": ['{"k": 5}', "not json", "{}", None],
+            }
+        )
+    )
+    rows = {
+        r["id"]: r["k"]
+        for r in json_extract_fields(
+            j, "props", {"k": ("$.k", "int64")}
+        ).take_all()
+    }
+    assert rows == {1: 5, 2: None, 3: None, 4: None}
+
+    f = rd.from_arrow(pa.table({"x": [1.0, 2.0], "y": [1, 2]}))
+    with _pytest.raises(Exception):  # TypeError surfaces via Ray task
+        pearson_corr(f, "x", "y").take_all()
+    n = rd.from_arrow(
+        pa.table({"x": pa.array([1, None], pa.int64()), "y": [1, 2]})
+    )
+    with _pytest.raises(Exception):
+        pearson_corr(n, "x", "y").take_all()
+    # perfect correlation sanity (one fixed IEEE tree — not exactly 1.0)
+    g = rd.from_arrow(pa.table({"x": [1, 2, 3], "y": [10, 20, 30]}))
+    assert abs(pearson_corr(g, "x", "y").take_all()[0]["r"] - 1.0) < 1e-12
