@@ -1477,27 +1477,28 @@ def _path_unit(
         # bound endpoints: one vectorized equality on the NT form;
         # literal bounds compare lexical+kind (datatype-insensitive,
         # matching store_statements' obj_literal semantics)
+        # Literal endpoints compare the UNESCAPED lexical form (what
+        # _parse_nt_terms yields) against the raw term value — never the
+        # NT-escaped body, which diverges for quotes/backslashes/controls.
         if not s_var:
-            want = fmt_bound(s_term)
-            if want.startswith('"'):
+            if isinstance(s_term, tuple) and s_term[0] == "lit":
                 lex, kd = _parse_nt_terms(t.column("src").combine_chunks())
                 m = pc.and_(
                     pc.equal(kd, KIND_LITERAL),
-                    pc.equal(lex, want[1:-1]),
+                    pc.equal(lex, str(s_term[1])),
                 )
             else:
-                m = pc.equal(t.column("src"), want)
+                m = pc.equal(t.column("src"), fmt_bound(s_term))
             t = t.filter(pc.fill_null(m, False))
         if not o_var:
-            want = fmt_bound(o_term)
-            if want.startswith('"'):
+            if isinstance(o_term, tuple) and o_term[0] == "lit":
                 lex, kd = _parse_nt_terms(t.column("dst").combine_chunks())
                 m = pc.and_(
                     pc.equal(kd, KIND_LITERAL),
-                    pc.equal(lex, want[1:-1]),
+                    pc.equal(lex, str(o_term[1])),
                 )
             else:
-                m = pc.equal(t.column("dst"), want)
+                m = pc.equal(t.column("dst"), fmt_bound(o_term))
             t = t.filter(pc.fill_null(m, False))
         if s_var and o_var and s_term == o_term:
             t = t.filter(
@@ -2088,6 +2089,14 @@ def _bgp_join(
         acc_kinds |= bkinds
     if filters:
         acc = _apply_binding_filters(acc, filters)
+    if "__path_probe" in acc_vars and len(acc_vars) > 1:
+        # a fully-bound path probe contributed existence only; its
+        # internal all-null column must not leak into the solutions
+        acc_vars = [v for v in acc_vars if v != "__path_probe"]
+        acc = acc.map_batches(
+            lambda t: t.drop_columns(["__path_probe"]),
+            batch_format="pyarrow",
+        )
     kind_cols = sorted(f"__k_{v}" for v in acc_kinds)
     out = distinct_rows(acc, acc_vars + kind_cols, num_buckets=num_partitions)
     if kind_cols and not keep_kinds:

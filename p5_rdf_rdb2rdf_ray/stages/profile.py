@@ -193,9 +193,12 @@ def pearson_corr(
     one-row Dataset ``(n:int64, r:float64)``.
 
     Same exact-moment discipline as :func:`zscore_column`: each block
-    ships six integer partials ``(n, Σx, Σy, Σx², Σy², Σxy)`` (checked
-    64-bit products — overflow raises rather than wrapping), the driver
-    folds them as Python ints (arbitrary precision, no float
+    ships six integer partials ``(n, Σx, Σy, Σx², Σy², Σxy)``. The
+    per-element products use checked 64-bit multiplies (overflow raises
+    rather than wrapping) and the per-block sums fold in decimal128(38,0)
+    — exact to 10³⁸, so a block of 10⁶ rows of near-2⁶³ products cannot
+    wrap (unchecked int64 block sums could). The driver then
+    folds the partials as Python ints (arbitrary precision, no float
     accumulation order), and the final float is the fixed IEEE tree
     ``(N·Σxy − Σx·Σy) / (√(N·Σx² − Σx²ᵗᵒᵗ) · √(N·Σy² − Σy²ᵗᵒᵗ))`` —
     mirror the identical expression shape in the SQL twin (HUGEINT
@@ -211,23 +214,24 @@ def pearson_corr(
             )
         if ax.null_count or ay.null_count:
             raise ValueError("pearson_corr: NULLs not supported — filter first")
+        dec = pa.decimal128(38, 0)
+
+        def dsum(arr) -> str:
+            # exact block sum: checked products widen to decimal128 so
+            # the in-block fold cannot wrap int64; ship as string so the
+            # partial schema stays Arrow-simple and the driver folds
+            # arbitrary-precision Python ints
+            v = pc.sum(arr.cast(dec)).as_py()
+            return str(int(v)) if v is not None else "0"
+
         return pa.table(
             {
                 "n": pa.array([t.num_rows], pa.int64()),
-                "sx": pa.array([pc.sum(ax).as_py() or 0], pa.int64()),
-                "sy": pa.array([pc.sum(ay).as_py() or 0], pa.int64()),
-                "sxx": pa.array(
-                    [pc.sum(pc.multiply_checked(ax, ax)).as_py() or 0],
-                    pa.int64(),
-                ),
-                "syy": pa.array(
-                    [pc.sum(pc.multiply_checked(ay, ay)).as_py() or 0],
-                    pa.int64(),
-                ),
-                "sxy": pa.array(
-                    [pc.sum(pc.multiply_checked(ax, ay)).as_py() or 0],
-                    pa.int64(),
-                ),
+                "sx": pa.array([dsum(ax)], pa.string()),
+                "sy": pa.array([dsum(ay)], pa.string()),
+                "sxx": pa.array([dsum(pc.multiply_checked(ax, ax))], pa.string()),
+                "syy": pa.array([dsum(pc.multiply_checked(ay, ay))], pa.string()),
+                "sxy": pa.array([dsum(pc.multiply_checked(ax, ay))], pa.string()),
             }
         )
 
@@ -235,11 +239,11 @@ def pearson_corr(
         moments, batch_format="pyarrow", batch_size=None
     ).take_all()
     n = sum(p["n"] for p in parts)
-    sx = sum(p["sx"] for p in parts)
-    sy = sum(p["sy"] for p in parts)
-    sxx = sum(p["sxx"] for p in parts)
-    syy = sum(p["syy"] for p in parts)
-    sxy = sum(p["sxy"] for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    syy = sum(int(p["syy"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
     num = float(n * sxy - sx * sy)
     den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
         float(n * syy - sy * sy)

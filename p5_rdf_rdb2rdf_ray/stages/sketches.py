@@ -609,6 +609,10 @@ def grouped_heavy_hitter_tokens(
             )
         if len(df):
             for g, sub in df.groupby(group_col, dropna=False, sort=False):
+                # pandas groupby(dropna=False) surfaces a NULL group as
+                # float NaN — normalize back to None before building the
+                # string-typed summary row
+                g = g if isinstance(g, str) else None
                 e = _token_frame(sub, text_col, lowercase)
                 d = (
                     e.drop_nulls("t")
@@ -635,6 +639,7 @@ def grouped_heavy_hitter_tokens(
     def merge_explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for g, sub in df.groupby(group_col, dropna=False, sort=False):
+            g = g if isinstance(g, str) else None
             t = pa.Table.from_pandas(
                 sub[["items", "cnts", "err"]], preserve_index=False
             )

@@ -2941,3 +2941,86 @@ def test_normalize_json_corr_edges(ray_session):
     # perfect correlation sanity (one fixed IEEE tree — not exactly 1.0)
     g = rd.from_arrow(pa.table({"x": [1, 2, 3], "y": [10, 20, 30]}))
     assert abs(pearson_corr(g, "x", "y").take_all()[0]["r"] - 1.0) < 1e-12
+
+
+def test_path_endpoint_escaped_literal(ray_session, tmp_path):
+    """ADVICE r4: a bound literal path endpoint whose value contains
+    quotes/backslashes/newlines must compare by RAW lexical form, not
+    the NT-escaped body (escaped vs unescaped silently matched nothing)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern_store
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    NAME = N + "name"
+    tricky = 'say "hi"\\now\nline'
+    rows = [
+        (N + "a", NAME, tricky, KIND_LITERAL),
+        (N + "b", NAME, "plain", KIND_LITERAL),
+        (N + "a", N + "p", N + "b", KIND_IRI),
+    ]
+    store = _path_store(tmp_path, rows)
+    got = get_pattern_store(
+        store, [], paths=[("?s", f"<{NAME}>", ("lit", tricky))],
+        num_partitions=4,
+    ).take_all()
+    assert {r["s"] for r in got} == {N + "a"}
+    # and the fully-bound probe form (both endpoints bound, obj literal)
+    sat = get_pattern_store(
+        store,
+        [("?x", N + "p", "?y")],
+        paths=[(N + "a", f"<{NAME}>", ("lit", tricky))],
+        num_partitions=4,
+    ).take_all()
+    assert len(sat) == 1
+    # ADVICE r4: the internal probe column must not leak into solutions
+    assert "__path_probe" not in sat[0]
+
+
+def test_grouped_heavy_hitters_null_group(ray_session):
+    """ADVICE r4: a NULL group key (pandas groupby yields NaN) must not
+    crash the string-typed summary row; NULL groups aggregate together."""
+    from p5_rdf_rdb2rdf_ray.stages.sketches import grouped_heavy_hitter_tokens
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", None, None, "en"], pa.string()),
+            "text": ["a a b", "c c d", "c e", "a b b"],
+        }
+    )
+    got = grouped_heavy_hitter_tokens(
+        rd.from_arrow(t), "lang", k=64, limit=2, num_partitions=2
+    ).take_all()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["lang"], []).append((r["item"], r["cnt"]))
+    assert sorted(by_g[None]) == [("c", 3), ("d", 1)] or sorted(
+        by_g[None]
+    ) == [("c", 3), ("e", 1)]
+    assert ("a", 3) in by_g["en"] and ("b", 3) in by_g["en"]
+
+
+def test_pearson_corr_overflow_exact(ray_session):
+    """ADVICE r4: block sums of checked int64 products fold in
+    decimal128 — a single block whose Σx² exceeds int64 must compute the
+    exact r instead of silently wrapping."""
+    from p5_rdf_rdb2rdf_ray.stages.profile import pearson_corr
+
+    big = 2**31  # squares ~4.6e18; three of them overflow int64
+    xs = [big, big, big, 1, 2, 3]
+    ys = [big, big - 7, big + 5, 2, 1, 9]
+    ds = rd.from_arrow(
+        pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64())})
+    ).repartition(1)
+    got = pearson_corr(ds, "x", "y").take_all()[0]
+    import math
+
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy)
+    )
+    assert got["n"] == n and got["r"] == num / den
