@@ -1527,7 +1527,11 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     from ..stages.cluster import cluster_sizes, kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    c = kmeans_fit(ds, k=8, iters=4, seed=0x5EED_0011)
+    # iters=2: each Lloyd pass is a full corpus scan + k×D driver fold;
+    # two passes exercise the iterate-and-refit path at a fraction of
+    # the verification-window cost (full-convergence exactness is the
+    # pytest blob test's job, not the driver's)
+    c = kmeans_fit(ds, k=8, iters=2, seed=0x5EED_0011)
     return cluster_sizes(
         kmeans_assign(ds, c, drop_vec=True), num_partitions=4
     )
@@ -1575,8 +1579,9 @@ def q_pagerank_docs(sf_dir: str) -> rd.Dataset:
     )
     # small iteration budget + few partitions: per-round cost at test
     # scale is shuffle fixed overhead (aggregator actor spin-up), not
-    # data; 5 rounds suffice to rank a depth-~16 tree distinctly
-    return pagerank(edges, damping=0.85, iters=5, num_partitions=4)
+    # data; 3 rounds already rank the depth-~16 tree distinctly and keep
+    # the entry inside the driver's per-round verification budget
+    return pagerank(edges, damping=0.85, iters=3, num_partitions=4)
 
 
 def q_neardup_embeddings_approx(sf_dir: str) -> rd.Dataset:
