@@ -1,0 +1,1088 @@
+"""SPARQL 1.1 text front-end: a query STRING → the engine's existing
+BGP algebra (``get_pattern`` / ``get_pattern_store`` / union planner /
+grouped aggregates / CONSTRUCT / ASK / DESCRIBE).
+
+[R: DirectMapping/Store.pm — the reference Store delegates query-string
+parsing to RDF::Query and only implements get_statements/get_pattern;
+this module is the analogous front-end over OUR programmatic surface,
+so a user can run the textual queries they run today. — recalled]
+
+The parser is a hand-written tokenizer + recursive descent over the
+SPARQL 1.1 grammar subset whose ALGEBRA the engine already implements
+(everything exercised by the registry): SELECT (DISTINCT, projection,
+aggregates + GROUP BY/HAVING) / ASK / CONSTRUCT / DESCRIBE; WHERE with
+triple patterns (``;`` / ``,`` abbreviations, ``a``), property paths
+(``/ | ^ + * ? !(…)``), FILTER comparisons (``&&``-conjoined), FILTER
+NOT EXISTS, OPTIONAL, MINUS, top-level UNION, VALUES, BIND (CONCAT,
+STRLEN, UCASE, LCASE, SUBSTR, REPLACE, IF, COALESCE, IRI, arithmetic);
+solution modifiers ORDER BY / LIMIT / OFFSET; PREFIX declarations.
+Anything outside the subset fails loud with the offending token —
+never a silent wrong answer.
+
+Semantics notes (documented deviations, all inherited from the
+engine's set-semantic solution model):
+
+- Solutions are DISTINCT over the full variable set (the engine's BGP
+  surface returns set semantics; the underlying graphs are
+  duplicate-free). ``SELECT DISTINCT`` additionally re-dedups after
+  projection; a plain projected SELECT keeps one row per distinct FULL
+  solution.
+- Literal patterns match by lexical form + literal-kind (datatype- and
+  language-insensitive), matching ``store_statements`` /
+  ``get_statements`` obj_literal semantics.
+- Aggregate SUM/AVG/MIN/MAX evaluate NUMERICALLY over the lexical
+  forms (non-numeric bindings become NULL and drop, SPARQL type-error
+  style); COUNT and GROUP_CONCAT are exact over lexicals.
+
+Execution is *dispatch only* — every distributed decision (pushdown,
+star fusion, broadcast-vs-shuffle joins, path doubling, top-k merges)
+lives in the planners this module calls; the parser adds zero new
+scan/shuffle machinery, so textual queries scale exactly as the
+programmatic ones do.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_KEYWORDS = {
+    "prefix", "base", "select", "distinct", "reduced", "where", "filter",
+    "optional", "union", "minus", "values", "bind", "as", "group", "by",
+    "having", "order", "asc", "desc", "limit", "offset", "ask",
+    "construct", "describe", "not", "exists", "undef", "count", "sum",
+    "min", "max", "avg", "sample", "group_concat", "separator", "if",
+    "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
+    "substr", "replace", "a", "true", "false",
+}
+
+_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # IRI VAR STRING NUMBER PNAME KW PUNCT EOF
+    val: object
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "<":
+            # IRIREF iff a '>' arrives before any whitespace; else '<'
+            # is the comparison operator (FILTER context)
+            j = i + 1
+            while j < n and not text[j].isspace() and text[j] != ">":
+                j += 1
+            if j < n and text[j] == ">":
+                toks.append(_Tok("IRI", text[i + 1 : j], i))
+                i = j + 1
+                continue
+            if text[i : i + 2] == "<=":
+                toks.append(_Tok("PUNCT", "<=", i))
+                i += 2
+            else:
+                toks.append(_Tok("PUNCT", "<", i))
+                i += 1
+            continue
+        if c in "?$":
+            m = re.match(r"[?$]([A-Za-z_][A-Za-z0-9_]*)", text[i:])
+            if m:
+                toks.append(_Tok("VAR", m.group(1), i))
+                i += m.end()
+            else:
+                toks.append(_Tok("PUNCT", "?", i))
+                i += 1
+            continue
+        if c in "\"'":
+            q = c
+            j = i + 1
+            buf: list[str] = []
+            while j < n and text[j] != q:
+                if text[j] == "\\":
+                    if j + 1 >= n:
+                        raise ValueError(f"unterminated escape at {j}")
+                    e = text[j + 1]
+                    if e == "u":
+                        buf.append(chr(int(text[j + 2 : j + 6], 16)))
+                        j += 6
+                        continue
+                    if e not in _ESCAPES:
+                        raise ValueError(f"bad escape \\{e} at {j}")
+                    buf.append(_ESCAPES[e])
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string starting at {i}")
+            i = j + 1
+            # optional @lang / ^^datatype suffix (parsed, then dropped —
+            # the engine's literal matching is lexical+kind)
+            if i < n and text[i] == "@":
+                m = re.match(r"@[A-Za-z]+(-[A-Za-z0-9]+)*", text[i:])
+                i += m.end()
+            elif text[i : i + 2] == "^^":
+                i += 2
+                if i < n and text[i] == "<":
+                    i = text.index(">", i) + 1
+                else:
+                    m = re.match(r"[A-Za-z_][\w.-]*:[A-Za-z_][\w.-]*", text[i:])
+                    if not m:
+                        raise ValueError(f"bad datatype after ^^ at {i}")
+                    i += m.end()
+            toks.append(_Tok("STRING", "".join(buf), i))
+            continue
+        m = re.match(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", text[i:])
+        if m and (c.isdigit() or (c in "+-." and len(m.group(0)) > 1)):
+            s = m.group(0)
+            toks.append(
+                _Tok(
+                    "NUMBER",
+                    float(s) if ("." in s or "e" in s or "E" in s) else int(s),
+                    i,
+                )
+            )
+            i += m.end()
+            continue
+        m = re.match(r"([A-Za-z_][\w-]*)?:([A-Za-z_][\w.-]*)?", text[i:])
+        if m and ":" in m.group(0):
+            toks.append(_Tok("PNAME", (m.group(1) or "", m.group(2) or ""), i))
+            i += m.end()
+            continue
+        m = re.match(r"[A-Za-z_][\w]*", text[i:])
+        if m:
+            w = m.group(0)
+            toks.append(
+                _Tok(
+                    "KW" if w.lower() in _KEYWORDS else "IDENT",
+                    w.lower() if w.lower() in _KEYWORDS else w,
+                    i,
+                )
+            )
+            i += m.end()
+            continue
+        for op in ("&&", "||", "!=", "<=", ">="):
+            if text.startswith(op, i):
+                toks.append(_Tok("PUNCT", op, i))
+                i += len(op)
+                break
+        else:
+            if c in "{}().;,*/|^+?!=<>":
+                toks.append(_Tok("PUNCT", c, i))
+                i += 1
+            else:
+                raise ValueError(f"SPARQL syntax: unexpected {c!r} at {i}")
+    toks.append(_Tok("EOF", None, n))
+    return toks
+
+
+@dataclass
+class WhereClause:
+    patterns: list = field(default_factory=list)
+    paths: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    optional: list | None = None
+    minus: list | None = None
+    not_exists: list | None = None
+    values: tuple | None = None
+    bind: list = field(default_factory=list)
+
+
+@dataclass
+class ParsedQuery:
+    form: str  # SELECT ASK CONSTRUCT DESCRIBE
+    distinct: bool = False
+    project: list[str] | None = None  # None = *
+    aggregates: dict | None = None  # alias -> ("count*"|fn, var, extra)
+    group_by: list[str] = field(default_factory=list)
+    having: list = field(default_factory=list)  # (alias, op, number)
+    where: WhereClause | None = None
+    union_groups: list[WhereClause] | None = None
+    order_by: list = field(default_factory=list)
+    limit: int | None = None
+    offset: int = 0
+    construct_templates: list = field(default_factory=list)
+    describe_nodes: list = field(default_factory=list)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers ---------------------------------------------------
+    def peek(self, k: int = 0) -> _Tok:
+        return self.toks[min(self.pos + k, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.pos]
+        if t.kind != "EOF":
+            self.pos += 1
+        return t
+
+    def expect(self, kind: str, val=None) -> _Tok:
+        t = self.next()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise ValueError(
+                f"SPARQL syntax: expected {val or kind} at char {t.pos}, "
+                f"got {t.kind}:{t.val!r}"
+            )
+        return t
+
+    def at_punct(self, v: str) -> bool:
+        t = self.peek()
+        return t.kind == "PUNCT" and t.val == v
+
+    def at_kw(self, v: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.val == v
+
+    def eat_kw(self, v: str) -> bool:
+        if self.at_kw(v):
+            self.next()
+            return True
+        return False
+
+    # -- terms -----------------------------------------------------------
+    def expand(self, tok: _Tok) -> str:
+        pfx, local = tok.val
+        if pfx not in self.prefixes:
+            raise ValueError(f"undeclared prefix {pfx!r}: at char {tok.pos}")
+        return self.prefixes[pfx] + local
+
+    def term(self, *, as_subject: bool = False):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.val
+        if t.kind == "IRI":
+            self.next()
+            return t.val
+        if t.kind == "PNAME":
+            self.next()
+            return self.expand(t)
+        if t.kind == "STRING":
+            self.next()
+            return ("lit", t.val)
+        if t.kind == "NUMBER":
+            self.next()
+            return ("lit", t.val)
+        if t.kind == "KW" and t.val in ("true", "false"):
+            self.next()
+            return ("lit", t.val)
+        raise ValueError(
+            f"SPARQL syntax: unsupported term {t.kind}:{t.val!r} at char "
+            f"{t.pos} (blank-node labels: use variables)"
+        )
+
+    # -- property paths --------------------------------------------------
+    def path(self):
+        """Parse a verb as a §9.1 path AST; ``("pred", iri)`` means the
+        verb was a plain predicate (ordinary triple pattern)."""
+        left = self.path_seq()
+        while self.at_punct("|"):
+            self.next()
+            left = ("alt", left, self.path_seq())
+        return left
+
+    def path_seq(self):
+        left = self.path_step()
+        while self.at_punct("/"):
+            self.next()
+            left = ("seq", left, self.path_step())
+        return left
+
+    def path_step(self):
+        if self.at_punct("^"):
+            self.next()
+            prim = ("inv", self.path_primary())
+        else:
+            prim = self.path_primary()
+        t = self.peek()
+        if t.kind == "PUNCT" and t.val in ("+", "*", "?"):
+            self.next()
+            prim = ({"+": "plus", "*": "star", "?": "opt"}[t.val], prim)
+        return prim
+
+    def path_primary(self):
+        if self.at_punct("("):
+            self.next()
+            inner = self.path()
+            self.expect("PUNCT", ")")
+            return inner
+        if self.at_punct("!"):
+            self.next()
+            iris = []
+            if self.at_punct("("):
+                self.next()
+                iris.append(self.path_iri())
+                while self.at_punct("|"):
+                    self.next()
+                    iris.append(self.path_iri())
+                self.expect("PUNCT", ")")
+            else:
+                iris.append(self.path_iri())
+            return ("nps", iris)
+        if self.at_kw("a"):
+            self.next()
+            return ("pred", RDF_TYPE)
+        return ("pred", self.path_iri())
+
+    def path_iri(self) -> str:
+        t = self.next()
+        if t.kind == "IRI":
+            return t.val
+        if t.kind == "PNAME":
+            return self.expand(t)
+        raise ValueError(
+            f"SPARQL syntax: expected IRI in path at char {t.pos}, got "
+            f"{t.kind}:{t.val!r}"
+        )
+
+    # -- expressions (FILTER / BIND) --------------------------------------
+    def expr(self):
+        return self.expr_additive()
+
+    def expr_additive(self):
+        left = self.expr_mult()
+        while self.peek().kind == "PUNCT" and self.peek().val in ("+", "-"):
+            op = self.next().val
+            left = (op, left, self.expr_mult())
+        return left
+
+    def expr_mult(self):
+        left = self.expr_primary()
+        while self.peek().kind == "PUNCT" and self.peek().val in ("*", "/"):
+            op = self.next().val
+            left = (op, left, self.expr_primary())
+        return left
+
+    def expr_primary(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.val
+        if t.kind in ("STRING", "NUMBER"):
+            self.next()
+            return t.val
+        if t.kind == "PUNCT" and t.val == "(":
+            self.next()
+            e = self.expr()
+            self.expect("PUNCT", ")")
+            return e
+        if t.kind == "KW" and t.val in (
+            "concat", "strlen", "ucase", "lcase", "coalesce",
+        ):
+            self.next()
+            self.expect("PUNCT", "(")
+            args = [self.expr()]
+            while self.at_punct(","):
+                self.next()
+                args.append(self.expr())
+            self.expect("PUNCT", ")")
+            return (t.val, *args)
+        if t.kind == "KW" and t.val in ("iri", "uri"):
+            self.next()
+            self.expect("PUNCT", "(")
+            a = self.expr()
+            self.expect("PUNCT", ")")
+            return ("iri", a)
+        if t.kind == "KW" and t.val == "substr":
+            self.next()
+            self.expect("PUNCT", "(")
+            s = self.expr()
+            self.expect("PUNCT", ",")
+            start = self.expect("NUMBER").val
+            length = None
+            if self.at_punct(","):
+                self.next()
+                length = self.expect("NUMBER").val
+            self.expect("PUNCT", ")")
+            return (
+                ("substr", s, start)
+                if length is None
+                else ("substr", s, start, length)
+            )
+        if t.kind == "KW" and t.val == "replace":
+            self.next()
+            self.expect("PUNCT", "(")
+            s = self.expr()
+            self.expect("PUNCT", ",")
+            pat = self.expect("STRING").val
+            self.expect("PUNCT", ",")
+            repl = self.expect("STRING").val
+            self.expect("PUNCT", ")")
+            return ("replace", s, pat, repl)
+        if t.kind == "KW" and t.val == "if":
+            self.next()
+            self.expect("PUNCT", "(")
+            cvar, cop, cval = self.comparison()
+            self.expect("PUNCT", ",")
+            then_e = self.expr()
+            self.expect("PUNCT", ",")
+            else_e = self.expr()
+            self.expect("PUNCT", ")")
+            return ("if", (cvar, cop, cval), then_e, else_e)
+        raise ValueError(
+            f"SPARQL syntax: unsupported expression {t.kind}:{t.val!r} at "
+            f"char {t.pos}"
+        )
+
+    def comparison(self) -> tuple:
+        """``?var OP constant`` — the engine's binding-filter shape."""
+        t = self.expect("VAR")
+        op_t = self.next()
+        op = {"=": "=="}.get(op_t.val, op_t.val)
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"SPARQL syntax: unsupported comparison {op_t.val!r} at "
+                f"char {op_t.pos}"
+            )
+        v = self.next()
+        if v.kind == "NUMBER":
+            val = v.val
+        elif v.kind == "STRING":
+            val = v.val
+        elif v.kind == "IRI":
+            val = v.val
+        elif v.kind == "PNAME":
+            val = self.expand(v)
+        elif v.kind == "KW" and v.val in ("true", "false"):
+            val = v.val
+        else:
+            raise ValueError(
+                f"SPARQL syntax: FILTER comparisons need a constant right "
+                f"side, got {v.kind}:{v.val!r} at char {v.pos}"
+            )
+        return ("?" + t.val, op, val)
+
+    # -- group graph pattern ----------------------------------------------
+    def triples_block(self, wc: WhereClause):
+        subj = self.term(as_subject=True)
+        while True:
+            verb = self.path()
+            objs = [self.term()]
+            while self.at_punct(","):
+                self.next()
+                objs.append(self.term())
+            for o in objs:
+                if verb[0] == "pred":
+                    wc.patterns.append((subj, verb[1], o))
+                else:
+                    wc.paths.append((subj, verb, o))
+            if self.at_punct(";"):
+                self.next()
+                if self.at_punct(".") or self.at_punct("}"):
+                    break  # trailing ';'
+                continue
+            break
+
+    def group(self) -> WhereClause:
+        self.expect("PUNCT", "{")
+        wc = self.group_body()
+        self.expect("PUNCT", "}")
+        return wc
+
+    def group_body(self) -> WhereClause:
+        wc = WhereClause()
+        while not self.at_punct("}"):
+            if self.at_kw("filter"):
+                self.next()
+                if self.at_kw("not"):
+                    self.next()
+                    self.expect("KW", "exists")
+                    sub = self.group()
+                    self._require_plain(sub, "FILTER NOT EXISTS")
+                    wc.not_exists = (wc.not_exists or []) + sub.patterns
+                elif self.at_kw("exists"):
+                    raise ValueError(
+                        "FILTER EXISTS is not supported (use a join or "
+                        "rewrite as VALUES); FILTER NOT EXISTS is"
+                    )
+                else:
+                    self.expect("PUNCT", "(")
+                    wc.filters.append(self.comparison())
+                    while self.at_punct("&&"):
+                        self.next()
+                        wc.filters.append(self.comparison())
+                    if self.at_punct("||"):
+                        raise ValueError(
+                            "FILTER ||-disjunction is not supported; "
+                            "use UNION groups"
+                        )
+                    self.expect("PUNCT", ")")
+            elif self.at_kw("optional"):
+                self.next()
+                sub = self.group()
+                self._require_plain(sub, "OPTIONAL")
+                if wc.optional is not None:
+                    raise ValueError(
+                        "multiple OPTIONAL groups are not supported (the "
+                        "engine plans ONE left-outer group); merge them"
+                    )
+                wc.optional = sub.patterns
+            elif self.at_kw("minus"):
+                self.next()
+                sub = self.group()
+                self._require_plain(sub, "MINUS")
+                wc.minus = (wc.minus or []) + sub.patterns
+            elif self.at_kw("values"):
+                self.next()
+                if wc.values is not None:
+                    raise ValueError("multiple VALUES blocks not supported")
+                wc.values = self.values_clause()
+            elif self.at_kw("bind"):
+                self.next()
+                self.expect("PUNCT", "(")
+                e = self.expr()
+                self.expect("KW", "as")
+                v = self.expect("VAR").val
+                self.expect("PUNCT", ")")
+                wc.bind.append(("?" + v, e))
+            else:
+                self.triples_block(wc)
+            if self.at_punct("."):
+                self.next()
+        return wc
+
+    @staticmethod
+    def _require_plain(sub: WhereClause, ctx: str):
+        if (
+            sub.paths or sub.filters or sub.optional or sub.minus
+            or sub.not_exists or sub.values or sub.bind
+        ):
+            raise ValueError(
+                f"{ctx} groups support plain triple patterns only"
+            )
+
+    def values_clause(self) -> tuple:
+        if self.peek().kind == "VAR":
+            vars_ = ["?" + self.next().val]
+            self.expect("PUNCT", "{")
+            rows = []
+            while not self.at_punct("}"):
+                rows.append((self.values_term(),))
+            self.expect("PUNCT", "}")
+            return (vars_, rows)
+        self.expect("PUNCT", "(")
+        vars_ = []
+        while self.peek().kind == "VAR":
+            vars_.append("?" + self.next().val)
+        self.expect("PUNCT", ")")
+        self.expect("PUNCT", "{")
+        rows = []
+        while not self.at_punct("}"):
+            self.expect("PUNCT", "(")
+            row = []
+            while not self.at_punct(")"):
+                row.append(self.values_term())
+            self.expect("PUNCT", ")")
+            rows.append(tuple(row))
+        self.expect("PUNCT", "}")
+        return (vars_, rows)
+
+    def values_term(self):
+        if self.at_kw("undef"):
+            t = self.peek()
+            raise ValueError(
+                f"VALUES UNDEF is not supported (char {t.pos}); provide "
+                "bound terms"
+            )
+        return self.term()
+
+    # -- where + solution modifiers ---------------------------------------
+    def where_clause(self) -> tuple[WhereClause | None, list | None]:
+        """→ (single group, None) or (None, union groups). The union
+        form is ``WHERE { { g1 } UNION { g2 } … }`` — branch groups
+        nested directly inside the outer braces."""
+        self.eat_kw("where")
+        self.expect("PUNCT", "{")
+        if self.at_punct("{"):
+            groups = [self.group()]
+            while self.eat_kw("union"):
+                groups.append(self.group())
+            self.expect("PUNCT", "}")
+            for g in groups:
+                if (
+                    g.paths or g.optional or g.minus or g.not_exists
+                    or g.values or g.bind or g.filters
+                ):
+                    raise ValueError(
+                        "UNION branches support plain triple patterns "
+                        "only (the union planner's surface); move FILTERs "
+                        "outside or use the programmatic API"
+                    )
+            if len(groups) == 1:
+                # a plain nested group, not a union — fold up
+                return groups[0], None
+            return None, groups
+        first = self.group_body()
+        self.expect("PUNCT", "}")
+        return first, None
+
+    def solution_modifiers(self, q: ParsedQuery):
+        if self.eat_kw("group"):
+            self.expect("KW", "by")
+            while self.peek().kind == "VAR":
+                q.group_by.append(self.next().val)
+            if not q.group_by:
+                raise ValueError("GROUP BY needs at least one variable")
+        if self.eat_kw("having"):
+            self.expect("PUNCT", "(")
+            q.having.append(self.having_cond(q))
+            while self.at_punct("&&"):
+                self.next()
+                q.having.append(self.having_cond(q))
+            self.expect("PUNCT", ")")
+        if self.eat_kw("order"):
+            self.expect("KW", "by")
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.order_by.append("?" + t.val)
+                elif t.kind == "KW" and t.val in ("asc", "desc"):
+                    self.next()
+                    self.expect("PUNCT", "(")
+                    v = self.expect("VAR").val
+                    self.expect("PUNCT", ")")
+                    q.order_by.append(("?" + v, t.val))
+                else:
+                    break
+            if not q.order_by:
+                raise ValueError("ORDER BY needs at least one variable")
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.eat_kw("limit"):
+                q.limit = int(self.expect("NUMBER").val)
+            elif self.eat_kw("offset"):
+                q.offset = int(self.expect("NUMBER").val)
+        if not self.at_punct("}") and self.peek().kind != "EOF":
+            t = self.peek()
+            raise ValueError(
+                f"SPARQL syntax: trailing {t.kind}:{t.val!r} at char {t.pos}"
+            )
+
+    def having_cond(self, q: ParsedQuery) -> tuple:
+        """HAVING(alias-or-aggregate OP number) → filter on the agg
+        output column."""
+        t = self.peek()
+        if t.kind == "VAR":
+            alias = self.next().val
+        elif t.kind == "KW" and (
+            t.val in ("count", "sum", "min", "max", "avg")
+        ):
+            fn, var, _extra = self.aggregate_call()
+            alias = None
+            for a, (afn, avar, _x) in (q.aggregates or {}).items():
+                if afn == fn and avar == var:
+                    alias = a
+                    break
+            if alias is None:
+                raise ValueError(
+                    "HAVING aggregate must also appear in SELECT with an "
+                    "alias (the engine filters the aggregated column)"
+                )
+        else:
+            raise ValueError(
+                f"HAVING supports ?alias or an aggregate call, got "
+                f"{t.kind}:{t.val!r} at char {t.pos}"
+            )
+        op_t = self.next()
+        op = {"=": "=="}.get(op_t.val, op_t.val)
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported HAVING comparison {op_t.val!r}")
+        val = self.expect("NUMBER").val
+        return (alias, op, val)
+
+    def aggregate_call(self) -> tuple:
+        """→ (fn, var-or-"*", extra) with fn in count/sum/min/max/avg/
+        group_concat."""
+        fn = self.expect("KW").val
+        self.expect("PUNCT", "(")
+        if self.at_kw("distinct"):
+            raise ValueError(
+                "aggregate DISTINCT is not supported in the text "
+                "front-end; use the sketch/groupagg stages directly"
+            )
+        extra = None
+        if self.at_punct("*"):
+            if fn != "count":
+                raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
+            self.next()
+            var = "*"
+        else:
+            var = self.expect("VAR").val
+        if fn == "group_concat" and self.at_punct(";"):
+            self.next()
+            self.expect("KW", "separator")
+            self.expect("PUNCT", "=")
+            extra = self.expect("STRING").val
+        self.expect("PUNCT", ")")
+        return fn, var, extra
+
+    # -- query forms -------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        while self.at_kw("prefix") or self.at_kw("base"):
+            kw = self.next().val
+            if kw == "base":
+                raise ValueError(
+                    "BASE is not supported; use absolute IRIs or PREFIX"
+                )
+            p = self.expect("PNAME")
+            pfx, local = p.val
+            if local:
+                raise ValueError(f"bad PREFIX declaration at char {p.pos}")
+            iri = self.expect("IRI")
+            self.prefixes[pfx] = iri.val
+
+        t = self.peek()
+        if t.kind != "KW":
+            raise ValueError(
+                f"SPARQL syntax: expected a query form at char {t.pos}"
+            )
+        if t.val == "select":
+            return self.parse_select()
+        if t.val == "ask":
+            self.next()
+            q = ParsedQuery(form="ASK")
+            q.where, q.union_groups = self.where_clause()
+            self.expect("EOF")
+            return q
+        if t.val == "construct":
+            return self.parse_construct()
+        if t.val == "describe":
+            return self.parse_describe()
+        raise ValueError(f"unsupported query form {t.val!r}")
+
+    def parse_select(self) -> ParsedQuery:
+        self.expect("KW", "select")
+        q = ParsedQuery(form="SELECT")
+        if self.eat_kw("distinct"):
+            q.distinct = True
+        elif self.eat_kw("reduced"):
+            q.distinct = True  # REDUCED permits dedup; we always dedup
+        if self.at_punct("*"):
+            self.next()
+            q.project = None
+        else:
+            q.project = []
+            q.aggregates = {}
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    q.project.append(t.val)
+                elif self.at_punct("("):
+                    self.next()
+                    fn, var, extra = self.aggregate_call()
+                    self.expect("KW", "as")
+                    alias = self.expect("VAR").val
+                    self.expect("PUNCT", ")")
+                    q.aggregates[alias] = (fn, var, extra)
+                    q.project.append(alias)
+                else:
+                    break
+            if not q.project:
+                raise ValueError("empty SELECT projection")
+            if not q.aggregates:
+                q.aggregates = None
+        q.where, q.union_groups = self.where_clause()
+        self.solution_modifiers(q)
+        self.expect("EOF")
+        if q.aggregates and not q.group_by:
+            raise ValueError(
+                "aggregates need GROUP BY (implicit single-group "
+                "aggregation is not supported in the text front-end)"
+            )
+        if q.group_by:
+            if not q.aggregates:
+                raise ValueError("GROUP BY without aggregates in SELECT")
+            for v in q.project or []:
+                if v not in q.aggregates and v not in q.group_by:
+                    raise ValueError(
+                        f"SELECT ?{v} is neither a GROUP BY key nor an "
+                        "aggregate alias"
+                    )
+        return q
+
+    def parse_construct(self) -> ParsedQuery:
+        self.expect("KW", "construct")
+        q = ParsedQuery(form="CONSTRUCT")
+        tmpl = self.group()
+        if (
+            tmpl.paths or tmpl.filters or tmpl.optional or tmpl.minus
+            or tmpl.not_exists or tmpl.values or tmpl.bind
+        ):
+            raise ValueError("CONSTRUCT template must be plain triples")
+        q.construct_templates = tmpl.patterns
+        q.where, q.union_groups = self.where_clause()
+        self.solution_modifiers(q)
+        if q.group_by or q.order_by or q.limit is not None or q.offset:
+            raise ValueError(
+                "CONSTRUCT does not take GROUP BY / ORDER / LIMIT here"
+            )
+        self.expect("EOF")
+        return q
+
+    def parse_describe(self) -> ParsedQuery:
+        self.expect("KW", "describe")
+        q = ParsedQuery(form="DESCRIBE")
+        while True:
+            t = self.peek()
+            if t.kind == "IRI":
+                q.describe_nodes.append(self.next().val)
+            elif t.kind == "PNAME":
+                q.describe_nodes.append(self.expand(self.next()))
+            else:
+                break
+        if not q.describe_nodes:
+            raise ValueError(
+                "DESCRIBE needs explicit IRIs (DESCRIBE ?var is not "
+                "supported)"
+            )
+        self.expect("EOF")
+        return q
+
+
+def parse_query(text: str) -> ParsedQuery:
+    """Parse a SPARQL 1.1 query string into the engine-facing IR.
+    Raises ``ValueError`` with the offending position for anything
+    outside the supported subset (see module docstring)."""
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+def _split_source(source, base):
+    """→ (kind, planner kwargs): a str is a materialized store dir, a
+    Catalog queries the Direct-Mapping virtual graph under ``base``."""
+    if isinstance(source, str):
+        return "store", {}
+    if base is None:
+        raise ValueError("catalog sources need base= for the DM IRIs")
+    return "dm", {"base": base}
+
+
+def sparql(
+    source,
+    text: str,
+    *,
+    base: str | None = None,
+    num_partitions: int = 4,
+    broadcast_limit: int = 1_000_000,
+):
+    """Run a SPARQL query STRING against ``source`` — a triple-store
+    directory (str) or a :class:`~..sources.catalog.Catalog` (the
+    Direct-Mapping virtual graph under ``base``).
+
+    Returns: SELECT → Dataset of variable bindings (one column per
+    projected variable); ASK → bool; CONSTRUCT / DESCRIBE → Dataset of
+    TRIPLE_SCHEMA rows. All Datasets are lazy; distribution is entirely
+    the underlying planners'."""
+    from .construct import construct
+    from .lookup import (
+        apply_solution_modifiers,
+        ask as _ask,
+        describe as _describe,
+        describe_store,
+        get_pattern,
+        get_pattern_store,
+        get_pattern_store_union,
+        get_pattern_union,
+    )
+
+    q = parse_query(text)
+    kind, extra = _split_source(source, base)
+
+    if q.form == "DESCRIBE":
+        if kind == "store":
+            return describe_store(source, q.describe_nodes)
+        return _describe(source, q.describe_nodes, base=base)
+
+    if q.union_groups is not None:
+        groups = [g.patterns for g in q.union_groups]
+        filters = None
+        if kind == "store":
+            out = get_pattern_store_union(
+                source, groups, num_partitions=num_partitions,
+                filters=filters,
+            )
+        else:
+            out = get_pattern_union(
+                source, groups, base=base, num_partitions=num_partitions,
+                filters=filters,
+            )
+        if q.form == "ASK":
+            return _ask(out)
+        if q.form != "SELECT" or q.group_by:
+            raise ValueError(
+                "UNION queries support SELECT/ASK without aggregates"
+            )
+        return _project(
+            out, q, apply_modifiers=True, num_partitions=num_partitions
+        )
+
+    wc = q.where
+    plan_kwargs = dict(
+        filters=wc.filters or None,
+        optional=wc.optional,
+        minus=wc.minus,
+        not_exists=wc.not_exists,
+        values=wc.values,
+        bind=wc.bind or None,
+        paths=wc.paths or None,
+        num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit,
+    )
+
+    def plan(**kw):
+        if kind == "store":
+            return get_pattern_store(source, wc.patterns, **plan_kwargs, **kw)
+        return get_pattern(source, wc.patterns, base=base, **plan_kwargs, **kw)
+
+    if q.form == "ASK":
+        return _ask(plan())
+
+    if q.form == "CONSTRUCT":
+        return construct(
+            plan(keep_kinds=True),
+            q.construct_templates,
+            num_partitions=num_partitions,
+        )
+
+    # SELECT
+    if q.group_by:
+        return _aggregate(
+            plan(), q, apply_solution_modifiers, num_partitions
+        )
+    if q.distinct and q.project is not None:
+        # DISTINCT-over-projection precedes ORDER/LIMIT (SPARQL §18.2.4
+        # sequence): plan unmodified, project+dedup, then the modifiers
+        out = _project(
+            plan(), q, apply_modifiers=False, num_partitions=num_partitions
+        )
+        return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
+    out = plan(order_by=q.order_by or None, limit=q.limit, offset=q.offset)
+    return _project(
+        out, q, apply_modifiers=False, num_partitions=num_partitions
+    )
+
+
+def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
+             num_partitions: int):
+    from .distinct import distinct_rows
+    from .lookup import apply_solution_modifiers
+
+    out = bindings
+    if q.project is not None:
+        cols = list(dict.fromkeys(q.project))
+        out = out.select_columns(cols)
+        if q.distinct:
+            out = distinct_rows(out, cols, num_buckets=num_partitions)
+    if apply_modifiers:
+        out = apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
+    return out
+
+
+def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
+               num_partitions: int):
+    """GROUP BY + aggregates over a binding set, via the engine's
+    combiner-first grouped stages (``stages.groupagg``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import grouped_aggregate, grouped_concat
+
+    keys = list(q.group_by)
+    concat_aggs = {
+        a: spec for a, spec in q.aggregates.items() if spec[0] == "group_concat"
+    }
+    plain_aggs = {
+        a: spec for a, spec in q.aggregates.items() if spec[0] != "group_concat"
+    }
+    if concat_aggs and plain_aggs:
+        raise ValueError(
+            "GROUP_CONCAT cannot be combined with other aggregates in one "
+            "query (it would need a per-key join); run two queries"
+        )
+    if len(concat_aggs) > 1:
+        raise ValueError("one GROUP_CONCAT per query")
+
+    if concat_aggs:
+        ((alias, (_fn, var, sep)),) = concat_aggs.items()
+        out = grouped_concat(
+            bindings, keys=keys, col=var, sep=sep if sep is not None else " ",
+            order_by=[var], out=alias, num_partitions=num_partitions,
+        )
+    else:
+        # numeric aggregates evaluate over the lexical forms: cast the
+        # input variable columns once, map-only, before the shuffle
+        num_vars = sorted(
+            {v for fn, v, _x in plain_aggs.values()
+             if fn in ("sum", "avg", "min", "max") and v != "*"}
+        )
+        ds = bindings
+        if num_vars:
+            # derived numeric columns, never in-place: the variable may
+            # double as a GROUP BY key, whose lexical form must survive
+            def cast(t: pa.Table, _vs=tuple(num_vars)) -> pa.Table:
+                for v in _vs:
+                    arr = t.column(v)
+                    if pa.types.is_string(arr.type):
+                        arr = pc.cast(
+                            arr.combine_chunks(), pa.float64(), safe=False
+                        )
+                    t = t.append_column(f"{v}_num_", arr)
+                return t
+
+            ds = ds.map_batches(cast, batch_format="pyarrow")
+        aggs = {}
+        for alias, (fn, var, _x) in plain_aggs.items():
+            col = keys[0] if var == "*" else var
+            if var in num_vars:
+                col = f"{var}_num_"
+            aggs[alias] = (col, {"avg": "mean"}.get(fn, fn))
+        out = grouped_aggregate(
+            ds, keys=keys, aggs=aggs, num_partitions=num_partitions
+        )
+
+    if q.having:
+        hv = list(q.having)
+
+        def having_filter(t: pa.Table, _hv=tuple(hv)) -> pa.Table:
+            mask = None
+            for alias, op, val in _hv:
+                c = t.column(alias)
+                m = {
+                    "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                    "<=": pc.less_equal, ">": pc.greater,
+                    ">=": pc.greater_equal,
+                }[op](c, val)
+                mask = m if mask is None else pc.and_(mask, m)
+            return t.filter(pc.fill_null(mask, False))
+
+        out = out.map_batches(having_filter, batch_format="pyarrow")
+
+    if q.project is not None:
+        out = out.select_columns(list(dict.fromkeys(q.project)))
+    return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)

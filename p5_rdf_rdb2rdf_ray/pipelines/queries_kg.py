@@ -1292,3 +1292,150 @@ SELECT subj, pred, obj FROM (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# SPARQL text front-end (engine/sparql.py): the registry entries whose
+# INPUT is a query STRING — parser → existing BGP algebra, zero new
+# execution machinery [R: Store.pm delegates query strings to
+# RDF::Query — recalled; these entries are the analogous surface].
+# ---------------------------------------------------------------------------
+
+def q_sparql_select(sf_dir: str) -> rd.Dataset:
+    """Textual SELECT over the Direct-Mapping virtual graph: two-pattern
+    star + FK join, FILTER, DISTINCT projection, ORDER BY + LIMIT — the
+    parser compiles to exactly the `get_pattern` call `bgp_topk`-class
+    entries make programmatically (star fusion + pushdown included)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT DISTINCT ?nm ?rn WHERE {{
+          ?n <{BASE}nation#n_name> ?nm ;
+             <{BASE}nation#ref-n_regionkey> ?r .
+          ?r <{BASE}region#r_name> ?rn .
+          FILTER(?nm > "NATION_1")
+        }} ORDER BY ?nm LIMIT 12
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_SELECT = """
+SELECT n_name AS nm, r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_name > 'NATION_1'
+ORDER BY nm LIMIT 12
+"""
+
+
+def q_sparql_agg(sf_dir: str) -> rd.Dataset:
+    """Textual GROUP BY + COUNT + HAVING + ORDER BY: the parser routes
+    the aggregate through the combiner-first `grouped_aggregate` and
+    filters the aggregated column with a vectorized Arrow mask."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?n (COUNT(?c) AS ?n_customers) WHERE {{
+          ?c <{BASE}customer#ref-c_nationkey> ?n
+        }} GROUP BY ?n HAVING(COUNT(?c) >= 3) ORDER BY ?n
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_AGG = f"""
+SELECT '{BASE}nation/n_nationkey=' || c_nationkey AS n,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY 1 HAVING count(*) >= 3 ORDER BY n
+"""
+
+
+def q_sparql_path_store(sf_dir: str) -> rd.Dataset:
+    """Textual SELECT whose predicate is a §9.1 SEQUENCE path, served
+    from the materialized store — the parser builds the path AST and the
+    planner folds the path relation as a binding unit (`_path_unit`)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        _nation_region_store(sf_dir),
+        f"""
+        SELECT ?s ?rn WHERE {{
+          ?s <{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name> ?rn .
+        }}
+        """,
+    )
+
+
+SQL_SPARQL_PATH_STORE = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS s, r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_sparql_construct(sf_dir: str) -> rd.Dataset:
+    """Textual CONSTRUCT over a path: enrichment triples minted from
+    path solutions (`keep_kinds` bindings → batch-wise template
+    instantiation); output is first-class TRIPLE_SCHEMA."""
+    from ..engine.sparql import sparql
+
+    return to_term_columns(
+        sparql(
+            _nation_region_store(sf_dir),
+            f"""
+            CONSTRUCT {{ ?n <{BASE}inRegionNamed> ?rn }}
+            WHERE {{
+              ?n <{BASE}nation#ref-n_regionkey>/<{BASE}region#r_name> ?rn
+            }}
+            """,
+        )
+    )
+
+
+SQL_SPARQL_CONSTRUCT = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+       '<{BASE}inRegionNamed>' AS pred,
+       '"' || r_name || '"' AS obj
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_sparql_ask(sf_dir: str):
+    """Textual ASK: satisfiable and unsatisfiable probes, each a
+    streaming limit(1) early-exit through the parsed BGP."""
+    import pyarrow as _pa
+
+    from ..engine.sparql import sparql
+
+    cat = catalog_for(sf_dir)
+
+    def probe(regionkey: str) -> bool:
+        return sparql(
+            cat,
+            f"""
+            ASK {{
+              ?n <{BASE}nation#ref-n_regionkey> ?r .
+              ?r <{BASE}region#r_name> ?rn .
+              ?n <{BASE}nation#n_regionkey> "{regionkey}" .
+            }}
+            """,
+            base=BASE,
+        )
+
+    return _pa.table(
+        {"probe": ["neg", "pos"], "ask": [probe("999"), probe("1")]}
+    )
+
+
+SQL_SPARQL_ASK = """
+SELECT 'neg' AS probe,
+       EXISTS(SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE n_regionkey = 999) AS ask
+UNION ALL
+SELECT 'pos',
+       EXISTS(SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE n_regionkey = 1)
+"""
