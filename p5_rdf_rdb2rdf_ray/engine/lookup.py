@@ -703,17 +703,23 @@ def get_pattern_union(
 
 
 def get_pattern_store_union(
-    store_dir: str,
+    store_dir: str | list[str],
     groups: list[list[tuple]],
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
 ) -> rd.Dataset:
     """:func:`get_pattern_union` served from a materialized store (the
-    store star fusion and pushdown of :func:`get_pattern_store`)."""
+    store star fusion and pushdown of :func:`get_pattern_store`); a
+    LIST of store dirs unions federated members per pattern."""
     from ..sinks.triplestore import store_statements
 
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
+
     def stmt_fn(**kwargs):
-        return store_statements(store_dir, **kwargs)
+        out = store_statements(dirs[0], **kwargs)
+        for d in dirs[1:]:
+            out = out.union(store_statements(d, **kwargs))
+        return out
 
     def plan_group(pats):
         return _store_star_groups(store_dir, pats)
@@ -795,7 +801,7 @@ def _bgp_union(
 
 
 def get_pattern_store(
-    store_dir: str,
+    store_dir: str | list[str],
     patterns: list[tuple],
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
@@ -819,11 +825,29 @@ def get_pattern_store(
     shared. Same-subject-var pattern groups fuse into one scan: the
     store partitions by subject hash, so whole buckets are
     subject-complete and pivot exactly (see :func:`_store_star_groups`).
+
+    FEDERATED form [graft extension]: ``store_dir`` may be a LIST of
+    store directories — the query runs over the UNION graph (the
+    100-TB deployment shape: a compacted base plus daily deltas queried
+    live before the next ``merge_triplestore``). Every pattern scans
+    each member with full pushdown; identical triples across members
+    collapse in the solution distinct. Star fusion stays active when
+    the members share one bucket layout (same subject-hash
+    partitioning — one task reads the same bucket from every store);
+    with mismatched layouts it falls back to per-pattern joins, slower
+    but exact.
     """
     from ..sinks.triplestore import store_statements
 
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
+    if not dirs:
+        raise ValueError("get_pattern_store needs at least one store dir")
+
     def stmt_fn(**kwargs):
-        return store_statements(store_dir, **kwargs)
+        out = store_statements(dirs[0], **kwargs)
+        for d in dirs[1:]:
+            out = out.union(store_statements(d, **kwargs))
+        return out
 
     units, rest = _store_star_groups(store_dir, patterns, filters=filters)
     if paths:
@@ -863,7 +887,7 @@ def ask(bindings: rd.Dataset) -> bool:
 
 
 def describe_store(
-    store_dir: str,
+    store_dir: str | list[str],
     nodes: list[str] | str,
     max_depth: int = 8,
 ) -> rd.Dataset:
@@ -881,23 +905,32 @@ def describe_store(
     distinct bnode-object labels to compute the next frontier; the
     returned Dataset re-plans the (cheap, pruned) point lookups lazily.
     ``max_depth`` caps bnode-chain recursion (cycle-safe via a seen-set
-    regardless)."""
+    regardless). A LIST of store dirs describes over the federated
+    union (every point lookup fans across the members)."""
     from ..sinks.triplestore import store_statements
     from ..terms import KIND_BNODE
 
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
     if isinstance(nodes, str):
         nodes = [nodes]
     if not nodes:
         raise ValueError("describe_store needs at least one node")
+
+    def point(subject: str) -> rd.Dataset:
+        lv = store_statements(dirs[0], subject=subject)
+        for d in dirs[1:]:
+            lv = lv.union(store_statements(d, subject=subject))
+        return lv
+
     seen: set[str] = set(nodes)
     frontier = list(dict.fromkeys(nodes))
     out: rd.Dataset | None = None
     for _ in range(max_depth + 1):
         if not frontier:
             break
-        level = store_statements(store_dir, subject=frontier[0])
+        level = point(frontier[0])
         for s in frontier[1:]:
-            level = level.union(store_statements(store_dir, subject=s))
+            level = level.union(point(s))
         out = level if out is None else out.union(level)
         # next frontier: the level's distinct bnode objects (tiny —
         # bounded by the description itself, so a driver collect is safe)
@@ -914,6 +947,13 @@ def describe_store(
         frontier = [o for o in (bn or []) if o not in seen]
         seen.update(frontier)
     assert out is not None  # nodes is non-empty or ValueError below
+    if len(dirs) > 1:
+        # each member store is duplicate-free, but the same triple may
+        # live in several members — restore graph set semantics
+        from ..terms import TRIPLE_SCHEMA
+        from .distinct import distinct_rows
+
+        out = distinct_rows(out, [f.name for f in TRIPLE_SCHEMA])
     return out
 
 
@@ -995,10 +1035,17 @@ def _store_star_groups(
     No per-pattern scans, no joins, no shuffle. String-valued binding
     ``filters`` on group object vars additionally push into the scan
     (:func:`_store_filter_pushdown_expr`, pruning-only)."""
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
+    if len(dirs) > 1 and not _buckets_aligned(dirs):
+        # subject-completeness of a bucket holds only when every store
+        # hashes subjects into the SAME bucket layout; otherwise the
+        # whole-bucket pivot would silently drop cross-store star rows —
+        # fall back to per-pattern joins (slower, always correct)
+        return [], patterns
     fused, leftover = _group_star_patterns(patterns, lambda p: "store")
     units = [
         _fused_store_star_unit(
-            store_dir, svar, items,
+            dirs, svar, items,
             row_filter=_store_filter_pushdown_expr(items, filters),
         )
         for svar, _scope, items in fused
@@ -1006,23 +1053,47 @@ def _store_star_groups(
     return units, leftover
 
 
+def _bucket_names(store_dir: str) -> list[str]:
+    import os
+
+    return sorted(
+        n
+        for n in os.listdir(store_dir)
+        if n.startswith("bucket=")
+        and os.path.isdir(os.path.join(store_dir, n))
+    )
+
+
+def _buckets_aligned(dirs: list[str]) -> bool:
+    """Do all stores share one bucket layout (same ``bucket=`` dirs,
+    hence the same subject-hash partitioning)?  Required for federated
+    star fusion: bucket *i* of the UNION graph is subject-complete iff
+    it is bucket *i* of every member store."""
+    names = [_bucket_names(d) for d in dirs]
+    return all(n == names[0] for n in names[1:])
+
+
 def _fused_store_star_unit(
-    store_dir: str, svar: str, items: list[tuple[str, str]],
+    store_dir: str | list[str], svar: str, items: list[tuple[str, str]],
     row_filter=None,
 ) -> tuple[rd.Dataset, list[str], set[str]]:
     import os
 
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
     preds = [p for p, _ in items]
     plan = tuple(items)
     obj_vars = [v for _, v in plan if isinstance(v, str)]
     new_vars = [svar] + obj_vars
     kinds = set(obj_vars)
-    bucket_dirs = [
-        os.path.join(store_dir, n)
-        for n in sorted(os.listdir(store_dir))
-        if n.startswith("bucket=") and os.path.isdir(os.path.join(store_dir, n))
+    # federated union [graft extension]: one task reads the SAME bucket
+    # from every member store (alignment checked by the caller), so the
+    # union slice stays subject-complete and pivots exactly; duplicate
+    # triples across stores dedup before the pivot (set semantics)
+    bucket_groups = [
+        [os.path.join(d, n) for d in dirs if os.path.isdir(os.path.join(d, n))]
+        for n in sorted({b for d in dirs for b in _bucket_names(d)})
     ]
-    if not bucket_dirs:
+    if not bucket_groups:
         return (
             rd.from_arrow(_typed_empty_bindings(new_vars, kinds)),
             new_vars,
@@ -1031,13 +1102,14 @@ def _fused_store_star_unit(
 
     def read_pivot(batch: dict) -> pa.Table:
         parts: list[str] = []
-        for d in batch["dir"]:
-            d = str(d)
-            parts.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+        for grp in batch["dirs"]:
+            for d in grp:
+                d = str(d)
+                parts.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
         if not parts:
             t = _empty()
         else:
@@ -1048,9 +1120,12 @@ def _fused_store_star_unit(
                 filter=flt,
                 columns=["subj", "pred", "obj", "obj_kind"],
             )
-        return _star_pivot(t.to_pandas(), plan, svar)
+        df = t.to_pandas()
+        if len(batch["dirs"]) and len(batch["dirs"][0]) > 1:
+            df = df.drop_duplicates(["subj", "pred", "obj", "obj_kind"])
+        return _star_pivot(df, plan, svar)
 
-    ds = rd.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
+    ds = rd.from_items([{"dirs": g} for g in bucket_groups]).map_batches(
         read_pivot, batch_format="numpy"
     )
     return ds, new_vars, kinds

@@ -875,8 +875,11 @@ def parse_query(text: str) -> ParsedQuery:
 
 def _split_source(source, base):
     """→ (kind, planner kwargs): a str is a materialized store dir, a
-    Catalog queries the Direct-Mapping virtual graph under ``base``."""
-    if isinstance(source, str):
+    LIST of strs the federated union of stores, a Catalog the
+    Direct-Mapping virtual graph under ``base``."""
+    if isinstance(source, str) or (
+        isinstance(source, list) and all(isinstance(s, str) for s in source)
+    ):
         return "store", {}
     if base is None:
         raise ValueError("catalog sources need base= for the DM IRIs")

@@ -1439,3 +1439,61 @@ SELECT 'pos',
        EXISTS(SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
               WHERE n_regionkey = 1)
 """
+
+
+# ---------------------------------------------------------------------------
+# Federated multi-store BGP [graft extension]: base + delta queried as
+# one UNION graph before compaction — the daily-delta deployment shape.
+# ---------------------------------------------------------------------------
+
+def _nation_region_split_stores(sf_dir: str) -> tuple[str, str]:
+    """Materialize nation triples and region triples as TWO aligned
+    stores (same num_buckets → same subject-hash layout), resumably —
+    the base+delta pair the federated entries query."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sinks.triplestore import fingerprint_files, write_triplestore
+
+    cat = catalog_for(sf_dir)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # ONE spec over both tables (the nation FK ref needs the region
+    # layout), split at execution time per store via only_maps
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    outs = []
+    for table in ("nation", "region"):
+        out = os.path.join(
+            tempfile.gettempdir(), f"p5kg_fed_{table}_{tag}"
+        )
+        write_triplestore(
+            run_mapping(spec, cat, distinct=False, only_maps=[table]),
+            out,
+            num_buckets=8,
+            input_fp=fingerprint_files(cat.files(table)),
+        )
+        outs.append(out)
+    return outs[0], outs[1]
+
+
+def q_federated_store(sf_dir: str) -> rd.Dataset:
+    """BGP over the UNION of two stores (base = nation triples, delta =
+    region triples) — the query's join NEEDS both members: the FK ref
+    lives in the base store, the region name in the delta. Aligned
+    bucket layouts keep star fusion active (one task reads the same
+    bucket from every member); same oracle as the single-store
+    `bgp_store` entry, proving union-graph equivalence."""
+    from ..engine.lookup import get_pattern_store
+
+    base_s, delta_s = _nation_region_split_stores(sf_dir)
+    return get_pattern_store(
+        [base_s, delta_s],
+        [
+            ("?n", BASE + "nation#ref-n_regionkey", "?r"),
+            ("?r", BASE + "region#r_name", "?rn"),
+            ("?n", BASE + "nation#n_regionkey", ("lit", "1")),
+        ],
+    )
+
+
+SQL_FEDERATED_STORE = SQL_BGP_NATION_REGION

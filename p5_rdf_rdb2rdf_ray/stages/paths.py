@@ -365,7 +365,9 @@ def parse_path(expr: str):
 
 def _source_statements(source, predicate: str | None = None) -> rd.Dataset:
     """Graph-source dispatch: a string is a materialized-store directory
-    (``store_statements`` — bucket pruning + parquet filters); a
+    (``store_statements`` — bucket pruning + parquet filters); a LIST of
+    strings is the federated UNION of member stores (each with its own
+    pushdown; closure distincts collapse cross-store duplicates); a
     ``(catalog, base)`` tuple is the Direct-Mapping VIRTUAL graph
     (``engine.lookup.get_statements`` — the bound predicate compiles
     only that column's triples map, so a path leaf scans one column)."""
@@ -373,6 +375,13 @@ def _source_statements(source, predicate: str | None = None) -> rd.Dataset:
         from ..sinks.triplestore import store_statements
 
         return store_statements(source, predicate=predicate)
+    if isinstance(source, list):
+        from ..sinks.triplestore import store_statements
+
+        out = store_statements(source[0], predicate=predicate)
+        for d in source[1:]:
+            out = out.union(store_statements(d, predicate=predicate))
+        return out
     catalog, base = source
     from ..engine.lookup import get_statements
 

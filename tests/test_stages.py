@@ -3024,3 +3024,109 @@ def test_pearson_corr_overflow_exact(ray_session):
         float(n * syy - sy * sy)
     )
     assert got["n"] == n and got["r"] == num / den
+
+
+def _store_at(tmp_path, name, rows, num_buckets=4):
+    import pyarrow as pa
+
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    t = pa.table(
+        {
+            "subj": [s for s, _, _, _ in rows],
+            "pred": [p for _, p, _, _ in rows],
+            "obj": [o for _, _, o, _ in rows],
+            "obj_kind": pa.array([k for _, _, _, k in rows], pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    out = str(tmp_path / name)
+    write_triplestore(rd.from_arrow(t), out, num_buckets=num_buckets)
+    return out
+
+
+def test_federated_store_union_semantics(ray_session, tmp_path):
+    """get_pattern_store over a LIST of stores == the same query over
+    the compacted union store; duplicate triples across members
+    collapse; mismatched bucket layouts fall back to per-pattern joins
+    with identical results; paths and DESCRIBE work federated."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import (
+        describe_store,
+        get_pattern_store,
+    )
+    from p5_rdf_rdb2rdf_ray.terms import KIND_IRI, KIND_LITERAL
+
+    N = "http://n/"
+    I, L = KIND_IRI, KIND_LITERAL
+    base_rows = [
+        (N + "a", N + "p", N + "b", I),
+        (N + "a", N + "name", "alpha", L),
+        (N + "b", N + "name", "beta", L),
+    ]
+    delta_rows = [
+        (N + "b", N + "p", N + "c", I),
+        (N + "c", N + "name", "gamma", L),
+        # overlap: duplicates a triple already in base
+        (N + "a", N + "name", "alpha", L),
+    ]
+    base = _store_at(tmp_path, "base", base_rows, num_buckets=4)
+    delta = _store_at(tmp_path, "delta", delta_rows, num_buckets=4)
+    merged = _store_at(
+        tmp_path, "merged", base_rows + delta_rows[:-1], num_buckets=4
+    )
+
+    pats = [("?x", N + "p", "?y"), ("?y", N + "name", "?nm")]
+    fed = sorted(
+        (r["x"], r["y"], r["nm"])
+        for r in get_pattern_store([base, delta], pats).take_all()
+    )
+    one = sorted(
+        (r["x"], r["y"], r["nm"])
+        for r in get_pattern_store(merged, pats).take_all()
+    )
+    assert fed == one == [
+        (N + "a", N + "b", "beta"),
+        (N + "b", N + "c", "gamma"),
+    ]
+
+    # star group with duplicated triple: solutions still collapse
+    star = get_pattern_store(
+        [base, delta], [("?s", N + "name", "?nm")]
+    ).take_all()
+    assert sorted((r["s"], r["nm"]) for r in star) == [
+        (N + "a", "alpha"), (N + "b", "beta"), (N + "c", "gamma"),
+    ]
+
+    # mismatched bucket layout → fusion falls back, same answers
+    delta2 = _store_at(tmp_path, "delta2", delta_rows, num_buckets=2)
+    fed2 = sorted(
+        (r["x"], r["y"], r["nm"])
+        for r in get_pattern_store([base, delta2], pats).take_all()
+    )
+    assert fed2 == one
+
+    # federated path: closure spans the two members (a→b in base,
+    # b→c in delta)
+    reach = get_pattern_store(
+        [base, delta], [], paths=[("?x", f"<{N}p>+", "?y")]
+    ).take_all()
+    assert sorted((r["x"], r["y"]) for r in reach) == [
+        (N + "a", N + "b"), (N + "a", N + "c"), (N + "b", N + "c"),
+    ]
+
+    # federated DESCRIBE: the duplicated triple appears once
+    d = describe_store([base, delta], N + "a").take_all()
+    assert sorted((r["pred"], r["obj"]) for r in d) == [
+        (N + "name", "alpha"), (N + "p", N + "b"),
+    ]
+
+    # sparql() accepts the list source
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql
+
+    s = sparql(
+        [base, delta],
+        f'SELECT ?s WHERE {{ ?s <{N}name> "gamma" }}',
+    ).take_all()
+    assert [r["s"] for r in s] == [N + "c"]
