@@ -14,7 +14,6 @@ parts stay independently parseable.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -66,8 +65,8 @@ def _abbrev_array(arr: pa.Array, abbrev, rdf_type_as_a: bool = False) -> pa.Arra
     return pc.take(vals, d.indices)
 
 
-def _term_strings(t: pa.Table, abbrev) -> pd.DataFrame:
-    """Triple rows → pandas frame of Turtle-formatted subj/pred/obj.
+def _term_strings(t: pa.Table, abbrev) -> pa.Table:
+    """Triple rows → Arrow table of Turtle-formatted subj/pred/obj.
     Vectorized with the same Arrow kernels as the N-Triples sink; the
     Python ``abbrev`` runs only per distinct predicate/datatype."""
     subj = _fmt_node(t.column("subj").combine_chunks())
@@ -98,35 +97,85 @@ def _term_strings(t: pa.Table, abbrev) -> pd.DataFrame:
     )
     literal = pc.binary_join_element_wise(lit_body, lang_sfx, dt_sfx, pa.scalar(""))
     obj_s = pc.if_else(pc.equal(kind, KIND_LITERAL), literal, _fmt_node(obj))
-    return pd.DataFrame(
-        {
-            "subj": subj.to_pandas(),
-            "pred": pred.to_pandas(),
-            "obj": obj_s.to_pandas(),
-        }
-    )
+    return pa.table({"subj": subj, "pred": pred, "obj": obj_s})
 
 
 def turtle_blocks_batch(
     t: pa.Table, prefixes: dict[str, str] | None = None
 ) -> pa.Table:
-    """Triple rows → one-column table ``block`` of per-subject Turtle
-    blocks (``<s> p1 o1 ; p2 o2 .``), predicates/objects ``,``-grouped
-    per predicate, stable (subj, pred, obj) order."""
+    """Triple rows → one-row table ``(block: the batch's Turtle text,
+    n_subjects)`` of per-subject blocks (``<s> p1 o1 ; p2 o2 .``),
+    predicates/objects ``,``-grouped per predicate, stable (subj, pred,
+    obj) order, blocks joined by newline.
+
+    Arrow-native end to end: sort → neighbor dedup → one vectorized
+    ``binary_join_element_wise`` pass picks each row's separator (new
+    subject / new predicate / same predicate) — no pandas, no per-group
+    Python loop; the only Python-level work is the final byte join."""
     abbrev = _abbreviator({**DEFAULT_PREFIXES, **(prefixes or {})})
     if t.num_rows == 0:
-        return pa.table({"block": pa.array([], pa.string())})
-    df = _term_strings(t, abbrev)
-    df = df.drop_duplicates().sort_values(
-        ["subj", "pred", "obj"], kind="mergesort"
+        return pa.table(
+            {
+                "block": pa.array([], pa.string()),
+                "n_subjects": pa.array([], pa.int64()),
+            }
+        )
+    ts = _term_strings(t, abbrev).sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
     )
-    blocks: list[str] = []
-    for subj, g in df.groupby("subj", sort=False):
-        po: list[str] = []
-        for pred, gg in g.groupby("pred", sort=False):
-            po.append(f"{pred} " + ", ".join(gg["obj"]))
-        blocks.append(f"{subj} " + " ;\n    ".join(po) + " .")
-    return pa.table({"block": pa.array(blocks, pa.string())})
+    subj = ts.column("subj").combine_chunks()
+    pred = ts.column("pred").combine_chunks()
+    obj = ts.column("obj").combine_chunks()
+    n = len(subj)
+
+    def changed(a: pa.Array) -> pa.Array:
+        # row i differs from row i-1 (row 0 always "changed")
+        if n == 1:
+            return pa.array([True])
+        neq = pc.not_equal(a.slice(1), a.slice(0, n - 1))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        return pa.concat_arrays([pa.array([True]), neq])
+
+    new_subj = changed(subj)
+    new_pred = pc.or_(new_subj, changed(pred))
+    dup = pc.and_(
+        pc.invert(new_pred), pc.invert(changed(obj))
+    )  # same (s,p,o) as previous row → exact-duplicate triple
+    keep = pc.invert(dup)
+    if not pc.all(keep).as_py():
+        subj = subj.filter(keep)
+        pred = pred.filter(keep)
+        obj = obj.filter(keep)
+        new_subj = new_subj.filter(keep)
+        new_pred = new_pred.filter(keep)
+        n = len(subj)
+
+    first = pa.array([True] + [False] * (n - 1))
+    sep = pc.if_else(
+        new_subj,
+        pc.if_else(first, pa.scalar(""), pa.scalar(" .\n")),
+        pc.if_else(new_pred, pa.scalar(" ;\n    "), pa.scalar(", ")),
+    )
+    head = pc.if_else(
+        new_subj,
+        pc.binary_join_element_wise(subj, " ", pred, " ", ""),
+        pc.if_else(
+            new_pred,
+            pc.binary_join_element_wise(pred, " ", ""),
+            pa.scalar(""),
+        ),
+    )
+    pieces = pc.binary_join_element_wise(sep, head, obj, "")
+    text = "".join(pieces.to_pylist()) + " ."
+    return pa.table(
+        {
+            "block": pa.array([text], pa.string()),
+            "n_subjects": pa.array(
+                [pc.sum(pc.cast(new_subj, pa.int64())).as_py()], pa.int64()
+            ),
+        }
+    )
 
 
 def prefix_header(prefixes: dict[str, str] | None = None) -> str:
@@ -145,7 +194,7 @@ def collect_turtle(
     for b in ds.map_batches(
         lambda t: turtle_blocks_batch(t, prefixes), batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
-        parts.extend(b.column("block").to_pylist())
+        parts.extend(s for s in b.column("block").to_pylist() if s)
     return "\n".join(parts) + "\n"
 
 
@@ -158,14 +207,16 @@ class _TurtleWriter:
         import os
         import uuid
 
-        blocks = turtle_blocks_batch(t, self.prefixes).column("block").to_pylist()
-        if blocks:
+        out = turtle_blocks_batch(t, self.prefixes)
+        texts = [s for s in out.column("block").to_pylist() if s]
+        n_subj = sum(out.column("n_subjects").to_pylist() or [0])
+        if texts:
             os.makedirs(self.path, exist_ok=True)
             fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ttl")
             with open(fname, "w", encoding="utf-8") as f:
                 f.write(prefix_header(self.prefixes) + "\n\n")
-                f.write("\n".join(blocks) + "\n")
-        return pa.table({"blocks": pa.array([len(blocks)], pa.int64())})
+                f.write("\n".join(texts) + "\n")
+        return pa.table({"blocks": pa.array([n_subj], pa.int64())})
 
 
 def write_turtle(
