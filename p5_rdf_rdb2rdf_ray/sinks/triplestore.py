@@ -345,20 +345,47 @@ class _BucketMerger:
                     if f.endswith(".parquet")
                 ]
                 if parts:
+                    import numpy as np
+
+                    from ..engine.distinct import row_hash, to_clean_arrow
+
                     existing = pa.concat_tables(
                         pq.read_table(p, columns=list(TRIPLE_COLUMNS))
                         for p in parts
                     )
-                    df = body.to_pandas()
-                    exd = existing.to_pandas().drop_duplicates()
                     cols = list(TRIPLE_COLUMNS)
-                    m = df.merge(
-                        exd[cols].assign(__old=1), on=cols, how="left"
-                    )
-                    novel = m[m["__old"].isna()][cols]
-                    from ..engine.distinct import to_clean_arrow
-
-                    body = to_clean_arrow(novel).cast(existing.schema)
+                    # hash pre-filter: a delta row whose xxhash row-hash
+                    # does not occur in the bucket is certainly novel —
+                    # in append-mostly ingest that is nearly every row,
+                    # so the exact (null-safe) pandas compare runs only
+                    # over the matching-hash slices of both sides; the
+                    # hash never DECIDES (collisions just enlarge the
+                    # verified slice), so the merge stays exact
+                    h_ex = row_hash(existing.combine_chunks(), cols)
+                    h_new = row_hash(body.combine_chunks(), cols)
+                    cand = np.isin(h_new, h_ex)
+                    if cand.any():
+                        ex_hit = existing.filter(
+                            pa.array(np.isin(h_ex, h_new[cand]))
+                        )
+                        dfc = body.filter(pa.array(cand)).to_pandas()
+                        exd = ex_hit.to_pandas().drop_duplicates()
+                        m = dfc.merge(
+                            exd[cols].assign(__old=1), on=cols, how="left"
+                        )
+                        novel_c = to_clean_arrow(
+                            m[m["__old"].isna()][cols]
+                        ).cast(existing.schema)
+                        body = pa.concat_tables(
+                            [
+                                body.filter(pa.array(~cand)).cast(
+                                    existing.schema
+                                ),
+                                novel_c,
+                            ]
+                        )
+                    else:
+                        body = body.cast(existing.schema)
             if body.num_rows == 0:
                 continue
             os.makedirs(d, exist_ok=True)
