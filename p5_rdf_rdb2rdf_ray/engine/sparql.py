@@ -718,12 +718,19 @@ class _Parser:
         fn = self.expect("KW").val
         self.expect("PUNCT", "(")
         if self.at_kw("distinct"):
-            raise ValueError(
-                "aggregate DISTINCT is not supported in the text "
-                "front-end; use the sketch/groupagg stages directly"
-            )
+            if fn != "count":
+                raise ValueError(
+                    f"aggregate DISTINCT is only supported for COUNT "
+                    f"(got {fn.upper()}); use the groupagg stages directly"
+                )
+            self.next()
+            fn = "count_distinct"
         extra = None
         if self.at_punct("*"):
+            if fn == "count_distinct":
+                raise ValueError(
+                    "COUNT(DISTINCT *) is not supported; name a variable"
+                )
             if fn != "count":
                 raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
             self.next()
@@ -1014,24 +1021,40 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..stages.groupagg import grouped_aggregate, grouped_concat
+    from ..stages.groupagg import (
+        grouped_aggregate,
+        grouped_concat,
+        grouped_count_distinct,
+    )
 
     keys = list(q.group_by)
     concat_aggs = {
         a: spec for a, spec in q.aggregates.items() if spec[0] == "group_concat"
     }
-    plain_aggs = {
-        a: spec for a, spec in q.aggregates.items() if spec[0] != "group_concat"
+    cdist_aggs = {
+        a: spec for a, spec in q.aggregates.items()
+        if spec[0] == "count_distinct"
     }
-    if concat_aggs and plain_aggs:
+    plain_aggs = {
+        a: spec for a, spec in q.aggregates.items()
+        if spec[0] not in ("group_concat", "count_distinct")
+    }
+    solo = [n for n, d in
+            (("GROUP_CONCAT", concat_aggs), ("COUNT(DISTINCT)", cdist_aggs))
+            if d]
+    if solo and (plain_aggs or len(concat_aggs) + len(cdist_aggs) > 1):
         raise ValueError(
-            "GROUP_CONCAT cannot be combined with other aggregates in one "
+            f"{solo[0]} cannot be combined with other aggregates in one "
             "query (it would need a per-key join); run two queries"
         )
-    if len(concat_aggs) > 1:
-        raise ValueError("one GROUP_CONCAT per query")
 
-    if concat_aggs:
+    if cdist_aggs:
+        ((alias, (_fn, var, _x)),) = cdist_aggs.items()
+        out = grouped_count_distinct(
+            bindings, keys=keys, col=var, out=alias,
+            num_partitions=num_partitions,
+        )
+    elif concat_aggs:
         ((alias, (_fn, var, sep)),) = concat_aggs.items()
         out = grouped_concat(
             bindings, keys=keys, col=var, sep=sep if sep is not None else " ",

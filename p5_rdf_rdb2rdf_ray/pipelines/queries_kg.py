@@ -641,6 +641,41 @@ FROM nation
 """
 
 
+def q_bgp_path_star(sf_dir: str) -> rd.Dataset:
+    """ZERO-OR-MORE path at the BGP surface (`get_pattern_store(paths=…)`
+    with a ``*`` path and a BOUND object endpoint): per §18.4 the
+    zero-length part pairs every graph term with itself, so the bound
+    region node matches ITSELF (zero hops) in addition to the nations
+    that reach it through the FK edge (one hop).  Pins the §18.4
+    identity end-to-end through the store planner — `path_star_nation`
+    pins the same semantics at the raw `eval_path` relation level."""
+    from ..engine.lookup import get_pattern_store
+
+    store = _nation_region_store(sf_dir)
+    return get_pattern_store(
+        store,
+        [],
+        paths=[
+            (
+                "?x",
+                f"<{BASE}nation#ref-n_regionkey>*",
+                f"{BASE}region/r_regionkey=1",
+            )
+        ],
+    )
+
+
+# zero hops: the bound region node itself; one hop: nations whose FK
+# points at it. (Region nodes have no outgoing ref edge, so the closure
+# stops at depth 1.)
+SQL_BGP_PATH_STAR = f"""
+SELECT '{BASE}region/r_regionkey=1' AS x
+UNION
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey
+FROM nation WHERE n_regionkey = 1
+"""
+
+
 def q_void_stats(sf_dir: str) -> rd.Dataset:
     """VoID-style per-predicate dataset statistics (`engine.void.
     void_statistics` over the materialized nation+region store): triple
@@ -1351,6 +1386,34 @@ SQL_SPARQL_AGG = f"""
 SELECT '{BASE}nation/n_nationkey=' || c_nationkey AS n,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM customer GROUP BY 1 HAVING count(*) >= 3 ORDER BY n
+"""
+
+
+def q_sparql_count_distinct(sf_dir: str) -> rd.Dataset:
+    """Textual ``COUNT(DISTINCT ?v)`` (SPARQL §18.5 set-function COUNT
+    with DISTINCT): distinct nation nodes per market segment over the
+    DM virtual graph — routed through the pair-shuffle
+    `grouped_count_distinct` (per-block dedupe combiner, ONE keyed
+    shuffle); the same stage's ``approx=True`` HLL path is pinned by
+    pytest with an error bound."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?seg (COUNT(DISTINCT ?n) AS ?n_nations) WHERE {{
+          ?c <{BASE}customer#c_mktsegment> ?seg .
+          ?c <{BASE}customer#ref-c_nationkey> ?n
+        }} GROUP BY ?seg ORDER BY ?seg
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_COUNT_DISTINCT = """
+SELECT c_mktsegment AS seg,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer GROUP BY 1 ORDER BY seg
 """
 
 

@@ -215,6 +215,78 @@ def grouped_concat(
     )
 
 
+def grouped_count_distinct(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    out: str = "ndistinct",
+    num_partitions: int = 32,
+    approx: bool = False,
+    p: int = 12,
+) -> rd.Dataset:
+    """``COUNT(DISTINCT col)`` per group — SPARQL §18.5's set-function
+    COUNT with DISTINCT, and the profile-style cardinality op.
+
+    Exact mode shuffles the distinct (keys, col) PAIRS: per-block
+    dedupe is the combiner (a value appearing in every row of a block
+    still ships once per block), ONE keyed hash shuffle, then a
+    per-partition dedupe + ``nunique`` — exact because a key never
+    spans blocks after the keyed repartition. NULL values of ``col``
+    do not count (SPARQL: unbound is not a solution value; pandas
+    ``nunique`` dropna matches).
+
+    ``approx=True`` delegates to the mergeable HLL sketch
+    (:func:`~..stages.sketches.grouped_approx_distinct`, precision
+    ``p``): one 2^p-byte register row per key per block instead of the
+    pair shuffle — the scale path when ``col`` has high cardinality
+    per group. NULL handling differs (the sketch counts NULL as one
+    value); filter first if that matters.
+    """
+    keys = list(keys)
+    if any(c.startswith("__") for c in keys + [col, out]):
+        raise ValueError("'__'-prefixed columns are reserved")
+    if approx:
+        from .sketches import grouped_approx_distinct
+
+        res = grouped_approx_distinct(
+            ds, keys=keys, col=col, p=p, num_partitions=num_partitions
+        )
+        if out != "approx_ndistinct":
+            # not Dataset.rename_columns: that op renames ARROW blocks,
+            # and the sketch finalizer emits pandas blocks
+            res = res.map_batches(
+                lambda df: df.rename(columns={"approx_ndistinct": out}),
+                batch_format="pandas",
+            )
+        return res
+
+    need = list(dict.fromkeys(keys + [col]))
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df[need].drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 out: pd.Series(dtype="int64")}
+            )
+        res = (
+            df.groupby(keys, dropna=False, sort=False)[col]
+            .nunique()
+            .rename(out)
+            .astype("int64")
+        )
+        return res.reset_index()
+
+    ensure_hash_shuffle(ds)
+    return (
+        ds.map_batches(dedupe, batch_format="pandas")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def column_quantiles(
     ds: rd.Dataset,
     col: str,

@@ -464,6 +464,68 @@ def test_grouped_approx_distinct(ray_session):
         grouped_approx_distinct(rd.from_pandas(df), [], "u")
 
 
+def test_grouped_count_distinct(ray_session):
+    """Exact COUNT(DISTINCT) per group: matches pandas nunique across
+    partitionings, NULL values don't count; approx=True delegates to
+    the HLL sketch (same ±5% bound, alias renamed)."""
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_count_distinct
+
+    rng = np.random.default_rng(68)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abc"), size=n),
+            "u": rng.integers(0, 3000, size=n).astype("float64"),
+        }
+    )
+    df.loc[df.index[:500], "u"] = None  # NULLs must not count
+    exact = df.groupby("g")["u"].nunique()
+    for parts in (3, 11):
+        got = (
+            grouped_count_distinct(
+                rd.from_pandas(df).repartition(parts), ["g"], "u", out="nd"
+            )
+            .to_pandas()
+            .set_index("g")["nd"]
+        )
+        for g in "abc":
+            assert got[g] == exact[g]
+    approx = (
+        grouped_count_distinct(
+            rd.from_pandas(df.dropna()), ["g"], "u", out="nd",
+            approx=True, p=12,
+        )
+        .to_pandas()
+        .set_index("g")["nd"]
+    )
+    for g in "abc":
+        assert abs(approx[g] - exact[g]) / exact[g] < 0.05
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_count_distinct(rd.from_pandas(df), ["__g"], "u")
+
+
+def test_sparql_count_distinct_text(ray_session, tmp_path):
+    """COUNT(DISTINCT ?v) through the text front-end equals the exact
+    per-group nunique; non-COUNT DISTINCT aggregates reject."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import parse_query
+
+    q = parse_query(
+        "SELECT ?g (COUNT(DISTINCT ?u) AS ?nd) WHERE { ?s <p:g> ?g . "
+        "?s <p:u> ?u } GROUP BY ?g"
+    )
+    assert q.aggregates == {"nd": ("count_distinct", "u", None)}
+    with pytest.raises(ValueError, match="only supported for COUNT"):
+        parse_query(
+            "SELECT ?g (SUM(DISTINCT ?u) AS ?x) WHERE { ?s <p:u> ?u } "
+            "GROUP BY ?g"
+        )
+    with pytest.raises(ValueError, match="name a variable"):
+        parse_query(
+            "SELECT ?g (COUNT(DISTINCT *) AS ?x) WHERE { ?s <p:u> ?u } "
+            "GROUP BY ?g"
+        )
+
+
 def test_rollup_aggregate(ray_session):
     """ROLLUP levels re-aggregate the finer level exactly (count→sum,
     sum→sum, min/max→min/max); rolled-up keys are NULL; mean rejects."""
