@@ -87,6 +87,62 @@ def ensure_hash_shuffle(ds: rd.Dataset | None = None) -> None:
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
 
 
+# Ray major.minor versions whose hash-shuffle reducer is PINNED (by the
+# canary test `tests/test_stages.py::test_window_one_block_canary`) to
+# emit ONE block per partition — the invariant every per-key exact
+# stage's final relies on. An unlisted version routes through the
+# slow-but-correct map_groups fallback instead of silently computing
+# wrong windows; extend the list only after re-running the canary.
+_ONE_BLOCK_OK = ("2.49",)
+
+
+def one_block_invariant() -> bool:
+    """Does this Ray emit hash-shuffle partitions as single blocks?
+    Env override ``P5_KEYED_ONE_BLOCK`` = "1" (trust) / "0" (force the
+    fallback, e.g. to exercise it in tests)."""
+    import os
+
+    import ray
+
+    ov = os.environ.get("P5_KEYED_ONE_BLOCK", "")
+    if ov:
+        return ov != "0"
+    return ray.__version__.rsplit(".", 1)[0] in _ONE_BLOCK_OK
+
+
+def keyed_exact(
+    ds: rd.Dataset,
+    keys: list[str],
+    final,
+    num_partitions: int,
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """Apply ``final`` to KEY-COMPLETE frames: every row of a given key
+    combination appears in exactly one frame ``final`` sees (the
+    invariant behind every ordered-window / per-key-exact stage).
+
+    Fast path (pinned Ray versions): ONE hash repartition on ``keys``,
+    then ``map_batches(final, batch_size=None)`` — the reducer emits
+    one block per partition, so a block IS a key-complete partition.
+
+    Fallback (:func:`one_block_invariant` false — unknown Ray, or
+    forced via ``P5_KEYED_ONE_BLOCK=0``): ``groupby(keys).map_groups``
+    — per-KEY frames, still one shuffle but with Ray's per-group
+    re-concat on top; slower (group slicing per key) but correct under
+    any reducer block layout. ``final`` must therefore handle a frame
+    holding any SUBSET of keys (all stages here group internally, so a
+    single-key frame is just the 1-group case)."""
+    keys = list(keys)
+    ensure_hash_shuffle(ds)
+    if not one_block_invariant():
+        return ds.groupby(keys).map_groups(
+            final, batch_format=batch_format
+        )
+    return ds.repartition(num_partitions, keys=keys).map_batches(
+        final, batch_format=batch_format, batch_size=None
+    )
+
+
 def to_clean_arrow(df: pd.DataFrame) -> pa.Table:
     """pandas → Arrow with no pandas metadata. Stages that FEED a shuffle
     should return this instead of a DataFrame: pandas blocks carry an

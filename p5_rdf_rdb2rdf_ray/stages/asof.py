@@ -24,7 +24,7 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
+from ..engine.distinct import ensure_hash_shuffle, keyed_exact, to_clean_arrow
 
 _KEY, _TS, _SIDE = "__key", "__ts", "__side"
 
@@ -103,10 +103,7 @@ def asof_join(
             m[c] = m[c].astype(dt)
         return m[out_cols].reset_index(drop=True)
 
-    return (
-        u.repartition(num_partitions, keys=[_KEY])
-        .map_batches(merge, batch_format="pandas", batch_size=None)
-    )
+    return keyed_exact(u, [_KEY], merge, num_partitions)
 
 
 _BKT, _V, _LO, _HI = "__bkt", "__v", "__lo", "__hi"
@@ -215,6 +212,4 @@ def range_join(
             m[c] = m[c].astype(dt)
         return m[out_cols].reset_index(drop=True)
 
-    return u.repartition(num_partitions, keys=[_BKT]).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    return keyed_exact(u, [_BKT], merge, num_partitions)

@@ -25,7 +25,7 @@ from typing import Mapping, Sequence
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
+from ..engine.distinct import ensure_hash_shuffle, keyed_exact, to_clean_arrow
 
 # fn name -> (partial fn, merge fn)
 _MERGES = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -85,10 +85,9 @@ def grouped_aggregate(
         return res.drop(columns=drop)
 
     ensure_hash_shuffle(ds)
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(num_partitions, keys=keys)
-        .map_batches(final, batch_format="pandas", batch_size=None)
+    return keyed_exact(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys, final, num_partitions,
     )
 
 
@@ -208,10 +207,9 @@ def grouped_concat(
         return res.reset_index()
 
     ensure_hash_shuffle(ds)
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .repartition(num_partitions, keys=keys)
-        .map_batches(final, batch_format="pandas", batch_size=None)
+    return keyed_exact(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys, final, num_partitions,
     )
 
 
@@ -280,10 +278,9 @@ def grouped_count_distinct(
         return res.reset_index()
 
     ensure_hash_shuffle(ds)
-    return (
-        ds.map_batches(dedupe, batch_format="pandas")
-        .repartition(num_partitions, keys=keys)
-        .map_batches(final, batch_format="pandas", batch_size=None)
+    return keyed_exact(
+        ds.map_batches(dedupe, batch_format="pandas"),
+        keys, final, num_partitions,
     )
 
 
@@ -403,9 +400,10 @@ def grouped_quantiles(
     return (
         # clean Arrow into the shuffle: grouped_aggregate finalizes in
         # pandas, whose schema metadata defeats the shuffle's dedup
-        hist.map_batches(to_clean_arrow, batch_format="pandas")
-        .repartition(min(num_partitions, 16), keys=keys)
-        .map_batches(pick, batch_format="pandas", batch_size=None)
+        keyed_exact(
+            hist.map_batches(to_clean_arrow, batch_format="pandas"),
+            keys, pick, min(num_partitions, 16),
+        )
     )
 
 
@@ -445,10 +443,9 @@ def grouped_top_k(
         return to_clean_arrow(out)
 
     ensure_hash_shuffle(ds)
-    return (
-        ds.map_batches(prune, batch_format="pandas")
-        .repartition(num_partitions, keys=keys)
-        .map_batches(prune, batch_format="pandas", batch_size=None)
+    return keyed_exact(
+        ds.map_batches(prune, batch_format="pandas"),
+        keys, prune, num_partitions,
     )
 
 

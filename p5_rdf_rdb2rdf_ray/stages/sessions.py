@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
+from ..engine.distinct import ensure_hash_shuffle, keyed_exact, to_clean_arrow
 
 
 def tumbling_window(
@@ -216,10 +216,7 @@ def window_shift(
             df[out] = s
         return df
 
-    return (
-        events.repartition(num_partitions, keys=keys)
-        .map_batches(shift, batch_format="pandas", batch_size=None)
-    )
+    return keyed_exact(events, keys, shift, num_partitions)
 
 
 def sessionize(
@@ -257,11 +254,8 @@ def sessionize(
         out["session_idx"] = out.groupby(user_col, sort=False).cumcount() + 1
         return out[[user_col, "session_idx", "n_events", "t_start", "t_end"]]
 
-    return (
-        events.repartition(num_partitions, keys=[user_col])
-        # whole blocks: all of a user's events are in one block post-shuffle
-        .map_batches(window, batch_format="pandas", batch_size=None)
-    )
+    # key-complete frames: all of a user's events in one frame
+    return keyed_exact(events, [user_col], window, num_partitions)
 
 
 def funnel_conversion(
@@ -323,10 +317,7 @@ def funnel_conversion(
         ).astype({user_col: "int64", "n_a": "int64", "n_b": "int64",
                   "converted": "int64"})
 
-    return (
-        events.repartition(num_partitions, keys=[user_col])
-        .map_batches(flag, batch_format="pandas", batch_size=None)
-    )
+    return keyed_exact(events, [user_col], flag, num_partitions)
 
 
 def cohort_retention(
@@ -380,10 +371,7 @@ def cohort_retention(
 
     from .groupagg import grouped_aggregate
 
-    pairs = (
-        events.repartition(num_partitions, keys=[user_col])
-        .map_batches(explode, batch_format="pandas", batch_size=None)
-    )
+    pairs = keyed_exact(events, [user_col], explode, num_partitions)
     return grouped_aggregate(
         pairs,
         keys=["cohort_month", "active_month"],

@@ -11,8 +11,11 @@ Scale shape (shared by both ops): project to the needed columns, ONE
 hash shuffle on the partition keys, then per-block vectorized pandas —
 exact because a key never spans blocks after the keyed repartition (one
 block per partition; see ``sessions.window_shift`` for the same
-invariant). The reference has no window functions (RDF output is a
-set) — these are brief extensions for the training-data surface.
+invariant). Both route through :func:`~..engine.distinct.keyed_exact`,
+which pins that invariant per Ray version and degrades to a
+slow-but-correct ``map_groups`` fallback on an unpinned runtime. The
+reference has no window functions (RDF output is a set) — these are
+brief extensions for the training-data surface.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from typing import Mapping, Sequence
 import pandas as pd
 import ray.data as rd
 
-from ..engine.distinct import ensure_hash_shuffle, to_clean_arrow
+from ..engine.distinct import ensure_hash_shuffle, keyed_exact, to_clean_arrow
 
 _ROLL_FNS = {"sum", "mean", "min", "max", "count"}
 
@@ -87,10 +90,7 @@ def rolling_aggregate(
             df[out] = s
         return to_clean_arrow(df)
 
-    return (
-        events.repartition(num_partitions, keys=keys)
-        .map_batches(roll, batch_format="pandas", batch_size=None)
-    )
+    return keyed_exact(events, keys, roll, num_partitions)
 
 
 _RANK_FNS = {"row_number", "rank", "dense_rank", "percent_rank", "ntile"}
@@ -213,7 +213,4 @@ def grouped_rank(
             df[out] = s.to_numpy()
         return to_clean_arrow(df)
 
-    return (
-        ds.repartition(num_partitions, keys=keys)
-        .map_batches(rank, batch_format="pandas", batch_size=None)
-    )
+    return keyed_exact(ds, keys, rank, num_partitions)

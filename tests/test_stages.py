@@ -1182,6 +1182,71 @@ def test_shuffle_partition_invariant(ray_session):
     assert nonempty == [n], f"partition was split across blocks: {counts}"
 
 
+def test_keyed_exact_fallback(ray_session, monkeypatch):
+    """The re-merge guard behind every per-key stage: with
+    P5_KEYED_ONE_BLOCK=0 `keyed_exact` routes through
+    groupby().map_groups (correct under ANY reducer block layout) and
+    the window/session/aggregate stages produce IDENTICAL output to the
+    pinned one-block fast path — a future Ray that splits reducer
+    partitions degrades to slow-but-correct, never silently wrong."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_ray.engine.distinct import one_block_invariant
+    from p5_rdf_rdb2rdf_ray.stages.groupagg import grouped_aggregate
+    from p5_rdf_rdb2rdf_ray.stages.sessions import window_shift
+    from p5_rdf_rdb2rdf_ray.stages.windows import rolling_aggregate
+
+    rng = np.random.default_rng(77)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n),
+            "ts": rng.permutation(n).astype("int64"),
+            "v": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+
+    def run():
+        roll = (
+            rolling_aggregate(
+                rd.from_pandas(df).repartition(5), ["u"], ["ts"],
+                {"s3": ("v", "sum", 3)}, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["u", "ts"])
+            .reset_index(drop=True)
+        )
+        shift = (
+            window_shift(
+                rd.from_pandas(df).repartition(5), ["u"], ["ts"],
+                {"prev": ("v", 1)}, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["u", "ts"])
+            .reset_index(drop=True)
+        )
+        agg = (
+            grouped_aggregate(
+                rd.from_pandas(df).repartition(5), ["u"],
+                {"tot": ("v", "sum"), "m": ("v", "mean")}, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        return roll, shift, agg
+
+    assert one_block_invariant()  # pinned Ray → fast path by default
+    fast = run()
+    monkeypatch.setenv("P5_KEYED_ONE_BLOCK", "0")
+    assert not one_block_invariant()
+    slow = run()
+    for f, s in zip(fast, slow):
+        pd.testing.assert_frame_equal(
+            f, s[f.columns], check_like=False
+        )
+
+
 def test_language_id(ray_session):
     """LanguageID actor stage: en/fr/es/de stopword profiles + CJK range."""
     import pyarrow as pa
