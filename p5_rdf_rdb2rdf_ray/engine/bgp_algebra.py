@@ -1,0 +1,1161 @@
+"""BGP algebra: binding-set combinators -- joins, OPTIONAL/MINUS
+anti-joins, FILTER evaluation, BIND expressions, VALUES and property-
+path units, and the solution modifiers (the evaluate half of
+`engine/lookup.py`, split out in round 5 -- public surface unchanged,
+everything re-exported there).
+
+Every combinator is batch-wise over Arrow/pandas blocks: broadcast
+joins ship the SMALL side once via `ray.put` (`_BroadcastInner`), the
+general case falls back to a co-hash shuffle join; term-kind columns
+(`__k_<var>`) ride along only where a variable can bind more than one
+RDF term kind, so IRI/literal joins stay exact.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .bgp_plan import _empty, _is_var, _typed_empty_bindings  # noqa: F401
+
+class _BroadcastInner:
+    """Inner-join each bindings batch against a small broadcast table on
+    the shared variable columns (Acero). Used by :func:`get_pattern` —
+    BGP intermediate results are pushdown-pruned and small by the Store's
+    usage profile; Ray's Dataset.join is avoided (it breaks on empty
+    right partitions)."""
+
+    def __init__(self, right_ref, keys, join_type: str = "inner"):
+        import ray
+
+        self.right = ray.get(right_ref)
+        self.keys = list(keys)
+        self.join_type = join_type
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            for name in self.right.column_names:
+                if name not in t.column_names:
+                    t = t.append_column(
+                        name, pa.array([], self.right.schema.field(name).type)
+                    )
+            return t
+        return t.join(self.right, keys=self.keys, join_type=self.join_type)
+
+
+
+def apply_solution_modifiers(
+    bindings: rd.Dataset,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> rd.Dataset:
+    """SPARQL solution modifiers (ORDER BY / LIMIT / OFFSET) over a BGP
+    binding set [graft extension beyond the reference Store's surface —
+    the SELECT-query shape; the reference delegates queries to
+    RDF::Trine/RDF::Query, recalled].
+
+    ``order_by``: sequence of ``"?var"`` (ascending, the SPARQL default)
+    or ``("?var", "desc"|"asc")``. ``limit`` + ``offset`` slice the
+    ordered solutions.
+
+    Distributed shape (with a limit): per-block vectorized
+    sort + head(offset+limit) — each block's survivors are a superset of
+    its contribution to the global answer — then ONE final merge task
+    over ≤ #blocks × (offset+limit) rows sorts and slices; the
+    ``top_k`` shape generalized with an offset, no all-to-all sort
+    shuffle. Without a limit, a full distributed ``Dataset.sort`` runs
+    (offset must then be 0 — skipping N rows of a distributed sort
+    without a limit is not streamable).
+
+    NULL ordering: NULLS LAST (pandas ``na_position='last'``, matching
+    DuckDB's default). Ties carry no stability guarantee — include a
+    unique variable in ``order_by`` for deterministic paging.
+    """
+    if limit is not None and limit < 0:
+        raise ValueError("limit must be non-negative")
+    if offset < 0:
+        raise ValueError("offset must be non-negative")
+    if not order_by:
+        if limit is None and offset == 0:
+            return bindings
+        raise ValueError(
+            "limit/offset over a distributed solution set need order_by "
+            "for deterministic results"
+        )
+    cols, asc = [], []
+    for ob in order_by:
+        if isinstance(ob, str):
+            v, a = ob, True
+        else:
+            v, d = ob
+            a = str(d).lower() != "desc"
+        cols.append(v.lstrip("?"))
+        asc.append(a)
+    if limit is None:
+        if offset:
+            raise ValueError("offset without limit is not supported")
+        return bindings.sort(cols, descending=[not a for a in asc])
+    from ..stages.groupagg import top_k
+
+    return top_k(
+        bindings, cols, limit, descending=[not a for a in asc],
+        offset=offset,
+    )
+
+
+def ask(bindings: rd.Dataset) -> bool:
+    """SPARQL ASK result form [graft extension — the reference delegates
+    query forms to RDF::Query, recalled]: does at least one solution
+    exist? ``limit(1)`` lets the streaming executor stop early — upstream
+    operators cancel once one row reaches the limit; nothing
+    materializes beyond a single block."""
+    return bindings.limit(1).count() > 0
+
+
+_FILTER_OPS = {
+    "==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+}
+
+
+def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
+    """SPARQL-FILTER-style constraints over variable bindings, applied
+    BEFORE the final distinct (fewer rows through the shuffle). Each
+    filter is ``("?var", op, value)`` with op in ``== != < <= > >=``; a
+    numeric ``value`` compares numerically (bindings whose lexical form
+    is not a number drop, mirroring SPARQL type-error semantics), a
+    string ``value`` compares lexically. [graft extension beyond the
+    reference Store's BGP surface]"""
+    spec = []
+    for var, op, val in filters:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
+
+    def f(t: pa.Table) -> pa.Table:
+        # Arrow in/out: this stage feeds the final distinct's hash
+        # shuffle, and a pandas round-trip would widen nullable uint8
+        # __k_* kind columns to float64 ONLY in blocks containing NULLs
+        # (possible with OPTIONAL groups) — identical solutions would
+        # then hash into different partitions and survive the distinct.
+        # Only the filtered VARIABLE columns (always strings) go through
+        # pandas, for the mask computation alone.
+        import numpy as np
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return t
+        keep = np.ones(t.num_rows, bool)
+        for var, op, val in spec:
+            s = t.column(var).to_pandas()
+            # SPARQL type-error semantics: an unbound (NULL — possible
+            # for OPTIONAL-group vars) binding never passes a FILTER
+            keep &= s.notna().to_numpy()
+            if isinstance(val, bool) or not isinstance(val, (int, float)):
+                keep &= getattr(s.astype(str), op)(str(val)).to_numpy()
+            else:
+                num = pd.to_numeric(s, errors="coerce")
+                keep &= (
+                    getattr(num, op)(val).fillna(False) & num.notna()
+                ).to_numpy()
+        # strip schema metadata: an unhashable pandas-metadata dict from
+        # any upstream pandas lineage defeats the shuffle's schema dedup
+        return t.filter(pa.array(keep)).replace_schema_metadata(None)
+
+    return acc.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL BIND (extend) — computed variables over a binding set
+# ---------------------------------------------------------------------------
+
+# expression AST (tuples, evaluated vectorized over pandas columns):
+#   "?var"                      -> the variable's lexical form
+#   str / int / float constant  -> a constant
+#   ("concat", a, b, ...)       -> string concatenation (NULL-propagating)
+#   ("strlen", a) ("ucase", a) ("lcase", a)
+#   ("substr", a, start[, len]) -> SPARQL 1-based substring
+#   ("replace", a, pat, repl)   -> regex replace
+#   ("+"|"-"|"*"|"/", a, b)     -> numeric (lexical forms parse numerically;
+#                                  a non-numeric binding yields NULL = the
+#                                  SPARQL expression-error -> unbound rule)
+#   ("iri", a)                  -> the value binds as an IRI, not a literal
+#   ("if", ("?v", cmp, val), then, else) -> SPARQL IF (FILTER-semantics
+#                                  condition; erroring condition -> unbound)
+#   ("coalesce", a, b, ...)     -> first non-unbound value
+_BIND_ARITH = {"+", "-", "*", "/"}
+
+
+def _bind_vars_of(expr) -> set[str]:
+    if isinstance(expr, str) and expr.startswith("?"):
+        return {expr[1:]}
+    if isinstance(expr, tuple):
+        # element 0 is normally the op NAME — except in an ("if", …)
+        # CONDITION tuple ("?v", cmp, val), where it is the variable
+        head_is_var = bool(expr) and isinstance(expr[0], str) and expr[
+            0
+        ].startswith("?")
+        out: set[str] = set()
+        for a in (expr if head_is_var else expr[1:]):
+            out |= _bind_vars_of(a)
+        return out
+    return set()
+
+
+def _bind_lex(s):
+    """Canonical lexical form of an evaluated series: each INTEGRAL
+    numeric value prints without a decimal point (xsd:integer style),
+    non-integral ones as decimals; NULLs preserved. The rule is
+    PER-VALUE, never per-batch — a batch-level "all integral?" test
+    would make the same logical value print differently depending on
+    which rows share a block (block-layout-dependent output that
+    defeats the final distinct)."""
+    import pandas as pd
+
+    if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_string_dtype(s):
+        integral = s.notna() & (s % 1 == 0)
+        out = s.astype("string")
+        if integral.any():
+            out[integral] = s[integral].astype("Int64").astype("string")
+        return out
+    return s.astype("string")
+
+
+def _compile_bind(expr):
+    """Compile one BIND expression to ``fn(pandas.DataFrame) -> Series``."""
+    import pandas as pd
+
+    if isinstance(expr, str) and expr.startswith("?"):
+        v = expr[1:]
+
+        def col(df, _v=v):
+            if _v not in df.columns:
+                raise ValueError(f"BIND references unbound variable ?{_v}")
+            return df[_v]
+
+        return col
+    if not isinstance(expr, tuple):
+        const = expr
+        return lambda df: pd.Series([const] * len(df), index=df.index)
+
+    op, *args = expr
+    if op == "iri":  # kind marker only — value semantics are identity
+        return _compile_bind(args[0])
+    if op == "if":
+        # ("if", ("?v", cmp, val), then, else) — SPARQL IF(): the
+        # condition uses FILTER comparison semantics (numeric value →
+        # numeric compare, lexical otherwise); an erroring/unbound
+        # condition leaves the variable UNBOUND (§10), not `else`
+        (cvar, cop, cval), then_e, else_e = args
+        if cop not in _FILTER_OPS:
+            raise ValueError(f"unsupported IF comparison {cop!r}")
+        cf = _compile_bind(cvar)
+        tf = _compile_bind(then_e)
+        ef = _compile_bind(else_e)
+        meth = _FILTER_OPS[cop]
+
+        def iff(df):
+            s = cf(df)
+            if isinstance(cval, bool) or not isinstance(cval, (int, float)):
+                mask = getattr(s.astype("string"), meth)(str(cval))
+            else:
+                num = pd.to_numeric(s, errors="coerce")
+                mask = getattr(num, meth)(cval)
+                mask = mask.mask(num.isna())
+            mask = mask.mask(s.isna())
+            out = _bind_lex(tf(df)).where(
+                mask.fillna(False).astype(bool), _bind_lex(ef(df))
+            )
+            return out.mask(mask.isna())
+
+        return iff
+    if op == "coalesce":
+        cfs = [_compile_bind(a) for a in args]
+
+        def coalesce(df):
+            out = _bind_lex(cfs[0](df))
+            for g in cfs[1:]:
+                out = out.where(out.notna(), _bind_lex(g(df)))
+            return out
+
+        return coalesce
+    fns = [_compile_bind(a) for a in args]
+    if op == "concat":
+        def concat(df):
+            out = _bind_lex(fns[0](df))
+            for f in fns[1:]:
+                out = out + _bind_lex(f(df))
+            return out
+
+        return concat
+    if op == "strlen":
+        return lambda df: fns[0](df).astype("string").str.len()
+    if op == "ucase":
+        return lambda df: fns[0](df).astype("string").str.upper()
+    if op == "lcase":
+        return lambda df: fns[0](df).astype("string").str.lower()
+    if op == "substr":
+        start = args[1]
+        length = args[2] if len(args) > 2 else None
+        stop = None if length is None else start - 1 + length
+        return lambda df: fns[0](df).astype("string").str.slice(
+            start - 1, stop
+        )
+    if op == "replace":
+        pat, repl = args[1], args[2]
+        return lambda df: fns[0](df).astype("string").str.replace(
+            pat, repl, regex=True
+        )
+    if op in _BIND_ARITH:
+        def arith(df, _op=op):
+            a = pd.to_numeric(fns[0](df), errors="coerce")
+            b = pd.to_numeric(fns[1](df), errors="coerce")
+            if _op == "+":
+                return a + b
+            if _op == "-":
+                return a - b
+            if _op == "*":
+                return a * b
+            return a / b
+
+        return arith
+    raise ValueError(f"unsupported BIND function {op!r}")
+
+
+def _extend_bindings(
+    acc: rd.Dataset, binds: list[tuple], existing: list[str]
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """SPARQL BIND (§7.6) over a binding set [graft extension beyond the
+    reference Store's surface]: each ``("?new", expr)`` adds a computed
+    variable column. Row-local and map-only — no shuffle; runs BEFORE
+    FILTER (a FILTER may constrain a BIND'd variable) and before the
+    final distinct (the new column participates in solution identity).
+
+    An expression error (non-numeric lexical form in arithmetic, unbound
+    input) leaves the variable UNBOUND (NULL), per SPARQL §10.
+    BIND'd variables bind literals, or IRIs under ``("iri", …)``.
+    """
+    from ..terms import KIND_IRI, KIND_LITERAL
+
+    names, kinds, compiled = [], {}, []
+    seen = set(existing)
+    for var, expr in binds:
+        v = var.lstrip("?")
+        if v in seen:
+            raise ValueError(
+                f"BIND target ?{v} is already in scope (SPARQL §7.6)"
+            )
+        seen.add(v)
+        names.append(v)
+        kinds[v] = (
+            KIND_IRI
+            if isinstance(expr, tuple) and expr and expr[0] == "iri"
+            else KIND_LITERAL
+        )
+        compiled.append((v, _compile_bind(expr), _bind_vars_of(expr)))
+
+    def f(t: pa.Table) -> pa.Table:
+        # pandas only for the referenced variable columns (all strings);
+        # the table itself stays Arrow so hidden uint8 kind columns never
+        # take the pandas null-widening round-trip (see memory notes)
+        import numpy as np
+        import pandas as pd
+
+        refs = sorted({r for _, _, rs in compiled for r in rs})
+        present = [c for c in refs if c in t.column_names]
+        df = (
+            t.select(present).to_pandas()
+            if present
+            else pd.DataFrame(index=range(t.num_rows))
+        )
+        for v, fn, _rs in compiled:
+            res = _bind_lex(fn(df)) if t.num_rows else None
+            # SPARQL §7.6 scopes BINDs sequentially: a later expression
+            # in the same list may reference this variable, so it joins
+            # the pandas frame too, not just the Arrow output
+            df[v] = res if res is not None else pd.Series([], dtype="string")
+            arr = (
+                pa.Array.from_pandas(res, type=pa.string())
+                if res is not None
+                else pa.nulls(0, pa.string())
+            )
+            t = t.append_column(v, arr)
+            t = t.append_column(
+                f"__k_{v}",
+                pa.array(np.full(t.num_rows, kinds[v], np.uint8)),
+            )
+        return t.replace_schema_metadata(None)
+
+    return acc.map_batches(f, batch_format="pyarrow"), names, set(names)
+
+
+_NO_MATCH = object()  # a fully-bound pattern matched nothing
+
+
+def _values_unit(
+    vars_: list[str], rows: list[tuple]
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """SPARQL VALUES (inline data, §7.2) as a pre-built binding unit:
+    each row's terms are pattern-term-shaped (IRI/bnode string or
+    ``("lit", value)``), every variable carries an explicit term-kind
+    column so the inline data joins TERM-correctly (a literal row never
+    matches an IRI binding spelled the same).  UNDEF is not supported —
+    joining a wildcard needs per-variable join splitting; fail loud."""
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+    names = [v.lstrip("?") for v in vars_]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate VALUES variables: {vars_}")
+    cols: dict[str, list] = {n: [] for n in names}
+    kinds: dict[str, list] = {n: [] for n in names}
+    for row in rows:
+        if len(row) != len(names):
+            raise ValueError(
+                f"VALUES row width {len(row)} != {len(names)} variables"
+            )
+        for n, term in zip(names, row):
+            if isinstance(term, tuple) and len(term) == 2 and term[0] == "lit":
+                cols[n].append(str(term[1]))
+                kinds[n].append(KIND_LITERAL)
+            elif isinstance(term, str):
+                cols[n].append(term)
+                kinds[n].append(
+                    KIND_BNODE if term.startswith("_:") else KIND_IRI
+                )
+            else:
+                raise ValueError(
+                    f"unsupported VALUES term {term!r} (UNDEF/None is not "
+                    "supported; provide a bound IRI or ('lit', value))"
+                )
+    t = pa.table(
+        {
+            **{n: pa.array(cols[n], pa.string()) for n in names},
+            **{f"__k_{n}": pa.array(kinds[n], pa.uint8()) for n in names},
+        }
+    )
+    return rd.from_arrow(t), names, set(names)
+
+
+def _path_can_literal(p, end: str) -> bool:
+    """Static endpoint analysis for a path AST: can the ``src``/``dst``
+    endpoint of its relation bind a LITERAL term?  Forward edges start
+    at subjects (never literals); inverse swaps the question; the
+    zero-length forms (`*`, `?`) include the §18.4 all-graph-terms
+    identity, which contains literals on BOTH ends.  Decides whether a
+    path unit's endpoint variable carries a ``__k_`` term-kind column
+    (kind visibility must match the sharing side — see
+    :func:`_bgp_join`'s mixed-pair restriction)."""
+    op = p[0]
+    if op in ("pred", "nps"):
+        return end == "dst"
+    if op == "inv":
+        return _path_can_literal(p[1], "src" if end == "dst" else "dst")
+    if op == "seq":
+        return _path_can_literal(p[1] if end == "src" else p[2], end)
+    if op == "alt":
+        return _path_can_literal(p[1], end) or _path_can_literal(p[2], end)
+    if op == "plus":
+        return _path_can_literal(p[1], end)
+    if op in ("star", "opt"):
+        return True
+    raise ValueError(f"unknown path op {p!r}")
+
+
+def _parse_nt_terms(arr: pa.Array):
+    """Vectorized single-term N-Triples parse: ``<iri>`` → iri,
+    ``_:label`` → label as-is, ``"lex"[@lang|^^<dt>]`` → unescaped
+    lexical form.  → (lexical: pa.Array[string], kind: pa.Array[uint8]).
+    Language/datatype suffixes are dropped — BGP bindings carry the
+    lexical form + kind, same as the store pivot's object columns."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sinks.ntriples import _unescape_nt
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+    s = pd.Series(arr.to_pylist(), dtype="object")
+    is_lit = s.str.startswith('"')
+    is_bn = s.str.startswith("_:")
+    kind = np.where(
+        is_lit, KIND_LITERAL, np.where(is_bn, KIND_BNODE, KIND_IRI)
+    ).astype("uint8")
+    lex = s.copy()
+    lex[~is_lit & ~is_bn] = s[~is_lit & ~is_bn].str.slice(1, -1)  # <iri>
+    if is_lit.any():
+        body = s[is_lit].str.extract(r'^"((?:[^"\\]|\\.)*)"', expand=False)
+        esc = body.str.contains("\\", regex=False)
+        if esc.any():
+            body = body.copy()
+            body[esc] = body[esc].map(_unescape_nt)
+        lex[is_lit] = body
+    return pa.array(lex, pa.string()), pa.array(kind, pa.uint8())
+
+
+def _path_unit(
+    source,
+    s_term,
+    path,
+    o_term,
+    num_partitions: int,
+) -> tuple[rd.Dataset, list[str], set[str]] | None:
+    """A SPARQL §9.1 property-path item as a BGP binding unit
+    [graft extension — paths compose with ordinary triple patterns]:
+    the path relation (``stages.paths.eval_path`` over ``source`` — a
+    store directory or the ``(catalog, base)`` DM virtual graph)
+    parses back into binding columns; bound endpoints filter the
+    relation (their N-Triples form compares in one vectorized pass);
+    endpoint kind columns appear only where the path can actually bind
+    a literal (:func:`_path_can_literal`), so sharing a variable with a
+    subject position joins cleanly.  Returns None when both endpoints
+    are bound and at least one solution exists is all that matters —
+    callers get a 0/1-row unit instead."""
+    from ..stages.paths import eval_path, parse_path
+    from ..terms import KIND_LITERAL
+
+    if isinstance(path, str):
+        path = parse_path(path)
+    rel = eval_path(source, path, num_partitions=num_partitions)
+
+    def fmt_bound(term) -> str:
+        if isinstance(term, tuple) and len(term) == 2 and term[0] == "lit":
+            from ..functions.scalars import ntriples_escape
+
+            return f'"{ntriples_escape(str(term[1]))}"'
+        if isinstance(term, str):
+            return term if term.startswith("_:") else f"<{term}>"
+        raise ValueError(f"unsupported path endpoint {term!r}")
+
+    s_var = isinstance(s_term, str) and s_term.startswith("?")
+    o_var = isinstance(o_term, str) and o_term.startswith("?")
+    names: list[str] = []
+    kinds: set[str] = set()
+
+    def project(t: pa.Table) -> pa.Table:
+        # bound endpoints: one vectorized equality on the NT form;
+        # literal bounds compare lexical+kind (datatype-insensitive,
+        # matching store_statements' obj_literal semantics)
+        # Literal endpoints compare the UNESCAPED lexical form (what
+        # _parse_nt_terms yields) against the raw term value — never the
+        # NT-escaped body, which diverges for quotes/backslashes/controls.
+        if not s_var:
+            if isinstance(s_term, tuple) and s_term[0] == "lit":
+                lex, kd = _parse_nt_terms(t.column("src").combine_chunks())
+                m = pc.and_(
+                    pc.equal(kd, KIND_LITERAL),
+                    pc.equal(lex, str(s_term[1])),
+                )
+            else:
+                m = pc.equal(t.column("src"), fmt_bound(s_term))
+            t = t.filter(pc.fill_null(m, False))
+        if not o_var:
+            if isinstance(o_term, tuple) and o_term[0] == "lit":
+                lex, kd = _parse_nt_terms(t.column("dst").combine_chunks())
+                m = pc.and_(
+                    pc.equal(kd, KIND_LITERAL),
+                    pc.equal(lex, str(o_term[1])),
+                )
+            else:
+                m = pc.equal(t.column("dst"), fmt_bound(o_term))
+            t = t.filter(pc.fill_null(m, False))
+        if s_var and o_var and s_term == o_term:
+            t = t.filter(
+                pc.fill_null(pc.equal(t.column("src"), t.column("dst")), False)
+            )
+        cols: dict[str, pa.Array] = {}
+        if s_var:
+            lex, kd = _parse_nt_terms(t.column("src").combine_chunks())
+            n = s_term.lstrip("?")
+            cols[n] = lex
+            if _path_can_literal(path, "src"):
+                cols[f"__k_{n}"] = kd
+        if o_var and not (s_var and s_term == o_term):
+            lex, kd = _parse_nt_terms(t.column("dst").combine_chunks())
+            n = o_term.lstrip("?")
+            cols[n] = lex
+            if _path_can_literal(path, "dst"):
+                cols[f"__k_{n}"] = kd
+        if not cols:
+            # fully-bound path probe: contributes existence only
+            return pa.table(
+                {"__path_probe": pa.nulls(t.num_rows, pa.uint8())}
+            )
+        return pa.table(cols)
+
+    ds = rel.map_batches(project, batch_format="pyarrow")
+    if s_var:
+        n = s_term.lstrip("?")
+        names.append(n)
+        if _path_can_literal(path, "src"):
+            kinds.add(n)
+    if o_var and not (s_var and s_term == o_term):
+        n = o_term.lstrip("?")
+        names.append(n)
+        if _path_can_literal(path, "dst"):
+            kinds.add(n)
+    if not names:
+        # both bound: reduce to a 0/1-row unit (existence gate)
+        one = ds.limit(1).map_batches(
+            lambda t: pa.table(
+                {"__path_probe": pa.nulls(t.num_rows, pa.uint8())}
+            ),
+            batch_format="pyarrow",
+        )
+        return one, ["__path_probe"], set()
+    return ds, names, kinds
+
+
+def _bgp_acc(
+    stmt_fn,
+    patterns: list[tuple],
+    num_partitions: int,
+    units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    broadcast_limit: int = 1_000_000,
+):
+    """Shared BGP accumulation: per-pattern statement Datasets
+    (``stmt_fn`` maps bound-term kwargs → triples) joined on shared
+    variables → ``(acc, vars, kind_vars)``; ``acc`` is None for an
+    empty pattern list and ``_NO_MATCH`` when a fully-bound pattern
+    matched nothing. See :func:`get_pattern` for the binding/term-kind
+    semantics.
+
+    ``units`` are pre-built binding Datasets ``(ds, vars, kind_vars)``
+    (e.g. fused star groups from :func:`_star_groups`); they fold FIRST,
+    so the usually-largest fused unit becomes the streamed accumulator
+    instead of a driver-materialized broadcast side.
+
+    Join strategy per unit: the new side is collected to the driver for
+    a broadcast inner join UP TO ``broadcast_limit`` rows (point-lookup
+    profile — bindings are pushdown-pruned); past the limit it spills to
+    the engine's co-hash-shuffle ``hash_join`` (one shuffle, no driver
+    copy; the collected prefix is discarded and the side re-executes
+    lazily — the standard recompute-vs-hold trade)."""
+    import ray
+
+    from ..terms import KIND_LITERAL
+
+    acc: rd.Dataset | None = None
+    acc_vars: list[str] = []
+    acc_kinds: set[str] = set()  # vars with a __k_<var> column in acc
+    unit_queue: list[tuple[rd.Dataset, list[str], set[str]]] = list(
+        units or []
+    )
+    for s, p, o in patterns:
+        kwargs: dict = {}
+        slots: dict[str, str] = {}  # triple column -> var name
+        if _is_var(s):
+            slots["subj"] = s[1:]
+        else:
+            kwargs["subject"] = s
+        if _is_var(p):
+            slots["pred"] = p[1:]
+        else:
+            kwargs["predicate"] = p
+        if _is_var(o):
+            slots["obj"] = o[1:]
+        elif isinstance(o, tuple) and o and o[0] == "lit":
+            kwargs["obj_literal"] = o[1]
+        else:
+            kwargs["obj"] = o
+        ds = stmt_fn(**kwargs)
+
+        if not slots:
+            # fully bound pattern = existence filter
+            if ds.count() == 0:
+                return _NO_MATCH, [], set()
+            continue
+
+        # does any var repeat across subj/pred AND obj within this pattern?
+        # then the obj occurrence must be non-literal (term equality with
+        # an implicitly non-literal position) and needs no kind column
+        np_vars = {v for c, v in slots.items() if c != "obj"}
+        obj_var = slots.get("obj")
+        obj_kind_var = (
+            obj_var if obj_var is not None and obj_var not in np_vars else None
+        )
+
+        def proj(
+            t: pa.Table, _slots=dict(slots), _kv=obj_kind_var
+        ) -> pa.Table:
+            cols, names = [], []
+            seen: dict[str, pa.Array] = {}
+            mask = None
+            for c, v in _slots.items():
+                arr = t.column(c).combine_chunks() if t.num_rows else pa.array([], pa.string())
+                if v in seen:  # repeated var within one pattern: must match
+                    eq = pc.equal(seen[v], arr)
+                    mask = eq if mask is None else pc.and_(mask, eq)
+                    if c == "obj":
+                        # term equality with a non-literal position
+                        nl = pc.not_equal(
+                            t.column("obj_kind").combine_chunks()
+                            if t.num_rows
+                            else pa.array([], pa.uint8()),
+                            KIND_LITERAL,
+                        )
+                        mask = pc.and_(mask, nl)
+                    continue
+                seen[v] = arr
+                cols.append(arr)
+                names.append(v)
+            if _kv is not None:
+                cols.append(
+                    t.column("obj_kind").combine_chunks()
+                    if t.num_rows
+                    else pa.array([], pa.uint8())
+                )
+                names.append(f"__k_{_kv}")
+            out = pa.Table.from_arrays(cols, names=names)
+            if mask is not None:
+                out = out.filter(pc.fill_null(mask, False))
+            return out
+
+        unit_queue.append(
+            (
+                ds.map_batches(proj, batch_format="pyarrow"),
+                list(dict.fromkeys(slots.values())),
+                {obj_kind_var} if obj_kind_var is not None else set(),
+            )
+        )
+
+    for bnd, new_vars, new_kinds in unit_queue:
+        new_kinds = set(new_kinds)
+        if acc is None:
+            acc, acc_vars, acc_kinds = bnd, new_vars, new_kinds
+            continue
+        shared = [v for v in new_vars if v in acc_vars]
+        # reconcile term kinds on shared vars BEFORE the lexical join —
+        # metadata-only decisions, so they apply to either join strategy
+        join_keys = list(shared)
+        for v in shared:
+            a_has, n_has = v in acc_kinds, v in new_kinds
+            if a_has and n_has:
+                join_keys.append(f"__k_{v}")
+            elif a_has:
+                # new side binds v in a non-literal position: drop acc's
+                # literal bindings, then the kind column is redundant
+                acc = acc.map_batches(
+                    lambda t, _c=f"__k_{v}": t.filter(
+                        pc.not_equal(t.column(_c), KIND_LITERAL)
+                    ).drop_columns([_c]),
+                    batch_format="pyarrow",
+                )
+                acc_kinds.discard(v)
+            elif n_has:
+                # acc binds v in a non-literal position: drop the new
+                # side's literal bindings, then its kind column
+                bnd = bnd.map_batches(
+                    lambda t, _c=f"__k_{v}": t.filter(
+                        pc.not_equal(t.column(_c), KIND_LITERAL)
+                    ).drop_columns([_c]),
+                    batch_format="pyarrow",
+                )
+                new_kinds.discard(v)
+        # collect the new side for the broadcast join, but stop at
+        # broadcast_limit: an analytics-sized side spills to the engine's
+        # co-hash-shuffle join instead of exhausting driver memory
+        batches, total, spill = [], 0, False
+        for b in bnd.iter_batches(batch_format="pyarrow", batch_size=None):
+            batches.append(b)
+            total += b.num_rows
+            if total > broadcast_limit:
+                spill = True
+                break
+        if spill and not shared:
+            # a variable-disjoint (cross-product) side has no join key to
+            # hash-spill on — co-hashing a constant key would pile the
+            # whole side onto one partition, so fail loudly instead of
+            # silently materializing past broadcast_limit on the driver
+            raise ValueError(
+                "BGP cross-product side (no shared variable with the "
+                f"accumulated bindings) exceeds broadcast_limit="
+                f"{broadcast_limit} rows; reorder the patterns to share "
+                "a variable or raise broadcast_limit explicitly"
+            )
+        if spill:
+            from .joins import hash_join
+
+            marker = "__bgp_m"
+            rds = bnd.map_batches(
+                lambda t, _m=marker: t.append_column(
+                    _m, pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+            acc = hash_join(
+                acc, rds, join_keys, join_keys,
+                num_partitions=max(num_partitions, 16),
+            )
+            acc = acc.map_batches(
+                lambda t, _m=marker: t.filter(
+                    t.column(_m).is_valid()
+                ).drop_columns([_m]),
+                batch_format="pyarrow",
+            )
+            acc_vars = list(dict.fromkeys(acc_vars + new_vars))
+            acc_kinds |= new_kinds
+            continue
+        right = pa.concat_tables(
+            batches or [_typed_empty_bindings(new_vars, new_kinds)]
+        )
+        if not shared:
+            # cross product via a constant join key
+            k = "__cross"
+            right = right.append_column(k, pa.nulls(right.num_rows, pa.int8()).fill_null(0))
+            acc = acc.map_batches(
+                lambda t, _k=k: t.append_column(
+                    _k, pa.repeat(pa.scalar(0, pa.int8()), t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+            join_keys = [k]
+        rref = ray.put(right)
+        acc = acc.map_batches(
+            _BroadcastInner,
+            fn_constructor_kwargs={"right_ref": rref, "keys": join_keys},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        if join_keys == ["__cross"]:
+            acc = acc.map_batches(
+                lambda t: t.drop_columns(["__cross"]), batch_format="pyarrow"
+            )
+        acc_vars = list(dict.fromkeys(acc_vars + new_vars))
+        acc_kinds |= new_kinds
+    return acc, acc_vars, acc_kinds
+
+
+def _derive_kind(ds: rd.Dataset, var: str) -> rd.Dataset:
+    """Append a ``__k_<var>`` term-kind column derived from the surface
+    form of a NON-LITERAL-position binding (``_:`` prefix = bnode, else
+    IRI — no IRI can start with ``_:``). Used to reconcile kind
+    visibility across the two sides of a negation anti-join, where
+    *filtering* literals out (the inner-join trick in :func:`_bgp_acc`)
+    would be unsound: a literal solution that cannot match the negation
+    side must be KEPT, not dropped."""
+    from ..terms import KIND_BNODE, KIND_IRI
+
+    kc = f"__k_{var}"
+
+    def f(t: pa.Table) -> pa.Table:
+        s = (
+            t.column(var).combine_chunks()
+            if t.num_rows
+            else pa.array([], pa.string())
+        )
+        arr = pc.if_else(
+            pc.starts_with(pc.fill_null(s, ""), "_:"),
+            pa.scalar(KIND_BNODE, pa.uint8()),
+            pa.scalar(KIND_IRI, pa.uint8()),
+        )
+        arr = pc.if_else(pc.is_valid(s), arr, pa.nulls(len(s), pa.uint8()))
+        return t.append_column(kc, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _bgp_anti(
+    acc: rd.Dataset,
+    acc_vars: list[str],
+    acc_kinds: set[str],
+    stmt_fn,
+    mode: str,
+    n_pats: list[tuple],
+    n_units: list | None,
+    num_partitions: int,
+    broadcast_limit: int,
+) -> tuple[rd.Dataset, bool]:
+    """One SPARQL negation group (MINUS / FILTER NOT EXISTS) applied to
+    the accumulated required bindings [graft extension beyond the
+    reference Store's BGP surface — SPARQL 1.1 §8 shapes].
+
+    With shared variables (the common case) both forms coincide for
+    fully-bound group solutions: an ANTI SEMI-JOIN on the shared
+    variables — solutions whose shared-variable values appear in the
+    group's solution set drop. Distributed exactly like the positive
+    joins: the group's DISTINCT key projection broadcasts up to
+    ``broadcast_limit`` rows (Acero ``left anti`` per batch, no
+    shuffle); past the limit it spills to the engine's union-tag
+    co-hash-shuffle join with a match-marker filter (one shuffle, no
+    driver copy).
+
+    Without shared variables the two forms diverge per SPARQL 1.1:
+    ``minus`` is a no-op (disjoint domains are never compatible —
+    §8.3.3), ``not_exists`` is a global existence gate (group matched
+    anything → every solution drops).
+
+    NULL shared-variable bindings (possible after OPTIONAL) never match
+    — SQL join semantics — which coincides with MINUS' bound-variable
+    compatibility rule when the NULL variable is the only shared one.
+
+    Returns ``(acc, empty)``; ``empty=True`` short-circuits to no
+    solutions (the NOT-EXISTS global gate fired).
+    """
+    import ray
+
+    from .distinct import _unique_batch
+
+    if mode not in ("minus", "not_exists"):
+        raise ValueError(f"unknown negation mode {mode!r}")
+    nacc, nvars, nkinds = _bgp_acc(
+        stmt_fn, n_pats, num_partitions, n_units, broadcast_limit
+    )
+    if nacc is _NO_MATCH:
+        return acc, False  # group can match nothing → negation is a no-op
+    if nacc is None:
+        raise ValueError("empty negation group")
+    shared = [v for v in nvars if v in acc_vars]
+    if not shared:
+        if mode == "minus":
+            # SPARQL MINUS §8.3.3: disjoint domains are never compatible
+            return acc, False
+        # NOT EXISTS: the group is independent of each solution — one
+        # match anywhere eliminates everything (tiny limit(1) probe, not
+        # a full count)
+        return acc, nacc.limit(1).count() > 0
+
+    # kind reconciliation: every shared var that carries term-kind
+    # visibility on EITHER side gets a kind column on BOTH (derived from
+    # the surface form on the non-literal side), so a literal binding
+    # never anti-matches an IRI spelled the same — and, unlike the
+    # inner-join literal-filter trick, stays in the solution set.
+    keys = list(shared)
+    drop_after: list[str] = []
+    for v in shared:
+        a_has, n_has = v in acc_kinds, v in nkinds
+        if not (a_has or n_has):
+            continue
+        if not n_has:
+            nacc = _derive_kind(nacc, v)
+        if not a_has:
+            acc = _derive_kind(acc, v)
+            drop_after.append(f"__k_{v}")
+        keys.append(f"__k_{v}")
+
+    # project the group to the join keys + per-block local dedup (the
+    # anti-join only needs the distinct key set; a full distinct shuffle
+    # is not worth it — the combiner removes the bulk)
+    nkeys = nacc.map_batches(
+        lambda t, _k=tuple(keys): _unique_batch(t, list(_k)),
+        batch_format="pyarrow",
+    )
+    batches, total, spill = [], 0, False
+    for b in nkeys.iter_batches(batch_format="pyarrow", batch_size=None):
+        batches.append(b)
+        total += b.num_rows
+        if total > broadcast_limit:
+            spill = True
+            break
+    if spill:
+        from .joins import hash_join
+
+        marker = "__bgp_nm"
+        rds = nkeys.map_batches(
+            lambda t, _m=marker: t.append_column(
+                _m, pa.repeat(pa.scalar(1, pa.int8()), t.num_rows)
+            ),
+            batch_format="pyarrow",
+        )
+        acc = hash_join(
+            acc, rds, keys, keys, num_partitions=max(num_partitions, 16)
+        )
+        acc = acc.map_batches(
+            lambda t, _m=marker: t.filter(
+                pc.is_null(t.column(_m))
+            ).drop_columns([_m]),
+            batch_format="pyarrow",
+        )
+    else:
+        right = pa.concat_tables(
+            batches or [_typed_empty_bindings(shared,
+                                              {k[4:] for k in keys
+                                               if k.startswith("__k_")})]
+        )
+        rref = ray.put(right)
+        acc = acc.map_batches(
+            _BroadcastInner,
+            fn_constructor_kwargs={
+                "right_ref": rref,
+                "keys": keys,
+                "join_type": "left anti",
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    if drop_after:
+        acc = acc.map_batches(
+            lambda t, _d=tuple(drop_after): t.drop_columns(list(_d)),
+            batch_format="pyarrow",
+        )
+    return acc, False
+
+
+
+
+def _bgp_join(
+    stmt_fn,
+    patterns: list[tuple],
+    num_partitions: int,
+    filters: list[tuple] | None = None,
+    units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    broadcast_limit: int = 1_000_000,
+    optional: list[tuple] | None = None,
+    optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    negations: list[tuple[str, list[tuple], list | None]] | None = None,
+    bind: list[tuple] | None = None,
+    keep_kinds: bool = False,
+) -> rd.Dataset:
+    """Required BGP ⟕ optional BGP group → negations → BIND → FILTER →
+    distinct bindings.
+
+    ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
+    columns on the output (consumed by :mod:`engine.construct`, which
+    must distinguish literal from IRI bindings to emit valid RDF).
+
+    ``negations`` is a list of ``(mode, patterns, units)`` groups with
+    mode ``"minus"`` or ``"not_exists"`` — see :func:`_bgp_anti` for the
+    SPARQL 1.1 §8 semantics and the anti-join distribution strategy.
+
+    ``optional`` (+ ``optional_units``) form ONE left-outer group
+    [graft extension beyond the reference Store's BGP surface —
+    SPARQL-OPTIONAL-shaped]: required solutions keep their row when the
+    group matches nothing, with the group's exclusive variables NULL.
+    Restriction (raises ValueError): every shared variable must carry
+    term-kind visibility on BOTH sides or NEITHER — a mixed pair cannot
+    be joined term-correctly without splitting required rows.
+    """
+    import ray
+
+    from .distinct import distinct_rows
+
+    acc, acc_vars, acc_kinds = _bgp_acc(
+        stmt_fn, patterns, num_partitions, units, broadcast_limit
+    )
+    if acc is _NO_MATCH or acc is None:
+        return rd.from_arrow(pa.table({}))
+
+    if optional or optional_units:
+        oacc, ovars, okinds = _bgp_acc(
+            stmt_fn, optional or [], num_partitions, optional_units,
+            broadcast_limit,
+        )
+        if oacc is _NO_MATCH:
+            # a fully-bound pattern in the group matched nothing → the
+            # whole group is unmatched for every required solution: its
+            # exclusive variables (derived statically) extend as NULLs.
+            # The structural no-shared-variable check still applies —
+            # it must not be data-dependent (raise vs succeed depending
+            # on store contents).
+            ovars = [
+                t[1:]
+                for pat in (optional or [])
+                for t in pat
+                if _is_var(t)
+            ]
+            for _, uvars, _k in optional_units or []:
+                ovars.extend(uvars)
+            if not (set(ovars) & set(acc_vars)):
+                raise ValueError(
+                    "optional group shares no variable with the required "
+                    "patterns (a left cross product is never intended)"
+                )
+            add = tuple(
+                v for v in dict.fromkeys(ovars) if v not in acc_vars
+            )
+            if add:
+                def null_extend(t: pa.Table, _a=add) -> pa.Table:
+                    for v in _a:
+                        t = t.append_column(
+                            v, pa.nulls(t.num_rows, pa.string())
+                        )
+                    return t
+
+                acc = acc.map_batches(null_extend, batch_format="pyarrow")
+                acc_vars = list(dict.fromkeys(acc_vars + list(add)))
+            oacc = None
+        if oacc is not None:
+            shared = [v for v in ovars if v in acc_vars]
+            for v in shared:
+                if (v in acc_kinds) != (v in okinds):
+                    raise ValueError(
+                        f"optional group shares ?{v} with mixed term-kind "
+                        "visibility; bind it in a non-literal position on "
+                        "both sides (or an object position on both)"
+                    )
+            if not shared:
+                raise ValueError(
+                    "optional group shares no variable with the required "
+                    "patterns (a left cross product is never intended)"
+                )
+            join_keys = list(shared) + [
+                f"__k_{v}" for v in shared if v in okinds
+            ]
+            batches, total, spill = [], 0, False
+            for b in oacc.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                batches.append(b)
+                total += b.num_rows
+                if total > broadcast_limit:
+                    spill = True
+                    break
+            if spill:
+                from .joins import hash_join
+
+                acc = hash_join(  # hash_join is LEFT OUTER already
+                    acc, oacc, join_keys, join_keys,
+                    num_partitions=max(num_partitions, 16),
+                )
+            else:
+                right = (
+                    pa.concat_tables(batches)
+                    if batches
+                    else _typed_empty_bindings(ovars, okinds)
+                )
+                rref = ray.put(right)
+                acc = acc.map_batches(
+                    _BroadcastInner,
+                    fn_constructor_kwargs={
+                        "right_ref": rref,
+                        "keys": join_keys,
+                        "join_type": "left outer",
+                    },
+                    batch_format="pyarrow",
+                    concurrency=(1, 4),
+                )
+            acc_vars = list(dict.fromkeys(acc_vars + ovars))
+            acc_kinds |= okinds
+
+    for mode, n_pats, n_units in negations or []:
+        acc, empty = _bgp_anti(
+            acc, acc_vars, acc_kinds, stmt_fn, mode, n_pats, n_units,
+            num_partitions, broadcast_limit,
+        )
+        if empty:  # NOT-EXISTS global gate fired: no solutions survive
+            acc = acc.limit(0)
+            break
+
+    if bind:
+        acc, bvars, bkinds = _extend_bindings(acc, bind, acc_vars)
+        acc_vars = list(dict.fromkeys(acc_vars + bvars))
+        acc_kinds |= bkinds
+    if filters:
+        acc = _apply_binding_filters(acc, filters)
+    if "__path_probe" in acc_vars and len(acc_vars) > 1:
+        # a fully-bound path probe contributed existence only; its
+        # internal all-null column must not leak into the solutions
+        acc_vars = [v for v in acc_vars if v != "__path_probe"]
+        acc = acc.map_batches(
+            lambda t: t.drop_columns(["__path_probe"]),
+            batch_format="pyarrow",
+        )
+    kind_cols = sorted(f"__k_{v}" for v in acc_kinds)
+    out = distinct_rows(acc, acc_vars + kind_cols, num_buckets=num_partitions)
+    if kind_cols and not keep_kinds:
+        # kinds joined on above distinguish literal-vs-IRI solutions in the
+        # distinct; the public binding surface stays lexical-only
+        out = out.map_batches(
+            lambda t, _k=tuple(kind_cols): t.drop_columns(list(_k)),
+            batch_format="pyarrow",
+        )
+    return out
