@@ -207,6 +207,13 @@ BENCH_QUERIES = [
     "normalize_docs",
     "bgp_store",
     "store_contexts",
+    "sparql_select",
+    "sparql_agg",
+    "sparql_count_distinct",
+    "sparql_path_store",
+    "sparql_construct",
+    "federated_store",
+    "bgp_path_star",
 ]
 
 

@@ -55,7 +55,8 @@ _KEYWORDS = {
     "construct", "describe", "not", "exists", "undef", "count", "sum",
     "min", "max", "avg", "sample", "group_concat", "separator", "if",
     "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
-    "substr", "replace", "a", "true", "false",
+    "substr", "replace", "a", "true", "false", "insert", "delete",
+    "data",
 }
 
 _ESCAPES = {
@@ -1112,3 +1113,136 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     if q.project is not None:
         out = out.select_columns(list(dict.fromkeys(q.project)))
     return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
+
+
+# -- SPARQL 1.1 Update (store lifecycle) ------------------------------------
+
+@dataclass
+class ParsedUpdate:
+    kind: str  # insert_data | delete_data | delete_where | insert | delete
+    templates: list = field(default_factory=list)
+    where: WhereClause | None = None
+
+
+def parse_update(text: str) -> ParsedUpdate:
+    """SPARQL 1.1 Update subset → :class:`ParsedUpdate` [W3C Update §3]:
+    ``INSERT DATA { triples }``, ``DELETE DATA { triples }``,
+    ``DELETE WHERE { patterns }``, and the template forms
+    ``INSERT/DELETE { template } WHERE { group }``. One operation per
+    request (no ``;`` sequences); GRAPH blocks and blank-node labels
+    are not supported (use the programmatic store API)."""
+    p = _Parser(text)
+    while p.at_kw("prefix") or p.at_kw("base"):
+        kw = p.next().val
+        if kw == "base":
+            raise ValueError("BASE is not supported; use absolute IRIs")
+        tok = p.expect("PNAME")
+        pfx, local = tok.val
+        if local:
+            raise ValueError(f"bad PREFIX declaration at char {tok.pos}")
+        p.prefixes[pfx] = p.expect("IRI").val
+
+    t = p.peek()
+    if t.kind != "KW" or t.val not in ("insert", "delete"):
+        raise ValueError(
+            f"SPARQL Update: expected INSERT or DELETE at char {t.pos}"
+        )
+    verb = p.next().val
+
+    def plain_group(label: str) -> WhereClause:
+        wc = p.group()
+        if (
+            wc.paths or wc.filters or wc.optional or wc.minus
+            or wc.not_exists or wc.values or wc.bind
+        ):
+            raise ValueError(f"{label} must contain plain triples only")
+        return wc
+
+    if p.at_kw("data"):
+        p.next()
+        wc = plain_group(f"{verb.upper()} DATA")
+        for s, pr, o in wc.patterns:
+            for term in (s, pr, o):
+                if isinstance(term, str) and term.startswith("?"):
+                    raise ValueError(
+                        f"{verb.upper()} DATA requires ground triples "
+                        f"(found variable {term})"
+                    )
+        u = ParsedUpdate(kind=f"{verb}_data", templates=wc.patterns)
+    elif verb == "delete" and p.at_kw("where"):
+        p.next()
+        wc = plain_group("DELETE WHERE")
+        u = ParsedUpdate(
+            kind="delete_where", templates=wc.patterns, where=wc
+        )
+    else:
+        tmpl = plain_group(f"{verb.upper()} template")
+        p.expect("KW", "where")
+        where = p.group_body_braced()
+        u = ParsedUpdate(kind=verb, templates=tmpl.patterns, where=where)
+    p.expect("EOF")
+    return u
+
+
+def _group_body_braced(self) -> WhereClause:
+    self.expect("PUNCT", "{")
+    wc = self.group_body()
+    self.expect("PUNCT", "}")
+    return wc
+
+
+_Parser.group_body_braced = _group_body_braced
+
+
+def sparql_update(
+    store_dir: str,
+    text: str,
+    *,
+    num_partitions: int = 4,
+    broadcast_limit: int = 1_000_000,
+) -> dict:
+    """Apply a SPARQL Update STRING to a materialized triple store —
+    the store-lifecycle front-end over :func:`merge_triplestore` /
+    :func:`delete_triplestore` [graft extension; the reference's
+    RDF::Trine model is mutable in memory, recalled — here mutation is
+    a bucket-local delta merge/rewrite, work ∝ delta size].
+
+    INSERT paths produce the delta with the CONSTRUCT machinery (so
+    template instantiation is batch-wise and distinct) and upsert it;
+    DELETE paths anti-join the delta against only its hash buckets.
+    Returns the store metrics dict of the underlying operation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..sinks.triplestore import delete_triplestore, merge_triplestore
+    from .construct import construct
+    from .lookup import get_pattern_store
+
+    u = parse_update(text)
+
+    if u.kind in ("insert_data", "delete_data"):
+        one = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int8())}))
+        delta = construct(one, u.templates, num_partitions=num_partitions)
+    else:
+        wc = u.where
+        bindings = get_pattern_store(
+            store_dir,
+            wc.patterns,
+            num_partitions=num_partitions,
+            filters=wc.filters or None,
+            optional=wc.optional,
+            minus=wc.minus,
+            not_exists=wc.not_exists,
+            values=wc.values,
+            bind=wc.bind or None,
+            paths=wc.paths or None,
+            broadcast_limit=broadcast_limit,
+            keep_kinds=True,
+        )
+        delta = construct(
+            bindings, u.templates, num_partitions=num_partitions
+        )
+
+    if u.kind in ("insert_data", "insert"):
+        return merge_triplestore(delta, store_dir, input_fp="sparql-update")
+    return delete_triplestore(delta, store_dir, input_fp="sparql-update")

@@ -1417,6 +1417,63 @@ FROM customer GROUP BY 1 ORDER BY seg
 """
 
 
+def q_sparql_update_store(sf_dir: str) -> rd.Dataset:
+    """SPARQL 1.1 Update lifecycle over a materialized store: COPY the
+    nation+region store, apply a textual ``DELETE WHERE`` (drops every
+    FK edge into region 3 — a bucket-local anti-join rewrite) and an
+    ``INSERT DATA`` (one upserted ground triple via the incremental
+    merge), then query the mutated store live. Pins parse → delta
+    construct → `delete_triplestore`/`merge_triplestore` → BGP read
+    end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.sparql import sparql, sparql_update
+
+    src = _nation_region_store(sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_upd_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    # updates MUTATE: always start from a fresh copy so the entry is a
+    # pure function of sf_dir (driver reruns must agree)
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.copytree(src, store)
+    sparql_update(
+        store,
+        f"""
+        DELETE WHERE {{
+          ?n <{BASE}nation#ref-n_regionkey> <{BASE}region/r_regionkey=3>
+        }}
+        """,
+    )
+    sparql_update(
+        store,
+        f"""
+        INSERT DATA {{
+          <{BASE}nation/n_nationkey=999>
+            <{BASE}nation#ref-n_regionkey> <{BASE}region/r_regionkey=0> .
+        }}
+        """,
+    )
+    return sparql(
+        store,
+        f"SELECT ?n ?r WHERE {{ ?n <{BASE}nation#ref-n_regionkey> ?r }}",
+    )
+
+
+SQL_SPARQL_UPDATE_STORE = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       '{BASE}region/r_regionkey=' || n_regionkey AS r
+FROM nation WHERE n_regionkey != 3
+UNION
+SELECT '{BASE}nation/n_nationkey=999', '{BASE}region/r_regionkey=0'
+"""
+
+
 def q_sparql_path_store(sf_dir: str) -> rd.Dataset:
     """Textual SELECT whose predicate is a §9.1 SEQUENCE path, served
     from the materialized store — the parser builds the path AST and the

@@ -681,6 +681,204 @@ def _compact_locked(out_dir: str) -> dict:
     return {"buckets_compacted": compacted, "rows_in_compacted": rows_total}
 
 
+class _BucketDeleter:
+    """Per-bucket delete rewrite: stage a replacement part holding the
+    bucket's rows MINUS the delta rows (exact row match, hash
+    pre-filtered like :class:`_BucketMerger`'s novelty check). Pure
+    until the driver commits; requires the delta frame to be
+    bucket-complete (callers go through ``keyed_exact``)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.int64()),
+                "removed": pa.array([], pa.int64()),
+                "part": pa.array([], pa.string()),
+                "old_parts": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        from ..engine.distinct import row_hash
+
+        out = {k: [] for k in ("bucket", "kept", "removed", "part", "old_parts")}
+        buckets = t.column(BUCKET_COL)
+        cols = list(TRIPLE_COLUMNS)
+        for bucket in sorted(set(buckets.to_pylist())):
+            body = t.filter(pc.equal(buckets, bucket)).drop_columns(
+                [BUCKET_COL]
+            )
+            body = _unique_batch(body, cols)
+            bucket = int(bucket)
+            d = os.path.join(self.out_dir, f"bucket={bucket:05d}")
+            if not os.path.isdir(d):
+                continue
+            parts = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            if not parts:
+                continue
+            existing = pa.concat_tables(
+                pq.read_table(os.path.join(d, p), columns=cols)
+                for p in parts
+            )
+            # re-run healing: a crashed earlier delete can leave dup
+            # rows visible (new part committed, old parts not yet
+            # removed); the rewrite collapses them
+            existing = _unique_batch(existing, cols)
+            # hash pre-filter: an existing row whose row-hash does not
+            # occur in the delta certainly stays; the exact (null-safe)
+            # pandas compare runs only over the matching-hash slices,
+            # so a targeted delete never joins the whole bucket. The
+            # hash never DECIDES (collisions only enlarge the verified
+            # slice) — the delete stays exact.
+            h_ex = row_hash(existing.combine_chunks(), cols)
+            h_del = row_hash(body.combine_chunks(), cols)
+            cand = np.isin(h_ex, h_del)
+            if not cand.any():
+                continue
+            exc = existing.filter(pa.array(cand)).to_pandas()
+            deld = (
+                body.filter(pa.array(np.isin(h_del, h_ex[cand])))
+                .to_pandas()
+                .drop_duplicates()
+            )
+            m = exc.merge(deld[cols].assign(__del=1), on=cols, how="left")
+            hit = m["__del"].notna().to_numpy()
+            if not hit.any():
+                continue
+            keep_mask = ~cand
+            keep_mask[np.flatnonzero(cand)[~hit]] = True
+            kept = existing.filter(pa.array(keep_mask))
+            staged = ""
+            if kept.num_rows:
+                staged = f"part-{uuid.uuid4().hex}.parquet.inprogress"
+                pq.write_table(kept, os.path.join(d, staged))
+            out["bucket"].append(bucket)
+            out["kept"].append(kept.num_rows)
+            out["removed"].append(int(hit.sum()))
+            out["part"].append(staged)
+            out["old_parts"].append(json.dumps(parts))
+        if not out["bucket"]:
+            return empty
+        return pa.table(
+            {
+                "bucket": pa.array(out["bucket"], pa.int64()),
+                "kept": pa.array(out["kept"], pa.int64()),
+                "removed": pa.array(out["removed"], pa.int64()),
+                "part": pa.array(out["part"], pa.string()),
+                "old_parts": pa.array(out["old_parts"], pa.string()),
+            }
+        )
+
+
+def delete_triplestore(
+    delta: rd.Dataset,
+    out_dir: str,
+    *,
+    input_fp: str = "",
+) -> dict:
+    """Remove a DELTA triple stream from an existing store so the
+    result equals a from-scratch build over (old input − delta) — the
+    write half of SPARQL UPDATE's ``DELETE DATA`` / ``DELETE WHERE``
+    (``engine.sparql.sparql_update``), and the inverse of
+    :func:`merge_triplestore`.
+
+    Scale shape mirrors the merge: the delta is bucketed with the
+    store's layout, ONE keyed shuffle co-locates it with its bucket
+    (``keyed_exact`` guarantees bucket-complete frames), and each
+    touched bucket rewrites as one staged part holding its surviving
+    rows — work ∝ delta size + one scan of the touched buckets;
+    untouched buckets are never read. Deleting absent triples is a
+    no-op; deleting the same delta twice is idempotent. Commit order
+    per bucket (staged part visible first, manifest second, old parts
+    removed last) makes a crash re-runnable: the transient dup-rows
+    window collapses under the rewrite's dedup, exactly like
+    :func:`compact_triplestore`."""
+    with _store_write_lock(out_dir):
+        return _delete_locked(delta, out_dir, input_fp)
+
+
+def _delete_locked(delta: rd.Dataset, out_dir: str, input_fp: str) -> dict:
+    from ..engine.distinct import keyed_exact
+
+    num_buckets = _store_num_buckets(out_dir)
+    if num_buckets == 0:
+        raise ValueError(f"no store at {out_dir} (missing _METRICS.json)")
+
+    for name in os.listdir(out_dir):
+        d = os.path.join(out_dir, name)
+        if name.startswith("bucket=") and os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".inprogress"):
+                    os.remove(os.path.join(d, f))
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        t = _unique_batch(t, list(TRIPLE_COLUMNS))
+        return add_bucket_column(t, num_buckets)
+
+    ds = delta.map_batches(bucketer, batch_format="pyarrow")
+    results = keyed_exact(
+        ds, [BUCKET_COL], _BucketDeleter(out_dir), num_buckets,
+        batch_format="pyarrow",
+    ).take_all()
+
+    removed: dict[int, int] = {}
+    for r in results:
+        bucket = int(r["bucket"])
+        d = os.path.join(out_dir, f"bucket={bucket:05d}")
+        if r["part"]:
+            final = r["part"][: -len(".inprogress")]
+            os.replace(os.path.join(d, r["part"]), os.path.join(d, final))
+        old = set(json.loads(r["old_parts"]))
+        mpath = os.path.join(d, "_MANIFEST.json")
+        manifest = {"bucket": bucket, "input_fp": ""}
+        if os.path.exists(mpath):
+            try:
+                manifest = json.load(open(mpath))
+            except (json.JSONDecodeError, OSError):
+                pass
+        survivors = sorted(
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and f not in old
+        )
+        manifest["parts"] = survivors
+        manifest["rows"] = int(r["kept"])
+        manifest["input_fp"] = f"{manifest.get('input_fp', '')}-{input_fp}"
+        manifest["version"] = ENGINE_VERSION
+        manifest["hash_engine"] = _hash_engine_version()
+        tmp = os.path.join(d, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        for p in sorted(old):
+            os.remove(os.path.join(d, p))
+        removed[bucket] = int(r["removed"])
+
+    metrics = {
+        "buckets_touched": sorted(removed),
+        "rows_removed": sum(removed.values()),
+        "num_buckets": num_buckets,
+        "input_fp": input_fp,
+    }
+    mpath = os.path.join(out_dir, "_METRICS.json")
+    try:
+        run = json.load(open(mpath))
+    except (json.JSONDecodeError, OSError):
+        run = {}
+    run.setdefault("deletes", []).append(metrics)
+    with open(mpath, "w") as f:
+        json.dump(run, f, indent=1)
+    return metrics
+
+
 def lookup_store(
     out_dir: str,
     subject: str | None = None,
@@ -762,7 +960,18 @@ def read_triplestore(out_dir: str) -> rd.Dataset:
     # committed parts when no subject is bound. columns= pins the
     # TRIPLE_SCHEMA contract — Ray's hive-partition inference would
     # otherwise append a phantom `bucket` column from the directory names.
-    return rd.read_parquet(_store_parts(out_dir), columns=list(TRIPLE_COLUMNS))
+    parts = _store_parts(out_dir)
+    if not parts:
+        # a store CAN be legitimately empty post-delete_triplestore
+        from ..terms import TRIPLE_SCHEMA
+
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                schema=TRIPLE_SCHEMA,
+            )
+        )
+    return rd.read_parquet(parts, columns=list(TRIPLE_COLUMNS))
 
 
 def store_contexts(out_dir: str, num_buckets: int = 4) -> rd.Dataset:

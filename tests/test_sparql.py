@@ -345,3 +345,99 @@ def test_dm_catalog_source(ray_session):
     assert [r["nm"] for r in got] == ["NATION_0", "NATION_1", "NATION_10"]
     # five TPC-H-ish region names; every nation maps into one of them
     assert all(r["rn"].isupper() and r["rn"].isalpha() for r in got)
+
+
+def _copy_store(store, tmp_path, name):
+    import shutil
+
+    dst = str(tmp_path / name)
+    shutil.copytree(store, dst)
+    return dst
+
+
+def test_update_parse_forms():
+    """parse_update: the five supported forms parse; vars in DATA,
+    non-ground GRAPH-less template misuse, and SELECT reject."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import parse_update
+
+    u = parse_update('INSERT DATA { <http://x/s> <http://x/p> "v" . }')
+    assert u.kind == "insert_data" and len(u.templates) == 1
+    u = parse_update("DELETE WHERE { ?s <http://x/p> ?o }")
+    assert u.kind == "delete_where" and u.where.patterns == u.templates
+    u = parse_update(
+        'PREFIX ex: <http://x/> DELETE { ?s ex:t "old" } '
+        "WHERE { ?s ex:p ?o . FILTER(?o != \"z\") }"
+    )
+    assert u.kind == "delete" and u.where.filters
+    u = parse_update(
+        "INSERT { ?s <http://x/copy> ?o } WHERE { ?s <http://x/p> ?o }"
+    )
+    assert u.kind == "insert"
+    with pytest.raises(ValueError, match="ground"):
+        parse_update("DELETE DATA { ?s <http://x/p> <http://x/o> }")
+    with pytest.raises(ValueError, match="INSERT or DELETE"):
+        parse_update("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_update_insert_delete_data(store, tmp_path, ray_session):
+    """INSERT DATA upserts (idempotent re-run), DELETE DATA removes
+    exactly the named triples and is a no-op for absent ones."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import read_triplestore
+
+    s = _copy_store(store, tmp_path, "upd1")
+    n0 = read_triplestore(s).count()
+    ins = f'INSERT DATA {{ <{N}z> <{N}name> "zeta" . }}'
+    assert sparql_update(s, ins)["rows_added"] == 1
+    assert read_triplestore(s).count() == n0 + 1
+    assert sparql_update(s, ins)["rows_added"] == 0  # idempotent
+    m = sparql_update(s, f'DELETE DATA {{ <{N}z> <{N}name> "zeta" . }}')
+    assert m["rows_removed"] == 1
+    assert read_triplestore(s).count() == n0
+    m = sparql_update(s, 'DELETE DATA { <http://no/x> <http://no/p> "q" . }')
+    assert m["rows_removed"] == 0  # absent -> no-op
+
+
+def test_update_delete_where_and_templates(store, tmp_path, ray_session):
+    """DELETE WHERE removes every instantiation; INSERT ... WHERE mints
+    derived triples; DELETE ... WHERE deletes template instantiations
+    driven by a filtered binding set."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql, sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import read_triplestore
+
+    s = _copy_store(store, tmp_path, "upd2")
+    assert sparql_update(
+        s, f"DELETE WHERE {{ ?s <{N}tag> ?t }}"
+    )["rows_removed"] == 2
+    assert not sparql(s, f"ASK {{ ?s <{N}tag> ?t }}")
+
+    m = sparql_update(
+        s,
+        f"INSERT {{ ?s <{N}renamed> ?nm }} WHERE {{ ?s <{N}name> ?nm }}",
+    )
+    assert m["rows_added"] == 3
+    got = sparql(
+        s, f"SELECT ?nm WHERE {{ ?s <{N}renamed> ?nm }} ORDER BY ?nm"
+    ).take_all()
+    assert [r["nm"] for r in got] == ["alpha", "beta", "gamma"]
+
+    # template-form DELETE: remove renamed triples for score-7 subjects
+    m = sparql_update(
+        s,
+        f"""DELETE {{ ?s <{N}renamed> ?nm }} WHERE {{
+            ?s <{N}renamed> ?nm ; <{N}score> ?sc . FILTER(?sc = "7")
+        }}""",
+    )
+    assert m["rows_removed"] == 2
+    got = sparql(s, f"SELECT ?nm WHERE {{ ?s <{N}renamed> ?nm }}").take_all()
+    assert [r["nm"] for r in got] == ["alpha"]
+    # buckets fully emptied are fine: delete every remaining triple
+    # (variable predicates are outside the text subset — enumerate)
+    total = read_triplestore(s).count()
+    removed = 0
+    for pred in ("p", "name", "score", "q", "renamed"):
+        removed += sparql_update(
+            s, f"DELETE WHERE {{ ?s <{N}{pred}> ?o }}"
+        )["rows_removed"]
+    assert removed == total
+    assert read_triplestore(s).count() == 0
