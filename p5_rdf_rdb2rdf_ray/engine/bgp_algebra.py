@@ -118,20 +118,35 @@ _FILTER_OPS = {
     "==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
 }
 
+# SPARQL §17.4.3 string tests — evaluated with Arrow kernels over the
+# lexical forms, no pandas round-trip (regex compiles once per block
+# inside the kernel)
+_STR_FILTER_FNS = {
+    "regex": "match_substring_regex",
+    "contains": "match_substring",
+    "strstarts": "starts_with",
+    "strends": "ends_with",
+}
+
 
 def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
     """SPARQL-FILTER-style constraints over variable bindings, applied
     BEFORE the final distinct (fewer rows through the shuffle). Each
-    filter is ``("?var", op, value)`` with op in ``== != < <= > >=``; a
-    numeric ``value`` compares numerically (bindings whose lexical form
-    is not a number drop, mirroring SPARQL type-error semantics), a
-    string ``value`` compares lexically. [graft extension beyond the
-    reference Store's BGP surface]"""
+    filter is ``("?var", op, value)`` with op in ``== != < <= > >=``
+    plus the string tests ``regex contains strstarts strends``
+    (value = pattern); a numeric ``value`` compares numerically
+    (bindings whose lexical form is not a number drop, mirroring SPARQL
+    type-error semantics), a string ``value`` compares lexically.
+    [graft extension beyond the reference Store's BGP surface]"""
     spec = []
+    str_spec = []
     for var, op, val in filters:
-        if op not in _FILTER_OPS:
+        if op in _STR_FILTER_FNS:
+            str_spec.append((var.lstrip("?"), _STR_FILTER_FNS[op], str(val)))
+        elif op in _FILTER_OPS:
+            spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
+        else:
             raise ValueError(f"unsupported filter op {op!r}")
-        spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
 
     def f(t: pa.Table) -> pa.Table:
         # Arrow in/out: this stage feeds the final distinct's hash
@@ -147,6 +162,11 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
         if t.num_rows == 0:
             return t
         keep = np.ones(t.num_rows, bool)
+        for var, kernel, pat in str_spec:
+            col = t.column(var).combine_chunks()
+            m = getattr(pc, kernel)(col, pat)
+            # unbound (NULL) bindings never pass a FILTER
+            keep &= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
         for var, op, val in spec:
             s = t.column(var).to_pandas()
             # SPARQL type-error semantics: an unbound (NULL — possible

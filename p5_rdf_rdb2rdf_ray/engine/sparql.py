@@ -56,7 +56,7 @@ _KEYWORDS = {
     "min", "max", "avg", "sample", "group_concat", "separator", "if",
     "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
     "substr", "replace", "a", "true", "false", "insert", "delete",
-    "data",
+    "data", "regex", "contains", "strstarts", "strends",
 }
 
 _ESCAPES = {
@@ -446,8 +446,25 @@ class _Parser:
             f"char {t.pos}"
         )
 
+    _STR_FILTER_FNS = {
+        "regex": "regex", "contains": "contains",
+        "strstarts": "strstarts", "strends": "strends",
+    }
+
     def comparison(self) -> tuple:
-        """``?var OP constant`` — the engine's binding-filter shape."""
+        """``?var OP constant`` — the engine's binding-filter shape —
+        or a string-test call ``REGEX(?var, "pat")`` / ``CONTAINS`` /
+        ``STRSTARTS`` / ``STRENDS`` (SPARQL §17.4.3; REGEX flags are
+        not supported — inline ``(?i)`` etc. in the pattern)."""
+        t0 = self.peek()
+        if t0.kind == "KW" and t0.val in self._STR_FILTER_FNS:
+            fn = self.next().val
+            self.expect("PUNCT", "(")
+            var = self.expect("VAR").val
+            self.expect("PUNCT", ",")
+            pat = self.expect("STRING").val
+            self.expect("PUNCT", ")")
+            return ("?" + var, self._STR_FILTER_FNS[fn], pat)
         t = self.expect("VAR")
         op_t = self.next()
         op = {"=": "=="}.get(op_t.val, op_t.val)

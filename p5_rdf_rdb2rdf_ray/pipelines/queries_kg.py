@@ -1417,6 +1417,33 @@ FROM customer GROUP BY 1 ORDER BY seg
 """
 
 
+def q_sparql_regex_filter(sf_dir: str) -> rd.Dataset:
+    """SPARQL §17.4.3 string tests in FILTER (REGEX + STRSTARTS over
+    the DM virtual graph): evaluated with Arrow match_substring_regex /
+    starts_with kernels batch-wise; comparison pushdown skips them
+    (pruning-only contract), the binding filter stays exact."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm WHERE {{
+          ?n <{BASE}nation#n_name> ?nm .
+          FILTER(REGEX(?nm, "^NATION_1[0-9]$") && STRSTARTS(?nm, "NATION"))
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_REGEX_FILTER = """
+SELECT n_name AS nm FROM nation
+WHERE regexp_matches(n_name, '^NATION_1[0-9]$')
+  AND starts_with(n_name, 'NATION')
+ORDER BY nm
+"""
+
+
 def q_sparql_update_store(sf_dir: str) -> rd.Dataset:
     """SPARQL 1.1 Update lifecycle over a materialized store: COPY the
     nation+region store, apply a textual ``DELETE WHERE`` (drops every

@@ -441,3 +441,31 @@ def test_update_delete_where_and_templates(store, tmp_path, ray_session):
         )["rows_removed"]
     assert removed == total
     assert read_triplestore(s).count() == 0
+
+
+def test_filter_string_functions(store, ray_session):
+    """REGEX / CONTAINS / STRSTARTS / STRENDS in FILTER: exact over
+    lexical forms, NULL (OPTIONAL-unbound) bindings never pass, and
+    they conjoin with comparisons."""
+    def names(q):
+        return sorted(r["nm"] for r in sparql(store, q).take_all())
+
+    base = f"SELECT ?nm WHERE {{ ?s <{N}name> ?nm . %s }}"
+    assert names(base % 'FILTER(REGEX(?nm, "^.e"))') == ["beta"]
+    assert names(base % 'FILTER(CONTAINS(?nm, "am"))') == ["gamma"]
+    assert names(base % 'FILTER(STRSTARTS(?nm, "a"))') == ["alpha"]
+    assert names(base % 'FILTER(STRENDS(?nm, "a"))') == [
+        "alpha", "beta", "gamma"
+    ]
+    assert names(
+        base % 'FILTER(STRENDS(?nm, "a") && ?nm != "beta")'
+    ) == ["alpha", "gamma"]
+    # unbound OPTIONAL binding never passes the string test
+    got = sparql(
+        store,
+        f"""SELECT ?s ?t WHERE {{
+          ?s <{N}name> ?nm . OPTIONAL {{ ?s <{N}tag> ?t }}
+          FILTER(CONTAINS(?t, "ee"))
+        }}""",
+    ).take_all()
+    assert [r["s"] for r in got] == [N + "a"]
