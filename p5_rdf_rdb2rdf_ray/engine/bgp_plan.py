@@ -366,6 +366,8 @@ def _store_filter_pushdown_expr(
 def _store_star_groups(
     store_dir: str, patterns: list[tuple],
     filters: list[tuple] | None = None,
+    graph: str | None = None,
+    default_graph: bool = False,
 ) -> tuple[list, list]:
     """Store-side star-join pushdown: every same-subject-var pattern
     with a bound predicate and a fresh object var joins inside ONE store
@@ -383,10 +385,21 @@ def _store_star_groups(
         # fall back to per-pattern joins (slower, always correct)
         return [], patterns
     fused, leftover = _group_star_patterns(patterns, lambda p: "store")
+    gflt = None
+    if graph is not None:
+        gflt = pc.field("graph") == graph
+    elif default_graph:
+        gflt = pc.field("graph").is_null()
+
+    def conj(expr):
+        if gflt is None:
+            return expr
+        return gflt if expr is None else expr & gflt
+
     units = [
         _fused_store_star_unit(
             dirs, svar, items,
-            row_filter=_store_filter_pushdown_expr(items, filters),
+            row_filter=conj(_store_filter_pushdown_expr(items, filters)),
         )
         for svar, _scope, items in fused
     ]

@@ -460,6 +460,8 @@ def get_pattern_store(
     offset: int = 0,
     broadcast_limit: int = 1_000_000,
     keep_kinds: bool = False,
+    graph: str | None = None,
+    default_graph: bool = False,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -480,6 +482,13 @@ def get_pattern_store(
     partitioning — one task reads the same bucket from every store);
     with mismatched layouts it falls back to per-pattern joins, slower
     but exact.
+
+    NAMED-GRAPH scope [SPARQL GRAPH]: ``graph=`` restricts every
+    pattern to one named context, ``default_graph=True`` to the nil
+    context — pushed as a parquet row filter into both the star scans
+    and the per-pattern ``store_statements`` reads. Property paths do
+    not compose with a graph scope (the path relation reads the whole
+    graph); pass neither or drop the paths.
     """
     from ..sinks.triplestore import store_statements
 
@@ -487,13 +496,26 @@ def get_pattern_store(
     if not dirs:
         raise ValueError("get_pattern_store needs at least one store dir")
 
+    if (graph is not None or default_graph) and paths:
+        raise ValueError(
+            "graph=/default_graph= does not compose with paths= "
+            "(path relations read the whole graph)"
+        )
+
     def stmt_fn(**kwargs):
-        out = store_statements(dirs[0], **kwargs)
+        out = store_statements(
+            dirs[0], graph=graph, default_graph=default_graph, **kwargs
+        )
         for d in dirs[1:]:
-            out = out.union(store_statements(d, **kwargs))
+            out = out.union(store_statements(
+                d, graph=graph, default_graph=default_graph, **kwargs
+            ))
         return out
 
-    units, rest = _store_star_groups(store_dir, patterns, filters=filters)
+    units, rest = _store_star_groups(
+        store_dir, patterns, filters=filters,
+        graph=graph, default_graph=default_graph,
+    )
     if paths:
         # §9.1 property-path items: each becomes one binding unit whose
         # relation is the distributed path evaluation (seq = one co-hash
@@ -506,10 +528,18 @@ def get_pattern_store(
     if values:
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     o_units, o_rest = (
-        _store_star_groups(store_dir, optional) if optional else ([], [])
+        _store_star_groups(
+            store_dir, optional, graph=graph, default_graph=default_graph
+        )
+        if optional else ([], [])
     )
     negs = [
-        (mode, *reversed(_store_star_groups(store_dir, grp)))
+        (
+            mode,
+            *reversed(_store_star_groups(
+                store_dir, grp, graph=graph, default_graph=default_graph
+            )),
+        )
         for mode, grp in (("minus", minus), ("not_exists", not_exists))
         if grp
     ]

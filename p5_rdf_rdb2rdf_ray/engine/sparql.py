@@ -56,7 +56,7 @@ _KEYWORDS = {
     "min", "max", "avg", "sample", "group_concat", "separator", "if",
     "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
     "substr", "replace", "a", "true", "false", "insert", "delete",
-    "data", "regex", "contains", "strstarts", "strends",
+    "data", "regex", "contains", "strstarts", "strends", "graph",
 }
 
 _ESCAPES = {
@@ -208,6 +208,7 @@ class WhereClause:
 @dataclass
 class ParsedQuery:
     form: str  # SELECT ASK CONSTRUCT DESCRIBE
+    graph: str | None = None  # GRAPH <iri> scope wrapping the WHERE body
     distinct: bool = False
     project: list[str] | None = None  # None = *
     aggregates: dict | None = None  # alias -> ("count*"|fn, var, extra)
@@ -632,6 +633,23 @@ class _Parser:
         nested directly inside the outer braces."""
         self.eat_kw("where")
         self.expect("PUNCT", "{")
+        if self.at_kw("graph"):
+            # GRAPH <iri> { body } wrapping the WHOLE where body — the
+            # engine scopes every pattern to one named context
+            self.next()
+            t = self.peek()
+            if t.kind == "IRI":
+                self._graph_scope = self.next().val
+            elif t.kind == "PNAME":
+                self._graph_scope = self.expand(self.next())
+            else:
+                raise ValueError(
+                    f"GRAPH needs a constant IRI at char {t.pos} "
+                    "(GRAPH ?var is not supported)"
+                )
+            inner = self.group()
+            self.expect("PUNCT", "}")
+            return inner, None
         if self.at_punct("{"):
             groups = [self.group()]
             while self.eat_kw("union"):
@@ -789,6 +807,7 @@ class _Parser:
             self.next()
             q = ParsedQuery(form="ASK")
             q.where, q.union_groups = self.where_clause()
+            q.graph = getattr(self, "_graph_scope", None)
             self.expect("EOF")
             return q
         if t.val == "construct":
@@ -830,6 +849,7 @@ class _Parser:
             if not q.aggregates:
                 q.aggregates = None
         q.where, q.union_groups = self.where_clause()
+        q.graph = getattr(self, "_graph_scope", None)
         self.solution_modifiers(q)
         self.expect("EOF")
         if q.aggregates and not q.group_by:
@@ -859,6 +879,7 @@ class _Parser:
             raise ValueError("CONSTRUCT template must be plain triples")
         q.construct_templates = tmpl.patterns
         q.where, q.union_groups = self.where_clause()
+        q.graph = getattr(self, "_graph_scope", None)
         self.solution_modifiers(q)
         if q.group_by or q.order_by or q.limit is not None or q.offset:
             raise ValueError(
@@ -971,6 +992,11 @@ def sparql(
         )
 
     wc = q.where
+    if q.graph is not None and kind != "store":
+        raise ValueError(
+            "GRAPH scope needs a triple-store source (the DM virtual "
+            "graph has no named contexts)"
+        )
     plan_kwargs = dict(
         filters=wc.filters or None,
         optional=wc.optional,
@@ -985,6 +1011,8 @@ def sparql(
 
     def plan(**kw):
         if kind == "store":
+            if q.graph is not None:
+                kw["graph"] = q.graph
             return get_pattern_store(source, wc.patterns, **plan_kwargs, **kw)
         return get_pattern(source, wc.patterns, base=base, **plan_kwargs, **kw)
 
@@ -1105,7 +1133,9 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
             col = keys[0] if var == "*" else var
             if var in num_vars:
                 col = f"{var}_num_"
-            aggs[alias] = (col, {"avg": "mean"}.get(fn, fn))
+            # SAMPLE may return any group member (SPARQL §18.5.1.7);
+            # deterministic lexical min keeps runs reproducible
+            aggs[alias] = (col, {"avg": "mean", "sample": "min"}.get(fn, fn))
         out = grouped_aggregate(
             ds, keys=keys, aggs=aggs, num_partitions=num_partitions
         )

@@ -1100,22 +1100,17 @@ FROM k JOIN nation nat ON nat.n_nationkey = k.c_nationkey
 """
 
 
-def q_store_contexts(sf_dir: str) -> rd.Dataset:
-    """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
-    RDF::Trine::Store interface]: write the rr:graphMap quads of
-    ``_NATION_GRAPH_TTL`` to a bucket-partitioned store (resumable —
-    identical input fingerprint skips the write), then list the distinct
-    named graphs. Default-graph quads (null graph) are not contexts."""
+def _nation_ctx_store(sf_dir: str) -> str:
+    """Materialize (resumably) the rr:graphMap quads of
+    ``_NATION_GRAPH_TTL`` as a bucket-partitioned store under /tmp —
+    the named-graph fixture shared by ``store_contexts`` and the GRAPH
+    scope entry."""
     import hashlib
     import os
     import tempfile
 
     from ..mapping.r2rml import compile_r2rml
-    from ..sinks.triplestore import (
-        fingerprint_files,
-        store_contexts,
-        write_triplestore,
-    )
+    from ..sinks.triplestore import fingerprint_files, write_triplestore
 
     cat = catalog_for(sf_dir)
     spec = compile_r2rml(_NATION_GRAPH_TTL, base=BASE)
@@ -1130,7 +1125,41 @@ def q_store_contexts(sf_dir: str) -> rd.Dataset:
         run_mapping(spec, cat, distinct=False), out, num_buckets=4,
         input_fp=fp,
     )
-    return store_contexts(out)
+    return out
+
+
+def q_store_contexts(sf_dir: str) -> rd.Dataset:
+    """Store ``get_contexts`` parity [R: DirectMapping/Store.pm — the
+    RDF::Trine::Store interface]: write the rr:graphMap quads of
+    ``_NATION_GRAPH_TTL`` to a bucket-partitioned store (resumable —
+    identical input fingerprint skips the write), then list the distinct
+    named graphs. Default-graph quads (null graph) are not contexts."""
+    from ..sinks.triplestore import store_contexts
+
+    return store_contexts(_nation_ctx_store(sf_dir))
+
+
+def q_sparql_graph_store(sf_dir: str) -> rd.Dataset:
+    """SPARQL GRAPH scope over a quad store: the textual
+    ``GRAPH <gNames> { … }`` wrapper restricts every pattern to one
+    named context — pushed as a parquet row filter into the store star
+    scans (`_store_star_groups(graph=…)`), never a post-filter."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        _nation_ctx_store(sf_dir),
+        f"""
+        SELECT ?n ?nm WHERE {{
+          GRAPH <{BASE}gNames> {{ ?n <{BASE}name> ?nm }}
+        }} ORDER BY ?nm
+        """,
+    )
+
+
+SQL_SPARQL_GRAPH_STORE = f"""
+SELECT '{BASE}nation-g/' || n_nationkey AS n, n_name AS nm
+FROM nation ORDER BY nm
+"""
 
 
 # Named contexts = the two constant graphs + one template graph per

@@ -469,3 +469,34 @@ def test_filter_string_functions(store, ray_session):
         }}""",
     ).take_all()
     assert [r["s"] for r in got] == [N + "a"]
+
+
+def test_graph_scope_and_sample(store, ray_session):
+    """GRAPH <g> scopes to a named context (the fixture store is all
+    default-graph, so any named scope is empty); GRAPH on a catalog
+    source and GRAPH ?var reject; SAMPLE aggregates deterministically
+    (lexical min)."""
+    got = sparql(
+        store,
+        f"SELECT ?s WHERE {{ GRAPH <http://g/x> {{ ?s <{N}name> ?nm }} }}",
+    ).take_all()
+    assert got == []
+    with pytest.raises(ValueError, match="GRAPH needs a constant IRI"):
+        parse_query(
+            f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{N}name> ?nm }} }}"
+        )
+    from p5_rdf_rdb2rdf_ray.pipelines.queries_kg import BASE, catalog_for
+
+    with pytest.raises(ValueError, match="triple-store source"):
+        sparql(
+            catalog_for("/root/testdata/sf0.001"),
+            f"SELECT ?s WHERE {{ GRAPH <http://g/x> {{ ?s <{BASE}nation#n_name> ?nm }} }}",
+            base=BASE,
+        )
+    got = sparql(
+        store,
+        f"""SELECT ?v (SAMPLE(?nm) AS ?one) WHERE {{
+          ?s <{N}score> ?v . ?s <{N}name> ?nm
+        }} GROUP BY ?v ORDER BY ?v""",
+    ).take_all()
+    assert [(r["v"], r["one"]) for r in got] == [("3", "alpha"), ("7", "beta")]
