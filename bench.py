@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "sparql_construct",
     "federated_store",
     "bgp_path_star",
+    "split_docs",
 ]
 
 

@@ -286,6 +286,25 @@ def q_bpe_merges_docs(sf_dir: str):
     )
 
 
+def q_bpe_encode_docs(sf_dir: str) -> rd.Dataset:
+    """The APPLY half of BPE: learn a small merge table, then tokenize
+    every document with the `_BpeEncoder` actor pool (rank dict built
+    once per actor from a `ray.put` broadcast; Zipfian word cache).
+    Rows-only (tokenization is not SQL-expressible; per-word equality
+    with a sequential reference encoder is pinned by
+    tests/test_stages.py::test_bpe_encode_matches_reference)."""
+    from ..stages.bpe import bpe_encode, learn_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # one merge round keeps the entry inside the driver's per-entry
+    # wall budget; the encode pool is the part under test here
+    merges = learn_bpe(
+        _read(sf_dir, "documents", ["text"]),
+        num_merges=8, merges_per_round=8, min_freq=2,
+    )
+    return bpe_encode(docs, merges)
+
+
 def q_approx_users_per_event(sf_dir: str) -> rd.Dataset:
     """Per-group HLL: approximate distinct users per event type — one
     2^p-byte register row per (group, block) ships instead of every
@@ -1219,6 +1238,31 @@ SQL_SAMPLE_DOCS = f"""
 SELECT doc_id, text FROM (
 {_FMIX32_SQL.format(key="doc_id", seed=42, src="documents")}
 ) WHERE smp_h % 1000000 < 250000
+"""
+
+
+def q_split_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split assignment
+    (`stages.sample.split_assign`): membership is a pure function of
+    fmix32(doc_id) — stable across runs, re-shards and cluster sizes;
+    map-only, bit-exact SQL twin via the shared `_FMIX32_SQL` stream."""
+    from ..stages.sample import split_assign
+
+    return split_assign(
+        _read(sf_dir, "documents", ["doc_id"]),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    )
+
+
+SQL_SPLIT_DOCS = f"""
+SELECT doc_id,
+       CASE WHEN smp_h % 1000000 < 800000 THEN 'train'
+            WHEN smp_h % 1000000 < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+{_FMIX32_SQL.format(key="doc_id", seed=7, src="documents")}
+)
 """
 
 

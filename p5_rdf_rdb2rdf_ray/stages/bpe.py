@@ -208,3 +208,109 @@ def reference_bpe(
                     i += 1
             table[w] = res
     return merges
+
+
+class _BpeEncoder:
+    """Actor-pool BPE tokenizer: the learned merge table is built into
+    a rank dict ONCE per actor (``__init__`` receives the broadcast
+    object-ref — `ray.put` once, read per actor, never re-shipped per
+    batch); ``__call__`` encodes a batch with a per-actor word cache
+    (corpora are Zipfian — the hot words hit the cache, so the greedy
+    per-word merge loop runs once per DISTINCT word per actor)."""
+
+    def __init__(self, merges_ref, text_col: str, lowercase: bool):
+        import ray
+
+        merges = ray.get(merges_ref)
+        self.ranks = {
+            (l, r): i
+            for i, (l, r) in enumerate(
+                zip(merges["left"], merges["right"])
+            )
+        }
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self.cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        hit = self.cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        ranks = self.ranks
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # merge EVERY occurrence of the chosen pair (rank order ==
+            # learn order, matching learn_bpe's apply_merges pass)
+            pair = (syms[best], syms[best + 1])
+            i, res = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    res.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        if len(self.cache) < 500_000:  # bound actor heap
+            self.cache[w] = syms
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pylist()
+        counts, firsts = [], []
+        for txt in texts:
+            txt = (txt or "")
+            if self.lowercase:
+                txt = txt.lower()
+            n = 0
+            first: list[str] = []
+            for w in txt.split():
+                toks = self._encode_word(w)
+                if not first:
+                    first = toks[:8]
+                n += len(toks)
+            counts.append(n)
+            firsts.append(first)
+        out = t.drop_columns([self.text_col])
+        out = out.append_column("n_tokens", pa.array(counts, pa.int64()))
+        return out.append_column(
+            "head_tokens", pa.array(firsts, pa.list_(pa.string()))
+        )
+
+
+def bpe_encode(
+    ds: rd.Dataset,
+    merges: pd.DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Tokenize a corpus with a LEARNED merge table (the apply half of
+    :func:`learn_bpe` — a training pipeline learns once, then encodes
+    every shard): → Dataset(input cols minus ``text_col``, n_tokens,
+    head_tokens). Merge table broadcast via ``ray.put``; encoding is an
+    actor pool so the rank dict builds once per actor."""
+    import ray
+
+    ref = ray.put(
+        {
+            "left": list(merges["left"].astype(str)),
+            "right": list(merges["right"].astype(str)),
+        }
+    )
+    return ds.map_batches(
+        _BpeEncoder,
+        fn_constructor_args=(ref, text_col, lowercase),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -214,3 +214,44 @@ def grouped_k_sample(
         descending=False,
         num_partitions=num_partitions,
     )
+
+
+def split_assign(
+    ds: rd.Dataset,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    out: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — the standard
+    hash-split every training-data pipeline needs: ``fractions`` maps
+    split name → fraction (must sum to 1.0 within 1e-9); each row gets
+    ``out`` = the name of the bucket its ``fmix32(key)`` falls in, so
+    membership is a pure function of the KEY (stable across runs,
+    re-shards, and cluster sizes — never of scheduling). Map-only: no
+    shuffle, each block assigns independently; the same fmix32 stream
+    as :func:`hash_sample`, so the SQL twin (`_FMIX32_SQL`) reproduces
+    assignments bit-for-bit."""
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    # cumulative integer thresholds over the hash_sample resolution
+    cuts, acc = [], 0
+    for n in names:
+        acc += fractions[n]
+        cuts.append(int(round(acc * 1_000_000)))
+    cuts[-1] = 1_000_000  # close rounding gaps: every row lands somewhere
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out, pa.array([], pa.string()))
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = (fmix32(keys, seed) % np.uint64(1_000_000)).astype(np.int64)
+        idx = np.searchsorted(np.asarray(cuts), h, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column(out, pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

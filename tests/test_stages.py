@@ -3257,3 +3257,88 @@ def test_federated_store_union_semantics(ray_session, tmp_path):
         f'SELECT ?s WHERE {{ ?s <{N}name> "gamma" }}',
     ).take_all()
     assert [r["s"] for r in s] == [N + "c"]
+
+
+def test_split_assign(ray_session):
+    """Deterministic split assignment: fractions respected (±2% at
+    10k keys), membership is a pure function of the key (stable across
+    partitionings), bad fractions reject."""
+    from p5_rdf_rdb2rdf_ray.stages.sample import split_assign
+
+    t = pa.table({"doc_id": pa.array(range(10_000), pa.int64())})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = (
+        split_assign(rd.from_arrow(t), fr, seed=3)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    counts = a.value_counts(normalize=True)
+    for name, f in fr.items():
+        assert abs(counts[name] - f) < 0.02
+    b = (
+        split_assign(rd.from_arrow(t).repartition(7), fr, seed=3)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())  # layout-independent
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        split_assign(rd.from_arrow(t), {"a": 0.5, "b": 0.4})
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """bpe_encode token counts equal a sequential greedy-by-rank
+    reference encoder over the same learned merges."""
+    from p5_rdf_rdb2rdf_ray.stages.bpe import bpe_encode, learn_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the mat sat on the cat cat",
+        "a catalog of matters",
+        "",
+    ] * 5
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    merges = learn_bpe(
+        rd.from_arrow(docs), num_merges=8, merges_per_round=1, min_freq=1
+    )
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))
+    }
+
+    def ref_encode(w):
+        syms = list(w)
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            rank, _ = min(cands)
+            pair = None
+            for l, r in ranks:
+                if ranks[(l, r)] == rank:
+                    pair = (l, r)
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    res.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    got = (
+        bpe_encode(rd.from_arrow(docs), merges, concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens"]
+    )
+    for i, txt in enumerate(texts):
+        want = sum(len(ref_encode(w)) for w in txt.lower().split())
+        assert got[i] == want, (i, txt)
