@@ -256,6 +256,7 @@ def get_pattern(
     offset: int = 0,
     broadcast_limit: int = 1_000_000,
     keep_kinds: bool = False,
+    units: list | None = None,
 ) -> rd.Dataset:
     """Basic-graph-pattern matching over the Direct Mapping — the
     reference Store's ``get_pattern`` surface [R: DirectMapping/Store.pm
@@ -278,6 +279,11 @@ def get_pattern(
     predicate bindings are implicitly non-literal; joining one against an
     object binding filters the object side to non-literals first (IRI vs
     bnode then disambiguate by the ``_:`` prefix, which no IRI can carry).
+
+    ``units`` [graft extension — SPARQL 11.2 subqueries]: pre-built
+    binding units ``(Dataset, var_names, kind_vars)`` (e.g. an
+    evaluated subquery's projected bindings) that fold into the join
+    like any pattern side, joining on shared variables.
     """
 
     def stmt_fn(**kwargs):
@@ -285,7 +291,9 @@ def get_pattern(
             catalog, base=base, distinct_buckets=num_partitions, **kwargs
         )
 
+    extra_units = list(units) if units else []
     units, rest = _star_groups(catalog, patterns, base, filters=filters)
+    units = list(units) + extra_units
     if paths:
         # §9.1 property-path items over the DM VIRTUAL graph — the path
         # evaluator's (catalog, base) source; folds like any other unit
@@ -460,6 +468,7 @@ def get_pattern_store(
     offset: int = 0,
     broadcast_limit: int = 1_000_000,
     keep_kinds: bool = False,
+    units: list | None = None,
     graph: str | None = None,
     default_graph: bool = False,
 ) -> rd.Dataset:
@@ -512,10 +521,12 @@ def get_pattern_store(
             ))
         return out
 
+    extra_units = list(units) if units else []
     units, rest = _store_star_groups(
         store_dir, patterns, filters=filters,
         graph=graph, default_graph=default_graph,
     )
+    units = list(units) + extra_units
     if paths:
         # §9.1 property-path items: each becomes one binding unit whose
         # relation is the distributed path evaluation (seq = one co-hash

@@ -203,6 +203,7 @@ class WhereClause:
     not_exists: list | None = None
     values: tuple | None = None
     bind: list = field(default_factory=list)
+    subqueries: list = field(default_factory=list)  # nested ParsedQuery
 
 
 @dataclass
@@ -575,6 +576,30 @@ class _Parser:
                 v = self.expect("VAR").val
                 self.expect("PUNCT", ")")
                 wc.bind.append(("?" + v, e))
+            elif self.at_punct("{"):
+                t1 = self.peek(1)
+                if not (t1.kind == "KW" and t1.val == "select"):
+                    raise ValueError(
+                        "nested group graph patterns are not supported "
+                        "(only { SELECT … } subqueries and top-level "
+                        f"UNION); at char {self.peek().pos}"
+                    )
+                # SPARQL 11.2 subquery: evaluated independently, its
+                # PROJECTED bindings join the outer group on shared
+                # variables. GRAPH scope is per-query: save/restore the
+                # parser's scope attribute around the nested parse.
+                self.next()
+                saved = getattr(self, "_graph_scope", None)
+                self._graph_scope = None
+                sub = self.parse_select(top=False)
+                self._graph_scope = saved
+                self.expect("PUNCT", "}")
+                if sub.project is None:
+                    raise ValueError(
+                        "subqueries need an explicit projection "
+                        "(SELECT * is not supported inside { })"
+                    )
+                wc.subqueries.append(sub)
             else:
                 self.triples_block(wc)
             if self.at_punct("."):
@@ -650,7 +675,9 @@ class _Parser:
             inner = self.group()
             self.expect("PUNCT", "}")
             return inner, None
-        if self.at_punct("{"):
+        if self.at_punct("{") and not (
+            self.peek(1).kind == "KW" and self.peek(1).val == "select"
+        ):
             groups = [self.group()]
             while self.eat_kw("union"):
                 groups.append(self.group())
@@ -816,7 +843,7 @@ class _Parser:
             return self.parse_describe()
         raise ValueError(f"unsupported query form {t.val!r}")
 
-    def parse_select(self) -> ParsedQuery:
+    def parse_select(self, top: bool = True) -> ParsedQuery:
         self.expect("KW", "select")
         q = ParsedQuery(form="SELECT")
         if self.eat_kw("distinct"):
@@ -851,7 +878,8 @@ class _Parser:
         q.where, q.union_groups = self.where_clause()
         q.graph = getattr(self, "_graph_scope", None)
         self.solution_modifiers(q)
-        self.expect("EOF")
+        if top:
+            self.expect("EOF")
         if q.aggregates and not q.group_by:
             raise ValueError(
                 "aggregates need GROUP BY (implicit single-group "
@@ -962,6 +990,36 @@ def sparql(
 
     q = parse_query(text)
     kind, extra = _split_source(source, base)
+    return _eval_query(
+        q, source, kind, base,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+    )
+
+
+def _eval_query(
+    q: ParsedQuery,
+    source,
+    kind: str,
+    base: str | None,
+    *,
+    num_partitions: int,
+    broadcast_limit: int,
+):
+    """Execute a :class:`ParsedQuery` — shared by :func:`sparql` and
+    the §11.2 subquery recursion (a subquery re-enters here with the
+    same source; its projected bindings fold into the outer BGP as a
+    pre-built unit)."""
+    from .construct import construct
+    from .lookup import (
+        apply_solution_modifiers,
+        ask as _ask,
+        describe as _describe,
+        describe_store,
+        get_pattern,
+        get_pattern_store,
+        get_pattern_store_union,
+        get_pattern_union,
+    )
 
     if q.form == "DESCRIBE":
         if kind == "store":
@@ -1008,6 +1066,22 @@ def sparql(
         num_partitions=num_partitions,
         broadcast_limit=broadcast_limit,
     )
+
+    if wc.subqueries:
+        # evaluate each subquery independently; its PROJECTED bindings
+        # become a pre-built join unit (kind columns are not carried —
+        # subquery join variables are grouped keys / projected lexical
+        # forms by construction)
+        sub_units = []
+        for sq in wc.subqueries:
+            sub_ds = _eval_query(
+                sq, source, kind, base,
+                num_partitions=num_partitions,
+                broadcast_limit=broadcast_limit,
+            )
+            names = list(dict.fromkeys(sq.project))
+            sub_units.append((sub_ds, names, set()))
+        plan_kwargs["units"] = sub_units
 
     def plan(**kw):
         if kind == "store":

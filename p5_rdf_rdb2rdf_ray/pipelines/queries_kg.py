@@ -1446,6 +1446,35 @@ FROM customer GROUP BY 1 ORDER BY seg
 """
 
 
+def q_sparql_subquery(sf_dir: str) -> rd.Dataset:
+    """SPARQL §11.2 subquery: the inner GROUP BY + COUNT evaluates
+    independently (combiner-first grouped aggregate) and its projected
+    bindings fold into the outer BGP as a pre-built join unit on the
+    shared ?n — the canonical aggregate-then-enrich shape."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm ?cnt WHERE {{
+          {{ SELECT ?n (COUNT(?c) AS ?cnt) WHERE {{
+               ?c <{BASE}customer#ref-c_nationkey> ?n
+             }} GROUP BY ?n }}
+          ?n <{BASE}nation#n_name> ?nm
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_SUBQUERY = """
+SELECT n_name AS nm, CAST(cnt AS BIGINT) AS cnt
+FROM (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) c
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY nm
+"""
+
+
 def q_sparql_regex_filter(sf_dir: str) -> rd.Dataset:
     """SPARQL §17.4.3 string tests in FILTER (REGEX + STRSTARTS over
     the DM virtual graph): evaluated with Arrow match_substring_regex /

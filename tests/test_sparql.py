@@ -500,3 +500,38 @@ def test_graph_scope_and_sample(store, ray_session):
         }} GROUP BY ?v ORDER BY ?v""",
     ).take_all()
     assert [(r["v"], r["one"]) for r in got] == [("3", "alpha"), ("7", "beta")]
+
+
+def test_subquery(store, ray_session):
+    """11.2 subqueries: inner aggregate joins the outer patterns on the
+    shared variable; subquery LIMIT applies before the outer join;
+    SELECT * inside and bare nested groups reject."""
+    got = sparql(
+        store,
+        f"""SELECT ?nm ?c WHERE {{
+          {{ SELECT ?s (COUNT(?o) AS ?c) WHERE {{ ?s <{N}p> ?o }}
+             GROUP BY ?s }}
+          ?s <{N}name> ?nm
+        }} ORDER BY ?nm""",
+    ).take_all()
+    assert [(r["nm"], r["c"]) for r in got] == [("alpha", 1), ("beta", 1)]
+
+    # subquery LIMIT: pick ONE subject by ORDER, then enrich
+    got = sparql(
+        store,
+        f"""SELECT ?nm WHERE {{
+          {{ SELECT ?s WHERE {{ ?s <{N}score> "7" }}
+             ORDER BY ?s LIMIT 1 }}
+          ?s <{N}name> ?nm
+        }}""",
+    ).take_all()
+    assert [r["nm"] for r in got] == ["beta"]
+
+    with pytest.raises(ValueError, match="explicit projection"):
+        parse_query(
+            f"SELECT ?x WHERE {{ {{ SELECT * WHERE {{ ?x <{N}p> ?y }} }} }}"
+        )
+    with pytest.raises(ValueError, match="nested group"):
+        parse_query(
+            f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
+        )
