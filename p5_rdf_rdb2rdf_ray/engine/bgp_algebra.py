@@ -885,24 +885,26 @@ def _bgp_anti(
     num_partitions: int,
     broadcast_limit: int,
 ) -> tuple[rd.Dataset, bool]:
-    """One SPARQL negation group (MINUS / FILTER NOT EXISTS) applied to
-    the accumulated required bindings [graft extension beyond the
-    reference Store's BGP surface — SPARQL 1.1 §8 shapes].
+    """One SPARQL existence group (MINUS / FILTER NOT EXISTS / FILTER
+    EXISTS) applied to the accumulated required bindings [graft
+    extension beyond the reference Store's BGP surface — SPARQL 1.1 §8
+    shapes].
 
-    With shared variables (the common case) both forms coincide for
-    fully-bound group solutions: an ANTI SEMI-JOIN on the shared
+    With shared variables (the common case) the negative forms coincide
+    for fully-bound group solutions: an ANTI SEMI-JOIN on the shared
     variables — solutions whose shared-variable values appear in the
-    group's solution set drop. Distributed exactly like the positive
-    joins: the group's DISTINCT key projection broadcasts up to
-    ``broadcast_limit`` rows (Acero ``left anti`` per batch, no
-    shuffle); past the limit it spills to the engine's union-tag
-    co-hash-shuffle join with a match-marker filter (one shuffle, no
-    driver copy).
+    group's solution set drop. Mode ``"exists"`` is the positive dual:
+    a SEMI-JOIN keeping exactly the solutions that DO appear.
+    Distributed exactly like the positive joins: the group's DISTINCT
+    key projection broadcasts up to ``broadcast_limit`` rows (Acero
+    ``left anti`` / ``left semi`` per batch, no shuffle); past the
+    limit it spills to the engine's union-tag co-hash-shuffle join with
+    a match-marker filter (one shuffle, no driver copy).
 
-    Without shared variables the two forms diverge per SPARQL 1.1:
+    Without shared variables the forms diverge per SPARQL 1.1:
     ``minus`` is a no-op (disjoint domains are never compatible —
-    §8.3.3), ``not_exists`` is a global existence gate (group matched
-    anything → every solution drops).
+    §8.3.3); ``not_exists`` / ``exists`` are global existence gates
+    (group matched anything → every solution drops / survives).
 
     NULL shared-variable bindings (possible after OPTIONAL) never match
     — SQL join semantics — which coincides with MINUS' bound-variable
@@ -915,13 +917,15 @@ def _bgp_anti(
 
     from .distinct import _unique_batch
 
-    if mode not in ("minus", "not_exists"):
+    if mode not in ("minus", "not_exists", "exists"):
         raise ValueError(f"unknown negation mode {mode!r}")
     nacc, nvars, nkinds = _bgp_acc(
         stmt_fn, n_pats, num_partitions, n_units, broadcast_limit
     )
     if nacc is _NO_MATCH:
-        return acc, False  # group can match nothing → negation is a no-op
+        # group can match nothing → negation is a no-op; positive
+        # EXISTS is the dual: no solution survives
+        return acc, mode == "exists"
     if nacc is None:
         raise ValueError("empty negation group")
     shared = [v for v in nvars if v in acc_vars]
@@ -929,10 +933,11 @@ def _bgp_anti(
         if mode == "minus":
             # SPARQL MINUS §8.3.3: disjoint domains are never compatible
             return acc, False
-        # NOT EXISTS: the group is independent of each solution — one
-        # match anywhere eliminates everything (tiny limit(1) probe, not
-        # a full count)
-        return acc, nacc.limit(1).count() > 0
+        # (NOT) EXISTS: the group is independent of each solution — one
+        # match anywhere eliminates/keeps everything (tiny limit(1)
+        # probe, not a full count)
+        matched = nacc.limit(1).count() > 0
+        return acc, (matched if mode == "not_exists" else not matched)
 
     # kind reconciliation: every shared var that carries term-kind
     # visibility on EITHER side gets a kind column on BOTH (derived from
@@ -979,9 +984,10 @@ def _bgp_anti(
         acc = hash_join(
             acc, rds, keys, keys, num_partitions=max(num_partitions, 16)
         )
+        keep = pc.is_valid if mode == "exists" else pc.is_null
         acc = acc.map_batches(
-            lambda t, _m=marker: t.filter(
-                pc.is_null(t.column(_m))
+            lambda t, _m=marker, _f=keep: t.filter(
+                _f(t.column(_m))
             ).drop_columns([_m]),
             batch_format="pyarrow",
         )
@@ -997,7 +1003,7 @@ def _bgp_anti(
             fn_constructor_kwargs={
                 "right_ref": rref,
                 "keys": keys,
-                "join_type": "left anti",
+                "join_type": "left semi" if mode == "exists" else "left anti",
             },
             batch_format="pyarrow",
             concurrency=(1, 4),
@@ -1033,8 +1039,9 @@ def _bgp_join(
     must distinguish literal from IRI bindings to emit valid RDF).
 
     ``negations`` is a list of ``(mode, patterns, units)`` groups with
-    mode ``"minus"`` or ``"not_exists"`` — see :func:`_bgp_anti` for the
-    SPARQL 1.1 §8 semantics and the anti-join distribution strategy.
+    mode ``"minus"``, ``"not_exists"``, or ``"exists"`` (positive
+    semi-join) — see :func:`_bgp_anti` for the SPARQL 1.1 §8 semantics
+    and the anti/semi-join distribution strategy.
 
     ``optional`` (+ ``optional_units``) form ONE left-outer group
     [graft extension beyond the reference Store's BGP surface —
@@ -1151,7 +1158,7 @@ def _bgp_join(
             acc, acc_vars, acc_kinds, stmt_fn, mode, n_pats, n_units,
             num_partitions, broadcast_limit,
         )
-        if empty:  # NOT-EXISTS global gate fired: no solutions survive
+        if empty:  # (NOT-)EXISTS global gate fired: no solutions survive
             acc = acc.limit(0)
             break
 

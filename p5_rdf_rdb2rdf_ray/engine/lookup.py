@@ -248,6 +248,7 @@ def get_pattern(
     optional: list[tuple] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
+    exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
     bind: list[tuple] | None = None,
     paths: list[tuple] | None = None,
@@ -312,7 +313,9 @@ def get_pattern(
     )
     negs = [
         (mode, *reversed(_star_groups(catalog, grp, base)))
-        for mode, grp in (("minus", minus), ("not_exists", not_exists))
+        for mode, grp in (
+            ("minus", minus), ("not_exists", not_exists), ("exists", exists)
+        )
         if grp
     ]
     out = _bgp_join(
@@ -460,6 +463,7 @@ def get_pattern_store(
     optional: list[tuple] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
+    exists: list[tuple] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
     bind: list[tuple] | None = None,
     paths: list[tuple] | None = None,
@@ -551,7 +555,9 @@ def get_pattern_store(
                 store_dir, grp, graph=graph, default_graph=default_graph
             )),
         )
-        for mode, grp in (("minus", minus), ("not_exists", not_exists))
+        for mode, grp in (
+            ("minus", minus), ("not_exists", not_exists), ("exists", exists)
+        )
         if grp
     ]
     out = _bgp_join(

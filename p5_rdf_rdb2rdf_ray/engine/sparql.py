@@ -13,7 +13,7 @@ SPARQL 1.1 grammar subset whose ALGEBRA the engine already implements
 aggregates + GROUP BY/HAVING) / ASK / CONSTRUCT / DESCRIBE; WHERE with
 triple patterns (``;`` / ``,`` abbreviations, ``a``), property paths
 (``/ | ^ + * ? !(…)``), FILTER comparisons (``&&``-conjoined), FILTER
-NOT EXISTS, OPTIONAL, MINUS, top-level UNION, VALUES, BIND (CONCAT,
+EXISTS / NOT EXISTS, OPTIONAL, MINUS, top-level UNION, VALUES, BIND (CONCAT,
 STRLEN, UCASE, LCASE, SUBSTR, REPLACE, IF, COALESCE, IRI, arithmetic);
 solution modifiers ORDER BY / LIMIT / OFFSET; PREFIX declarations.
 Anything outside the subset fails loud with the offending token —
@@ -201,6 +201,7 @@ class WhereClause:
     optional: list | None = None
     minus: list | None = None
     not_exists: list | None = None
+    exists: list | None = None
     values: tuple | None = None
     bind: list = field(default_factory=list)
     subqueries: list = field(default_factory=list)  # nested ParsedQuery
@@ -532,10 +533,10 @@ class _Parser:
                     self._require_plain(sub, "FILTER NOT EXISTS")
                     wc.not_exists = (wc.not_exists or []) + sub.patterns
                 elif self.at_kw("exists"):
-                    raise ValueError(
-                        "FILTER EXISTS is not supported (use a join or "
-                        "rewrite as VALUES); FILTER NOT EXISTS is"
-                    )
+                    self.next()
+                    sub = self.group()
+                    self._require_plain(sub, "FILTER EXISTS")
+                    wc.exists = (wc.exists or []) + sub.patterns
                 else:
                     self.expect("PUNCT", "(")
                     wc.filters.append(self.comparison())
@@ -610,7 +611,7 @@ class _Parser:
     def _require_plain(sub: WhereClause, ctx: str):
         if (
             sub.paths or sub.filters or sub.optional or sub.minus
-            or sub.not_exists or sub.values or sub.bind
+            or sub.not_exists or sub.exists or sub.values or sub.bind
         ):
             raise ValueError(
                 f"{ctx} groups support plain triple patterns only"
@@ -685,7 +686,7 @@ class _Parser:
             for g in groups:
                 if (
                     g.paths or g.optional or g.minus or g.not_exists
-                    or g.values or g.bind or g.filters
+                    or g.exists or g.values or g.bind or g.filters
                 ):
                     raise ValueError(
                         "UNION branches support plain triple patterns "
@@ -902,7 +903,7 @@ class _Parser:
         tmpl = self.group()
         if (
             tmpl.paths or tmpl.filters or tmpl.optional or tmpl.minus
-            or tmpl.not_exists or tmpl.values or tmpl.bind
+            or tmpl.not_exists or tmpl.exists or tmpl.values or tmpl.bind
         ):
             raise ValueError("CONSTRUCT template must be plain triples")
         q.construct_templates = tmpl.patterns
@@ -1060,6 +1061,7 @@ def _eval_query(
         optional=wc.optional,
         minus=wc.minus,
         not_exists=wc.not_exists,
+        exists=wc.exists,
         values=wc.values,
         bind=wc.bind or None,
         paths=wc.paths or None,
@@ -1274,7 +1276,7 @@ def parse_update(text: str) -> ParsedUpdate:
         wc = p.group()
         if (
             wc.paths or wc.filters or wc.optional or wc.minus
-            or wc.not_exists or wc.values or wc.bind
+            or wc.not_exists or wc.exists or wc.values or wc.bind
         ):
             raise ValueError(f"{label} must contain plain triples only")
         return wc
@@ -1354,6 +1356,7 @@ def sparql_update(
             optional=wc.optional,
             minus=wc.minus,
             not_exists=wc.not_exists,
+            exists=wc.exists,
             values=wc.values,
             bind=wc.bind or None,
             paths=wc.paths or None,

@@ -1502,6 +1502,40 @@ ORDER BY nm
 """
 
 
+def q_sparql_exists(sf_dir: str) -> rd.Dataset:
+    """Textual FILTER EXISTS (SPARQL 1.1 §8.4) — the positive dual of
+    `bgp_minus`: customers WITH at least one fulfilled (status-F)
+    order. The existence group is a 2-pattern star over orders (ONE
+    fused scan); solutions keep exactly the rows whose shared ``?c``
+    appears in the group — a distributed SEMI-join (broadcast Acero
+    ``left semi`` under `broadcast_limit`, union-tag co-hash spill
+    with a match-marker keep-filter past it)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?c ?k WHERE {{
+          ?c <{BASE}customer#c_custkey> ?k .
+          FILTER EXISTS {{
+            ?o <{BASE}orders#ref-o_custkey> ?c ;
+               <{BASE}orders#o_orderstatus> "F" .
+          }}
+        }}
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_EXISTS = f"""
+SELECT '{BASE}customer/c_custkey=' || c_custkey AS c,
+       CAST(c_custkey AS VARCHAR) AS k
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
 def q_sparql_update_store(sf_dir: str) -> rd.Dataset:
     """SPARQL 1.1 Update lifecycle over a materialized store: COPY the
     nation+region store, apply a textual ``DELETE WHERE`` (drops every

@@ -136,6 +136,58 @@ def test_optional_minus_not_exists(store):
     assert {r["s"] for r in got} == {N + "c"}
 
 
+def test_filter_exists(store):
+    # positive EXISTS with a shared variable: SEMI-join keeps exactly
+    # the solutions whose ?s has a tag triple
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER EXISTS {{ ?s <{N}tag> ?t }}
+            }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "a", N + "b"}
+
+    # EXISTS group matching NOTHING drops every solution
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER EXISTS {{ ?s <{N}absent> ?t }}
+            }}""",
+        )
+    )
+    assert got == []
+
+    # no shared variable: a global gate — the group matches somewhere,
+    # so every solution survives (dual of the NOT EXISTS global gate)
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER EXISTS {{ ?x <{N}q> ?y }}
+            }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "a", N + "b", N + "c"}
+
+    # ... and an unmatched independent group drops everything
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER EXISTS {{ ?x <{N}absent> ?y }}
+            }}""",
+        )
+    )
+    assert got == []
+
+
 def test_values_bind(store):
     got = _rows(
         sparql(
