@@ -5,8 +5,9 @@ documents is small (SURVEY §7): prefixes, IRIs, prefixed names, blank nodes
 (labelled and ``[ … ]`` property lists), string literals in all four quote
 forms (``"…"`` / ``'…'`` / ``\"\"\"…\"\"\"`` / ``'''…'''``, multi-line for
 the long forms), numeric literals (integer/decimal/double per the Turtle
-grammar), booleans, ``;`` / ``,`` continuation, ``a`` keyword. Collections
-(``( … )``) and quoted graphs FAIL LOUDLY with a targeted error.
+grammar), booleans, ``;`` / ``,`` continuation, ``a`` keyword, and
+collections (``( … )`` → the standard rdf:first/rdf:rest chain, walkable
+with :meth:`Graph.collection`). Quoted graphs FAIL LOUDLY.
 
 Terms are tuples: ("iri", s) | ("bnode", label) | ("lit", value, lang, dt).
 """
@@ -43,6 +44,26 @@ class Graph:
             if p == ("iri", p_iri):
                 seen.setdefault(s)
         return list(seen)
+
+    def collection(self, node: Term) -> list[Term]:
+        """Walk an rdf:first/rdf:rest chain from ``node`` into a Python
+        list (the inverse of the parser's ``( … )`` expansion)."""
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        items: list[Term] = []
+        seen: set[Term] = set()
+        while node != ("iri", rdf + "nil"):
+            if node in seen:
+                raise ValueError("turtle: cyclic rdf:rest chain")
+            seen.add(node)
+            first = self.obj(node, rdf + "first")
+            rest = self.obj(node, rdf + "rest")
+            if first is None or rest is None:
+                raise ValueError(
+                    "turtle: malformed collection (missing rdf:first/rest)"
+                )
+            items.append(first)
+            node = rest
+        return items
 
 
 _TOKEN = re.compile(
@@ -219,10 +240,25 @@ class TurtleParser:
                 raise ValueError("turtle: a literal cannot be a subject")
             return ("lit", v, None, "http://www.w3.org/2001/XMLSchema#boolean")
         if k == "punct" and v == "(":
-            raise ValueError(
-                "turtle: RDF collections '( … )' are not supported by this "
-                "R2RML-subset parser (no rr: property takes a collection)"
-            )
+            # RDF collection '( o1 o2 … )' — expands to the standard
+            # rdf:first/rdf:rest bnode chain (Turtle §2.8); '()' is
+            # rdf:nil. No rr: property takes a collection, but mapping
+            # documents may carry annotation triples that do.
+            rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            items: list[Term] = []
+            while self._peek()[1] != ")":
+                if self._peek()[0] == "eof":
+                    raise ValueError("turtle: unterminated collection '( …'")
+                items.append(self._term())
+            self._next()  # ')'
+            if not items:
+                return ("iri", rdf + "nil")
+            nodes = [self._fresh_bnode() for _ in items]
+            tails = nodes[1:] + [("iri", rdf + "nil")]
+            for node, item, tail in zip(nodes, items, tails):
+                self.graph.add(node, ("iri", rdf + "first"), item)
+                self.graph.add(node, ("iri", rdf + "rest"), tail)
+            return nodes[0]
         raise ValueError(f"turtle: unexpected token {v!r}")
 
     def _predicate_object_list(self, s: Term) -> None:

@@ -108,14 +108,51 @@ line \\"quoted\\"\"\"\" ;
     assert len(g3.triples) == 2
     g4, _ = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p 1.e3 .")
     assert g4.triples[0][2] == ("lit", "1.e3", None, XSD + "double")
-    with _pytest.raises(ValueError, match="collections"):
-        parse_turtle(
-            "@prefix ex: <http://e/> . ex:s ex:p ( ex:a ex:b ) ."
-        )
     with _pytest.raises(ValueError, match="literal cannot be a subject"):
         parse_turtle('@prefix ex: <http://e/> . "lit" ex:p ex:o .')
     with _pytest.raises(ValueError, match="unknown prefix"):
         parse_turtle("ex:s ex:p ex:o .")
+
+
+def test_turtle_collections():
+    """Collections `( … )` expand to the standard rdf:first/rest bnode
+    chain (Turtle §2.8), `()` is rdf:nil, nesting works, and
+    Graph.collection walks the chain back to a Python list."""
+    import pytest as _pytest
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    g, _ = parse_turtle(
+        '@prefix ex: <http://e/> . ex:s ex:p ( ex:a "two" 3 ) .'
+    )
+    head = g.obj(("iri", "http://e/s"), "http://e/p")
+    assert head[0] == "bnode"
+    items = g.collection(head)
+    assert items == [
+        ("iri", "http://e/a"),
+        ("lit", "two", None, None),
+        ("lit", "3", None, "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    # the chain itself is well-formed: 3 first/rest pairs, nil-terminated
+    firsts = [t for t in g.triples if t[1] == ("iri", RDF + "first")]
+    rests = [t for t in g.triples if t[1] == ("iri", RDF + "rest")]
+    assert len(firsts) == 3 and len(rests) == 3
+    assert rests[-1][2] == ("iri", RDF + "nil")
+
+    g2, _ = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p () .")
+    assert g2.obj(("iri", "http://e/s"), "http://e/p") == ("iri", RDF + "nil")
+    assert g2.collection(("iri", RDF + "nil")) == []
+
+    g3, _ = parse_turtle(
+        "@prefix ex: <http://e/> . ex:s ex:p ( ex:a ( ex:b ) ) ."
+    )
+    outer = g3.collection(g3.obj(("iri", "http://e/s"), "http://e/p"))
+    assert outer[0] == ("iri", "http://e/a")
+    assert g3.collection(outer[1]) == [("iri", "http://e/b")]
+
+    with _pytest.raises(ValueError, match="unterminated collection"):
+        parse_turtle("@prefix ex: <http://e/> . ex:s ex:p ( ex:a")
+    with _pytest.raises(ValueError, match="unexpected token"):
+        parse_turtle("@prefix ex: <http://e/> . ex:s ex:p ( ex:a .")
 
 
 def test_c01_template_class(cat, ray_session):
