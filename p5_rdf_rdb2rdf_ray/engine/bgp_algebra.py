@@ -129,24 +129,72 @@ _STR_FILTER_FNS = {
 }
 
 
+def _validate_filter(flt: tuple) -> None:
+    """Raise up-front (driver side, not inside a Ray task) on a filter
+    shape the mask evaluator can't handle."""
+    if len(flt) == 2 and flt[0] in ("or", "and"):
+        if not flt[1]:
+            raise ValueError(f"empty {flt[0]!r} filter group")
+        for sub in flt[1]:
+            _validate_filter(sub)
+        return
+    var, op, _ = flt
+    if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
+        raise ValueError(f"unsupported filter op {op!r}")
+
+
+def _atomic_mask(t: pa.Table, var: str, op: str, val):
+    """Boolean keep-mask (numpy) for one ``("?var", op, value)`` atom.
+    SPARQL type-error semantics: an unbound (NULL — possible for
+    OPTIONAL-group vars) binding never passes; a numeric ``value``
+    compares numerically and non-numeric lexical forms drop."""
+    import numpy as np
+    import pandas as pd
+
+    name = var.lstrip("?")
+    if op in _STR_FILTER_FNS:
+        col = t.column(name).combine_chunks()
+        m = getattr(pc, _STR_FILTER_FNS[op])(col, str(val))
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    s = t.column(name).to_pandas()
+    keep = s.notna().to_numpy()
+    pd_op = _FILTER_OPS[op]
+    if isinstance(val, bool) or not isinstance(val, (int, float)):
+        return keep & getattr(s.astype(str), pd_op)(str(val)).to_numpy()
+    num = pd.to_numeric(s, errors="coerce")
+    return keep & (
+        getattr(num, pd_op)(val).fillna(False) & num.notna()
+    ).to_numpy()
+
+
+def _filter_mask(t: pa.Table, flt: tuple):
+    """Recursive keep-mask for one filter entry: an atom, or an
+    ``("or", [entry, …])`` / ``("and", [entry, …])`` boolean group
+    (SPARQL ``||`` / ``&&`` with standard precedence — the text
+    front-end flattens top-level conjunction into separate entries,
+    so nested groups only appear under a disjunction)."""
+    import numpy as np
+
+    if len(flt) == 2 and flt[0] == "or":
+        return np.logical_or.reduce([_filter_mask(t, c) for c in flt[1]])
+    if len(flt) == 2 and flt[0] == "and":
+        return np.logical_and.reduce([_filter_mask(t, c) for c in flt[1]])
+    return _atomic_mask(t, *flt)
+
+
 def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
     """SPARQL-FILTER-style constraints over variable bindings, applied
     BEFORE the final distinct (fewer rows through the shuffle). Each
     filter is ``("?var", op, value)`` with op in ``== != < <= > >=``
     plus the string tests ``regex contains strstarts strends``
-    (value = pattern); a numeric ``value`` compares numerically
+    (value = pattern), or a boolean group ``("or"|"and", [filter, …])``
+    over those atoms; a numeric ``value`` compares numerically
     (bindings whose lexical form is not a number drop, mirroring SPARQL
     type-error semantics), a string ``value`` compares lexically.
     [graft extension beyond the reference Store's BGP surface]"""
-    spec = []
-    str_spec = []
-    for var, op, val in filters:
-        if op in _STR_FILTER_FNS:
-            str_spec.append((var.lstrip("?"), _STR_FILTER_FNS[op], str(val)))
-        elif op in _FILTER_OPS:
-            spec.append((var.lstrip("?"), _FILTER_OPS[op], val))
-        else:
-            raise ValueError(f"unsupported filter op {op!r}")
+    for flt in filters:
+        _validate_filter(flt)
+    filters = list(filters)
 
     def f(t: pa.Table) -> pa.Table:
         # Arrow in/out: this stage feeds the final distinct's hash
@@ -157,28 +205,12 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
         # Only the filtered VARIABLE columns (always strings) go through
         # pandas, for the mask computation alone.
         import numpy as np
-        import pandas as pd
 
         if t.num_rows == 0:
             return t
-        keep = np.ones(t.num_rows, bool)
-        for var, kernel, pat in str_spec:
-            col = t.column(var).combine_chunks()
-            m = getattr(pc, kernel)(col, pat)
-            # unbound (NULL) bindings never pass a FILTER
-            keep &= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
-        for var, op, val in spec:
-            s = t.column(var).to_pandas()
-            # SPARQL type-error semantics: an unbound (NULL — possible
-            # for OPTIONAL-group vars) binding never passes a FILTER
-            keep &= s.notna().to_numpy()
-            if isinstance(val, bool) or not isinstance(val, (int, float)):
-                keep &= getattr(s.astype(str), op)(str(val)).to_numpy()
-            else:
-                num = pd.to_numeric(s, errors="coerce")
-                keep &= (
-                    getattr(num, op)(val).fillna(False) & num.notna()
-                ).to_numpy()
+        keep = np.logical_and.reduce(
+            [_filter_mask(t, flt) for flt in filters]
+        )
         # strip schema metadata: an unhashable pandas-metadata dict from
         # any upstream pandas lineage defeats the shuffle's schema dedup
         return t.filter(pa.array(keep)).replace_schema_metadata(None)

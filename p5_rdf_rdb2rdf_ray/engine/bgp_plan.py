@@ -188,23 +188,52 @@ def _filter_pushdown_expr(
         schema = catalog.schema(table)
     except Exception:
         return None
-    expr = None
-    for var, op, val in filters:
-        v = var.lstrip("?")
-        col = var_col.get(v)
+    def atom_expr(flt):
+        if len(flt) != 3:
+            return None
+        var, op, val = flt
+        col = var_col.get(var.lstrip("?"))
         if col is None or op not in _PUSH_OPS or col not in schema.names:
-            continue
+            return None
         typ = schema.field(col).type
         numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ)
         if isinstance(val, bool):
-            continue
+            return None
         if isinstance(val, (int, float)) and not numeric:
-            continue  # numeric compare on a string column: lexical vs
-            # numeric semantics diverge — binding filter only
+            return None  # numeric compare on a string column: lexical
+            # vs numeric semantics diverge — binding filter only
         if isinstance(val, str) and not pa.types.is_string(typ):
-            continue
-        e = _cmp_expr(pc.field(col), op, val)
-        expr = e if expr is None else expr & e
+            return None
+        return _cmp_expr(pc.field(col), op, val)
+
+    def push_one(flt):
+        # boolean groups from FILTER || / && (see _apply_binding_filters):
+        # an AND pushes any pushable subset (superset prune stays sound);
+        # an OR pushes only when EVERY disjunct pushes — dropping a
+        # disjunct would prune rows that disjunct alone admits.
+        if len(flt) == 2 and flt[0] == "and":
+            sub = [e for e in (push_one(c) for c in flt[1]) if e is not None]
+            if not sub:
+                return None
+            expr = sub[0]
+            for e in sub[1:]:
+                expr = expr & e
+            return expr
+        if len(flt) == 2 and flt[0] == "or":
+            sub = [push_one(c) for c in flt[1]]
+            if any(e is None for e in sub) or not sub:
+                return None
+            expr = sub[0]
+            for e in sub[1:]:
+                expr = expr | e
+            return expr
+        return atom_expr(flt)
+
+    expr = None
+    for flt in filters:
+        e = push_one(flt)
+        if e is not None:
+            expr = e if expr is None else expr & e
     return expr
 
 
@@ -348,8 +377,11 @@ def _store_filter_pushdown_expr(
         for p, it in items
         if isinstance(it, str) and pred_uses[p] == 1
     }
-    expr = None
-    for var, op, val in filters:
+    def atom_cmp(flt):
+        """(predicate, obj-comparison expr) for a pushable atom."""
+        if len(flt) != 3:
+            return None
+        var, op, val = flt
         p = var_pred.get(var.lstrip("?"))
         if (
             p is None
@@ -357,9 +389,35 @@ def _store_filter_pushdown_expr(
             or not isinstance(val, str)
             or isinstance(val, bool)
         ):
-            continue
-        e = (pc.field("pred") != p) | _cmp_expr(pc.field("obj"), op, val)
-        expr = e if expr is None else expr & e
+            return None
+        return p, _cmp_expr(pc.field("obj"), op, val)
+
+    def push_one(flt):
+        if len(flt) == 2 and flt[0] == "or":
+            # a disjunction pushes only when every disjunct is an atom
+            # on the SAME variable/predicate: the pruned form is then
+            # (pred != p) | cmp1 | cmp2 … — across different predicates
+            # the (pred != other) escape makes the prune vacuous anyway.
+            subs = [atom_cmp(c) for c in flt[1]]
+            if any(s is None for s in subs) or not subs:
+                return None
+            preds = {p for p, _ in subs}
+            if len(preds) != 1:
+                return None
+            expr = pc.field("pred") != subs[0][0]
+            for _, cmp_e in subs:
+                expr = expr | cmp_e
+            return expr
+        a = atom_cmp(flt)
+        if a is None:
+            return None
+        return (pc.field("pred") != a[0]) | a[1]
+
+    expr = None
+    for flt in filters:
+        e = push_one(flt)
+        if e is not None:
+            expr = e if expr is None else expr & e
     return expr
 
 

@@ -454,6 +454,41 @@ class _Parser:
         "strstarts": "strstarts", "strends": "strends",
     }
 
+    # -- boolean FILTER expressions (SPARQL §17: || below &&) -------------
+    def filter_expr(self) -> tuple:
+        """ConditionalOrExpression: ``&&`` binds tighter than ``||``.
+        Returns an atom (``(?var, op, const)``), or ``("and", [..])`` /
+        ``("or", [..])`` groups in the binding-filter algebra's shape
+        (:func:`engine.bgp_algebra._filter_mask`)."""
+        left = self.filter_and()
+        if not self.at_punct("||"):
+            return left
+        parts = [left]
+        while self.at_punct("||"):
+            self.next()
+            parts.append(self.filter_and())
+        return ("or", parts)
+
+    def filter_and(self) -> tuple:
+        left = self.filter_unit()
+        if not self.at_punct("&&"):
+            return left
+        parts = [left]
+        while self.at_punct("&&"):
+            self.next()
+            parts.append(self.filter_unit())
+        return ("and", parts)
+
+    def filter_unit(self) -> tuple:
+        # a "(" here is boolean grouping: comparisons themselves start
+        # with a VAR or a string-test keyword, never a paren
+        if self.at_punct("("):
+            self.next()
+            e = self.filter_expr()
+            self.expect("PUNCT", ")")
+            return e
+        return self.comparison()
+
     def comparison(self) -> tuple:
         """``?var OP constant`` — the engine's binding-filter shape —
         or a string-test call ``REGEX(?var, "pat")`` / ``CONTAINS`` /
@@ -539,16 +574,14 @@ class _Parser:
                     wc.exists = (wc.exists or []) + sub.patterns
                 else:
                     self.expect("PUNCT", "(")
-                    wc.filters.append(self.comparison())
-                    while self.at_punct("&&"):
-                        self.next()
-                        wc.filters.append(self.comparison())
-                    if self.at_punct("||"):
-                        raise ValueError(
-                            "FILTER ||-disjunction is not supported; "
-                            "use UNION groups"
-                        )
+                    e = self.filter_expr()
                     self.expect("PUNCT", ")")
+                    if len(e) == 2 and e[0] == "and":
+                        # flatten top-level conjunction: separate entries
+                        # keep each atom eligible for scan pushdown
+                        wc.filters.extend(e[1])
+                    else:
+                        wc.filters.append(e)
             elif self.at_kw("optional"):
                 self.next()
                 sub = self.group()

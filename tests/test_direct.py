@@ -926,6 +926,21 @@ def test_bgp_filter_scan_pushdown(ray_session, dm_catalog):
         dm_catalog, B, "dm_emp", items, [("?zz", "==", "x")]
     ) is None
 
+    # disjunction: pushes only when EVERY disjunct pushes
+    assert _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items,
+        [("or", [("?i", ">=", 2), ("?nm", "==", "c")])],
+    ) is not None
+    assert _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items,
+        [("or", [("?i", ">=", 2), ("?zz", "==", "x")])],
+    ) is None
+    # AND group inside: partial push of the conjunction is sound
+    assert _filter_pushdown_expr(
+        dm_catalog, B, "dm_emp", items,
+        [("and", [("?i", ">=", 2), ("?zz", "==", "x")])],
+    ) is not None
+
     # end-to-end: pushdown plan == binding-filter-only plan
     pats = [
         ("?e", B + "dm_emp#emp_id", "?i"),

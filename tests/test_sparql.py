@@ -353,11 +353,6 @@ def test_fail_loud():
             "aggregates need GROUP BY",
         ),
         (
-            "SELECT ?s WHERE { ?s <http://p> ?o . "
-            "FILTER EXISTS { ?s <http://q> ?z } }",
-            "FILTER EXISTS",
-        ),
-        (
             "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s <http://p> ?o }",
             "UNDEF",
         ),
@@ -365,11 +360,6 @@ def test_fail_loud():
             "SELECT ?s WHERE { ?s <http://p> ?o "
             "OPTIONAL { ?a <http://q> ?b } OPTIONAL { ?c <http://r> ?d } }",
             "multiple OPTIONAL",
-        ),
-        (
-            "SELECT ?s WHERE { ?s <http://p> ?o . "
-            'FILTER(?o = "x" || ?o = "y") }',
-            "disjunction",
         ),
         ("DESCRIBE ?who WHERE { ?who <http://p> ?o }", "DESCRIBE"),
         ("SELECT ?s WHERE { _:b <http://p> ?s }", "blank-node"),
@@ -587,3 +577,76 @@ def test_subquery(store, ray_session):
         parse_query(
             f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
         )
+
+
+def test_filter_or_disjunction(store, ray_session):
+    """FILTER || with standard precedence (&& binds tighter), nested
+    parens, string tests inside a disjunct, and store execution."""
+    q = parse_query(
+        f"""
+        SELECT ?s ?nm WHERE {{
+          ?s <{N}name> ?nm .
+          FILTER(?nm = "alpha" || ?nm = "beta" && STRENDS(?nm, "ta"))
+        }}
+        """
+    )
+    # precedence: a || (b && c)
+    assert q.where.filters == [
+        (
+            "or",
+            [
+                ("?nm", "==", "alpha"),
+                ("and", [("?nm", "==", "beta"), ("?nm", "strends", "ta")]),
+            ],
+        )
+    ]
+    got = _rows(
+        sparql(
+            store,
+            f"""
+            SELECT ?s ?nm WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER(?nm = "alpha" || ?nm = "beta" && STRENDS(?nm, "ta"))
+            }}
+            """,
+        )
+    )
+    assert {(r["s"], r["nm"]) for r in got} == {
+        (N + "a", "alpha"),
+        (N + "b", "beta"),
+    }
+    # parenthesized grouping flips the tree: (a || b) && c
+    got = _rows(
+        sparql(
+            store,
+            f"""
+            SELECT ?s ?nm WHERE {{
+              ?s <{N}name> ?nm .
+              FILTER((?nm = "alpha" || ?nm = "beta") && STRENDS(?nm, "ta"))
+            }}
+            """,
+        )
+    )
+    assert {(r["s"], r["nm"]) for r in got} == {(N + "b", "beta")}
+
+
+def test_filter_or_across_vars_and_numeric(store, ray_session):
+    """Disjunction across two DIFFERENT variables (no store pushdown —
+    binding-level only) mixing numeric and string atoms; an unbound
+    OPTIONAL var inside one disjunct never passes but the other disjunct
+    can still admit the row."""
+    got = _rows(
+        sparql(
+            store,
+            f"""
+            SELECT ?s WHERE {{
+              ?s <{N}name> ?nm ; <{N}score> ?v .
+              OPTIONAL {{ ?s <{N}tag> ?tg }}
+              FILTER(?tg = "keep" || ?v > 5)
+            }}
+            """,
+        )
+    )
+    # a: tag=keep passes; b: tag=drop but score 7>5; c: no tag (unbound
+    # never passes a FILTER atom) but score 7>5
+    assert {r["s"] for r in got} == {N + "a", N + "b", N + "c"}
