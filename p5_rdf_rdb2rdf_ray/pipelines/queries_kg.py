@@ -1502,6 +1502,38 @@ ORDER BY nm
 """
 
 
+def q_sparql_filter_or(sf_dir: str) -> rd.Dataset:
+    """FILTER boolean expressions (SPARQL §17.2: ``&&`` binds tighter
+    than ``||``) mixing a string atom with a numeric-vs-double atom and
+    a string test across THREE different variables. Both disjuncts map
+    to pushable customer columns, so the whole ``||`` prunes at the
+    parquet scan (superset contract) while the binding filter re-checks
+    exactly; precedence here is a || (b && c)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?k ?seg WHERE {{
+          ?c <{BASE}customer#c_custkey> ?k ;
+             <{BASE}customer#c_mktsegment> ?seg ;
+             <{BASE}customer#c_acctbal> ?acct .
+          FILTER(?seg = "BUILDING" || ?acct > 9000 && STRENDS(?seg, "RY"))
+        }} ORDER BY ?k
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_FILTER_OR = """
+SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment AS seg
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+   OR (c_acctbal > 9000 AND ends_with(c_mktsegment, 'RY'))
+ORDER BY k
+"""
+
+
 def q_sparql_exists(sf_dir: str) -> rd.Dataset:
     """Textual FILTER EXISTS (SPARQL 1.1 §8.4) — the positive dual of
     `bgp_minus`: customers WITH at least one fulfilled (status-F)
