@@ -915,10 +915,15 @@ class _Parser:
         if top:
             self.expect("EOF")
         if q.aggregates and not q.group_by:
-            raise ValueError(
-                "aggregates need GROUP BY (implicit single-group "
-                "aggregation is not supported in the text front-end)"
-            )
+            # implicit single group (SPARQL §18.3: a query with
+            # aggregates but no GROUP BY aggregates over ALL solutions):
+            # every projected item must then be an aggregate alias
+            for v in q.project or []:
+                if v not in q.aggregates:
+                    raise ValueError(
+                        f"SELECT ?{v} mixes a plain variable with "
+                        "aggregates but has no GROUP BY"
+                    )
         if q.group_by:
             if not q.aggregates:
                 raise ValueError("GROUP BY without aggregates in SELECT")
@@ -1075,7 +1080,7 @@ def _eval_query(
             )
         if q.form == "ASK":
             return _ask(out)
-        if q.form != "SELECT" or q.group_by:
+        if q.form != "SELECT" or q.group_by or q.aggregates:
             raise ValueError(
                 "UNION queries support SELECT/ASK without aggregates"
             )
@@ -1136,7 +1141,7 @@ def _eval_query(
         )
 
     # SELECT
-    if q.group_by:
+    if q.aggregates:
         return _aggregate(
             plan(), q, apply_solution_modifiers, num_partitions
         )
@@ -1183,6 +1188,23 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     )
 
     keys = list(q.group_by)
+    implicit = not keys
+    if implicit:
+        # implicit single group (SPARQL §18.3): aggregate over ALL
+        # solutions via a constant key — '.' is invalid in a SPARQL
+        # variable name, so the column can never collide with a binding;
+        # the alias-only projection below drops it again
+        const = "implicit.group"
+
+        def add_const(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return t.append_column(
+                const, pa.array(np.zeros(t.num_rows, np.uint8))
+            )
+
+        bindings = bindings.map_batches(add_const, batch_format="pyarrow")
+        keys = [const]
     concat_aggs = {
         a: spec for a, spec in q.aggregates.items() if spec[0] == "group_concat"
     }
@@ -1268,7 +1290,43 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
 
     if q.project is not None:
         out = out.select_columns(list(dict.fromkeys(q.project)))
+    if implicit:
+        out = _single_group_result(out, q)
     return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
+
+
+def _single_group_result(out, q: ParsedQuery):
+    """An implicit single-group aggregate is ≤ 1 row by construction, so
+    materializing it is scale-safe. When the WHERE matched NOTHING the
+    grouped stages emit zero rows, but SPARQL §18.5 defines the empty
+    group: COUNT = 0, SUM = 0, GROUP_CONCAT = "", MIN/MAX/AVG/SAMPLE
+    unbound — emit that identity row instead."""
+    import pyarrow as pa
+    import ray
+    import ray.data as _rd
+
+    tbls = ray.get(out.to_arrow_refs())
+    tbl = pa.concat_tables(tbls, promote_options="default") if tbls else None
+    if tbl is not None and tbl.num_rows:
+        return _rd.from_arrow(tbl)
+    vals = {}
+    for alias, (fn, _v, _x) in q.aggregates.items():
+        if fn in ("count", "count_distinct"):
+            vals[alias] = pa.array([0], pa.int64())
+        elif fn == "sum":
+            vals[alias] = pa.array([0.0], pa.float64())
+        elif fn == "group_concat":
+            vals[alias] = pa.array([""], pa.string())
+        else:
+            vals[alias] = pa.array([None], pa.float64())
+    cols = list(dict.fromkeys(q.project or vals))
+    ident = pa.table({c: vals[c] for c in cols})
+    if tbl is not None and tbl.schema.names == ident.schema.names:
+        try:
+            ident = ident.cast(tbl.schema)
+        except pa.ArrowInvalid:
+            pass  # keep the identity row's own types
+    return _rd.from_arrow(ident)
 
 
 # -- SPARQL 1.1 Update (store lifecycle) ------------------------------------

@@ -1502,6 +1502,33 @@ ORDER BY nm
 """
 
 
+def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
+    """Implicit single-group aggregation (SPARQL §18.3: aggregates with
+    NO GROUP BY aggregate over ALL solutions): one combiner-first pass
+    keyed on a constant, ≤ 1 output row. SUM over int keys stays exact
+    in float64 (< 2^53)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT (COUNT(*) AS ?n) (SUM(?k) AS ?s)
+               (MIN(?k) AS ?lo) (MAX(?k) AS ?hi)
+        WHERE {{ ?c <{BASE}customer#c_custkey> ?k }}
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_AGG_GLOBAL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c_custkey) AS DOUBLE) AS s,
+       CAST(min(c_custkey) AS DOUBLE) AS lo,
+       CAST(max(c_custkey) AS DOUBLE) AS hi
+FROM customer
+"""
+
+
 def q_sparql_filter_or(sf_dir: str) -> rd.Dataset:
     """FILTER boolean expressions (SPARQL §17.2: ``&&`` binds tighter
     than ``||``) mixing a string atom with a numeric-vs-double atom and

@@ -286,6 +286,39 @@ def test_group_by_count_sum_having(store):
     assert [(r["v"], r["t"]) for r in got] == [("3", 3.0), ("7", 14.0)]
 
 
+def test_implicit_single_group(store, ray_session):
+    """Aggregates WITHOUT GROUP BY aggregate over all solutions
+    (SPARQL §18.3), including the §18.5 empty-group identity row."""
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?t)
+                       (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+            WHERE {{ ?s <{N}score> ?v }}""",
+        )
+    )
+    assert [(r["n"], r["t"], r["lo"], r["hi"]) for r in got] == [
+        (3, 17.0, 3.0, 7.0)
+    ]
+    # COUNT(DISTINCT) single-group
+    got = _rows(
+        sparql(
+            store,
+            f"SELECT (COUNT(DISTINCT ?v) AS ?n) WHERE {{ ?s <{N}score> ?v }}",
+        )
+    )
+    assert [r["n"] for r in got] == [2]
+    # empty match: exactly ONE row with COUNT = 0 / SUM = 0
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT (COUNT(?v) AS ?n) (SUM(?v) AS ?t) WHERE {{
+              ?s <{N}score> ?v . FILTER(?v > 99) }}""",
+        )
+    )
+    assert [(r["n"], r["t"]) for r in got] == [(0, 0.0)]
+
+
 def test_group_concat(store):
     got = _rows(
         sparql(
@@ -349,8 +382,8 @@ def test_fail_loud():
     for bad, msg in [
         ("SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s", "GROUP BY without"),
         (
-            "SELECT (COUNT(?s) AS ?c) WHERE { ?s <http://p> ?o }",
-            "aggregates need GROUP BY",
+            "SELECT ?s (COUNT(?s) AS ?c) WHERE { ?s <http://p> ?o }",
+            "plain variable with aggregates but no GROUP BY",
         ),
         (
             "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s <http://p> ?o }",
