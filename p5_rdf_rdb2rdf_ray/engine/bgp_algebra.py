@@ -1050,6 +1050,150 @@ def _bgp_anti(
 
 
 
+def _bgp_left_join(
+    acc,
+    acc_vars: list[str],
+    acc_kinds: set[str],
+    stmt_fn,
+    optional: list[tuple],
+    optional_units,
+    num_partitions: int,
+    broadcast_limit: int,
+):
+    """ONE left-outer (OPTIONAL) group joined into the accumulator
+    [SPARQL 1.1 §6 LeftJoin]: required solutions keep their row when
+    the group matches nothing, with the group's exclusive variables
+    NULL. Restriction (raises ValueError): every shared variable must
+    carry term-kind visibility on BOTH sides or NEITHER — a mixed pair
+    cannot be joined term-correctly without splitting required rows.
+    Returns the updated ``(acc, acc_vars, acc_kinds)``."""
+    import ray
+
+    oacc, ovars, okinds = _bgp_acc(
+        stmt_fn, optional or [], num_partitions, optional_units,
+        broadcast_limit,
+    )
+    if oacc is _NO_MATCH:
+        # a fully-bound pattern in the group matched nothing → the
+        # whole group is unmatched for every required solution: its
+        # exclusive variables (derived statically) extend as NULLs.
+        # The structural no-shared-variable check still applies —
+        # it must not be data-dependent (raise vs succeed depending
+        # on store contents).
+        ovars = [
+            t[1:]
+            for pat in (optional or [])
+            for t in pat
+            if _is_var(t)
+        ]
+        for _, uvars, _k in optional_units or []:
+            ovars.extend(uvars)
+        if not (set(ovars) & set(acc_vars)):
+            raise ValueError(
+                "optional group shares no variable with the required "
+                "patterns (a left cross product is never intended)"
+            )
+        add = tuple(
+            v for v in dict.fromkeys(ovars) if v not in acc_vars
+        )
+        if add:
+            def null_extend(t: pa.Table, _a=add) -> pa.Table:
+                for v in _a:
+                    t = t.append_column(
+                        v, pa.nulls(t.num_rows, pa.string())
+                    )
+                return t
+
+            acc = acc.map_batches(null_extend, batch_format="pyarrow")
+            acc_vars = list(dict.fromkeys(acc_vars + list(add)))
+        oacc = None
+    if oacc is not None:
+        from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+        okinds = set(okinds)
+        shared = [v for v in ovars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                "optional group shares no variable with the required "
+                "patterns (a left cross product is never intended)"
+            )
+        # reconcile term kinds on shared vars BEFORE the lexical join
+        # (mirrors the inner-join reconciliation in _bgp_acc, adapted
+        # to left-outer semantics: the acc side must NEVER lose rows)
+        join_keys = list(shared)
+        derived: set[str] = set()
+        for v in shared:
+            a_has, o_has = v in acc_kinds, v in okinds
+            if a_has and o_has:
+                join_keys.append(f"__k_{v}")
+            elif o_has:
+                # acc binds v in a non-literal position: the group's
+                # literal bindings can never match any acc row — drop
+                # them (unmatched acc rows still NULL-extend, so the
+                # left join is unchanged), then the kind col is moot
+                oacc = oacc.map_batches(
+                    lambda t, _c=f"__k_{v}": t.filter(
+                        pc.not_equal(t.column(_c), KIND_LITERAL)
+                    ).drop_columns([_c]),
+                    batch_format="pyarrow",
+                )
+                okinds.discard(v)
+            elif a_has:
+                # group binds v in a non-literal position only — derive
+                # its kind column from the lexical form ('_:' prefix =
+                # bnode; no IRI can carry it) and join term-correctly;
+                # acc's literal bindings then correctly NULL-extend
+                derived.add(v)
+
+                def derive_kind(t: pa.Table, _v=v) -> pa.Table:
+                    col = t.column(_v).combine_chunks()
+                    kind = pc.if_else(
+                        pc.starts_with(col, "_:"),
+                        pa.scalar(KIND_BNODE, pa.uint8()),
+                        pa.scalar(KIND_IRI, pa.uint8()),
+                    )
+                    return t.append_column(f"__k_{_v}", kind)
+
+                oacc = oacc.map_batches(derive_kind, batch_format="pyarrow")
+                join_keys.append(f"__k_{v}")
+        batches, total, spill = [], 0, False
+        for b in oacc.iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            batches.append(b)
+            total += b.num_rows
+            if total > broadcast_limit:
+                spill = True
+                break
+        if spill:
+            from .joins import hash_join
+
+            acc = hash_join(  # hash_join is LEFT OUTER already
+                acc, oacc, join_keys, join_keys,
+                num_partitions=max(num_partitions, 16),
+            )
+        else:
+            right = (
+                pa.concat_tables(batches)
+                if batches
+                else _typed_empty_bindings(ovars, okinds | derived)
+            )
+            rref = ray.put(right)
+            acc = acc.map_batches(
+                _BroadcastInner,
+                fn_constructor_kwargs={
+                    "right_ref": rref,
+                    "keys": join_keys,
+                    "join_type": "left outer",
+                },
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        acc_vars = list(dict.fromkeys(acc_vars + ovars))
+        acc_kinds |= okinds
+    return acc, acc_vars, acc_kinds
+
+
 def _bgp_join(
     stmt_fn,
     patterns: list[tuple],
@@ -1057,13 +1201,12 @@ def _bgp_join(
     filters: list[tuple] | None = None,
     units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     broadcast_limit: int = 1_000_000,
-    optional: list[tuple] | None = None,
-    optional_units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
+    optional_groups: list[tuple[list[tuple], list]] | None = None,
     negations: list[tuple[str, list[tuple], list | None]] | None = None,
     bind: list[tuple] | None = None,
     keep_kinds: bool = False,
 ) -> rd.Dataset:
-    """Required BGP ⟕ optional BGP group → negations → BIND → FILTER →
+    """Required BGP ⟕ optional BGP groups → negations → BIND → FILTER →
     distinct bindings.
 
     ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
@@ -1075,16 +1218,12 @@ def _bgp_join(
     semi-join) — see :func:`_bgp_anti` for the SPARQL 1.1 §8 semantics
     and the anti/semi-join distribution strategy.
 
-    ``optional`` (+ ``optional_units``) form ONE left-outer group
-    [graft extension beyond the reference Store's BGP surface —
-    SPARQL-OPTIONAL-shaped]: required solutions keep their row when the
-    group matches nothing, with the group's exclusive variables NULL.
-    Restriction (raises ValueError): every shared variable must carry
-    term-kind visibility on BOTH sides or NEITHER — a mixed pair cannot
-    be joined term-correctly without splitting required rows.
+    ``optional_groups`` is a list of ``(patterns, units)`` left-outer
+    groups applied SEQUENTIALLY — left-associative LeftJoin composition,
+    exactly SPARQL 1.1 §5.2's algebra for sibling OPTIONALs [graft
+    extension beyond the reference Store's BGP surface]. See
+    :func:`_bgp_left_join` for the per-group semantics/restrictions.
     """
-    import ray
-
     from .distinct import distinct_rows
 
     acc, acc_vars, acc_kinds = _bgp_acc(
@@ -1093,97 +1232,11 @@ def _bgp_join(
     if acc is _NO_MATCH or acc is None:
         return rd.from_arrow(pa.table({}))
 
-    if optional or optional_units:
-        oacc, ovars, okinds = _bgp_acc(
-            stmt_fn, optional or [], num_partitions, optional_units,
-            broadcast_limit,
+    for o_pats, o_units in optional_groups or []:
+        acc, acc_vars, acc_kinds = _bgp_left_join(
+            acc, acc_vars, acc_kinds, stmt_fn, o_pats, o_units,
+            num_partitions, broadcast_limit,
         )
-        if oacc is _NO_MATCH:
-            # a fully-bound pattern in the group matched nothing → the
-            # whole group is unmatched for every required solution: its
-            # exclusive variables (derived statically) extend as NULLs.
-            # The structural no-shared-variable check still applies —
-            # it must not be data-dependent (raise vs succeed depending
-            # on store contents).
-            ovars = [
-                t[1:]
-                for pat in (optional or [])
-                for t in pat
-                if _is_var(t)
-            ]
-            for _, uvars, _k in optional_units or []:
-                ovars.extend(uvars)
-            if not (set(ovars) & set(acc_vars)):
-                raise ValueError(
-                    "optional group shares no variable with the required "
-                    "patterns (a left cross product is never intended)"
-                )
-            add = tuple(
-                v for v in dict.fromkeys(ovars) if v not in acc_vars
-            )
-            if add:
-                def null_extend(t: pa.Table, _a=add) -> pa.Table:
-                    for v in _a:
-                        t = t.append_column(
-                            v, pa.nulls(t.num_rows, pa.string())
-                        )
-                    return t
-
-                acc = acc.map_batches(null_extend, batch_format="pyarrow")
-                acc_vars = list(dict.fromkeys(acc_vars + list(add)))
-            oacc = None
-        if oacc is not None:
-            shared = [v for v in ovars if v in acc_vars]
-            for v in shared:
-                if (v in acc_kinds) != (v in okinds):
-                    raise ValueError(
-                        f"optional group shares ?{v} with mixed term-kind "
-                        "visibility; bind it in a non-literal position on "
-                        "both sides (or an object position on both)"
-                    )
-            if not shared:
-                raise ValueError(
-                    "optional group shares no variable with the required "
-                    "patterns (a left cross product is never intended)"
-                )
-            join_keys = list(shared) + [
-                f"__k_{v}" for v in shared if v in okinds
-            ]
-            batches, total, spill = [], 0, False
-            for b in oacc.iter_batches(
-                batch_format="pyarrow", batch_size=None
-            ):
-                batches.append(b)
-                total += b.num_rows
-                if total > broadcast_limit:
-                    spill = True
-                    break
-            if spill:
-                from .joins import hash_join
-
-                acc = hash_join(  # hash_join is LEFT OUTER already
-                    acc, oacc, join_keys, join_keys,
-                    num_partitions=max(num_partitions, 16),
-                )
-            else:
-                right = (
-                    pa.concat_tables(batches)
-                    if batches
-                    else _typed_empty_bindings(ovars, okinds)
-                )
-                rref = ray.put(right)
-                acc = acc.map_batches(
-                    _BroadcastInner,
-                    fn_constructor_kwargs={
-                        "right_ref": rref,
-                        "keys": join_keys,
-                        "join_type": "left outer",
-                    },
-                    batch_format="pyarrow",
-                    concurrency=(1, 4),
-                )
-            acc_vars = list(dict.fromkeys(acc_vars + ovars))
-            acc_kinds |= okinds
 
     for mode, n_pats, n_units in negations or []:
         acc, empty = _bgp_anti(

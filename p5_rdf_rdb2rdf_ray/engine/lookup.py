@@ -239,13 +239,25 @@ def count_statements(
     ).count()
 
 
+def _optional_as_groups(optional) -> list[list[tuple]]:
+    """``optional`` accepts ONE group (a list of ``(s, p, o)`` pattern
+    TUPLES — the historical surface) or a list of GROUPS (list of
+    lists — sibling OPTIONALs, applied as sequential LeftJoins per
+    SPARQL 1.1 §5.2). Normalize to a list of groups."""
+    if not optional:
+        return []
+    if isinstance(optional[0], list):
+        return list(optional)
+    return [list(optional)]
+
+
 def get_pattern(
     catalog: Catalog,
     patterns: list[tuple],
     base: str = "http://example.com/base/",
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
-    optional: list[tuple] | None = None,
+    optional: list[tuple] | list[list[tuple]] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
     exists: list[tuple] | None = None,
@@ -308,9 +320,10 @@ def get_pattern(
         # would make it the accumulator and force the (large) pattern
         # sides through the driver collect instead
         units = list(units) + [_values_unit(*values)]
-    o_units, o_rest = (
-        _star_groups(catalog, optional, base) if optional else ([], [])
-    )
+    optional_groups = []
+    for grp in _optional_as_groups(optional):
+        o_units, o_rest = _star_groups(catalog, grp, base)
+        optional_groups.append((o_rest, o_units))
     negs = [
         (mode, *reversed(_star_groups(catalog, grp, base)))
         for mode, grp in (
@@ -320,7 +333,7 @@ def get_pattern(
     ]
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
-        optional=o_rest, optional_units=o_units, negations=negs,
+        optional_groups=optional_groups or None, negations=negs,
         bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
@@ -460,7 +473,7 @@ def get_pattern_store(
     patterns: list[tuple],
     num_partitions: int = 4,
     filters: list[tuple] | None = None,
-    optional: list[tuple] | None = None,
+    optional: list[tuple] | list[list[tuple]] | None = None,
     minus: list[tuple] | None = None,
     not_exists: list[tuple] | None = None,
     exists: list[tuple] | None = None,
@@ -542,12 +555,12 @@ def get_pattern_store(
         ]
     if values:
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
-    o_units, o_rest = (
-        _store_star_groups(
-            store_dir, optional, graph=graph, default_graph=default_graph
+    optional_groups = []
+    for grp in _optional_as_groups(optional):
+        o_units, o_rest = _store_star_groups(
+            store_dir, grp, graph=graph, default_graph=default_graph
         )
-        if optional else ([], [])
-    )
+        optional_groups.append((o_rest, o_units))
     negs = [
         (
             mode,
@@ -562,7 +575,7 @@ def get_pattern_store(
     ]
     out = _bgp_join(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
-        optional=o_rest, optional_units=o_units, negations=negs,
+        optional_groups=optional_groups or None, negations=negs,
         bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)

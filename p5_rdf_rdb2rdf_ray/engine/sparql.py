@@ -586,12 +586,9 @@ class _Parser:
                 self.next()
                 sub = self.group()
                 self._require_plain(sub, "OPTIONAL")
-                if wc.optional is not None:
-                    raise ValueError(
-                        "multiple OPTIONAL groups are not supported (the "
-                        "engine plans ONE left-outer group); merge them"
-                    )
-                wc.optional = sub.patterns
+                # sibling OPTIONALs compose as sequential LeftJoins
+                # (SPARQL 1.1 §5.2); kept as a list of GROUPS
+                wc.optional = (wc.optional or []) + [sub.patterns]
             elif self.at_kw("minus"):
                 self.next()
                 sub = self.group()

@@ -1561,6 +1561,42 @@ ORDER BY k
 """
 
 
+def q_sparql_two_optionals(sf_dir: str) -> rd.Dataset:
+    """Sibling OPTIONAL groups (SPARQL 1.1 §5.2: sequential LeftJoins)
+    over the DM virtual graph — each group is an independent left-outer
+    star join on the shared ?c; a customer with no F-order (or no
+    P-order) keeps its row with that group's variable NULL. Mirrors SQL
+    LEFT JOIN composition exactly because neither group references the
+    other's variables."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?k ?fnum ?pnum WHERE {{
+          ?c <{BASE}customer#c_custkey> ?k .
+          OPTIONAL {{ ?f <{BASE}orders#ref-o_custkey> ?c ;
+                         <{BASE}orders#o_orderstatus> "F" ;
+                         <{BASE}orders#o_orderkey> ?fnum }}
+          OPTIONAL {{ ?p <{BASE}orders#ref-o_custkey> ?c ;
+                         <{BASE}orders#o_orderstatus> "P" ;
+                         <{BASE}orders#o_orderkey> ?pnum }}
+        }}
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_TWO_OPTIONALS = """
+SELECT CAST(c_custkey AS VARCHAR) AS k,
+       CAST(f.o_orderkey AS VARCHAR) AS fnum,
+       CAST(p.o_orderkey AS VARCHAR) AS pnum
+FROM customer
+LEFT JOIN orders f ON f.o_custkey = c_custkey AND f.o_orderstatus = 'F'
+LEFT JOIN orders p ON p.o_custkey = c_custkey AND p.o_orderstatus = 'P'
+"""
+
+
 def q_sparql_exists(sf_dir: str) -> rd.Dataset:
     """Textual FILTER EXISTS (SPARQL 1.1 §8.4) — the positive dual of
     `bgp_minus`: customers WITH at least one fulfilled (status-F)

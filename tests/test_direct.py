@@ -1276,10 +1276,10 @@ def test_bgp_optional_filter_distinct_across_blocks(ray_session, dm_catalog):
         return get_statements(dm_catalog, base=B, **kw)
 
     sp = _bgp_join(
-        stmt_fn, req, 4, optional=opt, broadcast_limit=1
+        stmt_fn, req, 4, optional_groups=[(opt, [])], broadcast_limit=1
     ).to_pandas().sort_values("n").reset_index(drop=True)
     bc = _bgp_join(
-        stmt_fn, req, 4, optional=opt
+        stmt_fn, req, 4, optional_groups=[(opt, [])]
     ).to_pandas().sort_values("n").reset_index(drop=True)
     assert list(sp["n"]) == list(bc["n"])
     assert list(sp["c"].fillna("-")) == list(bc["c"].fillna("-"))

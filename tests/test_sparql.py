@@ -389,11 +389,6 @@ def test_fail_loud():
             "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s <http://p> ?o }",
             "UNDEF",
         ),
-        (
-            "SELECT ?s WHERE { ?s <http://p> ?o "
-            "OPTIONAL { ?a <http://q> ?b } OPTIONAL { ?c <http://r> ?d } }",
-            "multiple OPTIONAL",
-        ),
         ("DESCRIBE ?who WHERE { ?who <http://p> ?o }", "DESCRIBE"),
         ("SELECT ?s WHERE { _:b <http://p> ?s }", "blank-node"),
     ]:
@@ -610,6 +605,72 @@ def test_subquery(store, ray_session):
         parse_query(
             f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
         )
+
+
+def test_multiple_optional_groups(store, ray_session):
+    """Sibling OPTIONALs = sequential LeftJoins (SPARQL 1.1 §5.2):
+    each group extends matching rows and NULL-pads the rest,
+    independently of the other groups."""
+    q = parse_query(
+        f"""SELECT ?s ?tg ?qq WHERE {{
+          ?s <{N}name> ?nm .
+          OPTIONAL {{ ?s <{N}tag> ?tg }}
+          OPTIONAL {{ ?s <{N}q> ?qq }}
+        }}"""
+    )
+    assert len(q.where.optional) == 2
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s ?tg ?qq WHERE {{
+              ?s <{N}name> ?nm .
+              OPTIONAL {{ ?s <{N}tag> ?tg }}
+              OPTIONAL {{ ?s <{N}q> ?qq }}
+            }}""",
+        )
+    )
+    assert {(r["s"], r["tg"], r["qq"]) for r in got} == {
+        (N + "a", "keep", N + "c"),
+        (N + "b", "drop", None),
+        (N + "c", None, None),
+    }
+
+
+def test_optional_mixed_kind_no_false_match(ray_session, tmp_path):
+    """OPTIONAL sharing a var that is an OBJECT (kind-carrying) binding
+    on the required side but a SUBJECT (implicitly non-literal) on the
+    group side: a required LITERAL binding whose lexical form spells an
+    IRI must NULL-extend, never falsely match (derived-kind join)."""
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern_store
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        (N + "x", N + "v", N + "b", I),      # IRI object -> must match
+        (N + "y", N + "v", N + "b", L),      # literal spelling the IRI
+        (N + "b", N + "w", "hit", L),
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([r[3] for r in rows], pa.uint8()),
+            "lang": pa.array([None] * 3, pa.string()),
+            "datatype": pa.array([None] * 3, pa.string()),
+            "graph": pa.array([None] * 3, pa.string()),
+        }
+    )
+    out = str(tmp_path / "mixedstore")
+    write_triplestore(rd.from_arrow(t), out, num_buckets=2)
+    got = get_pattern_store(
+        out,
+        [("?s", N + "v", "?o")],
+        optional=[("?o", N + "w", "?h")],
+    ).to_pandas()
+    by_s = {r["s"]: r["h"] for _, r in got.iterrows()}
+    assert by_s[N + "x"] == "hit"
+    assert by_s[N + "y"] is None or by_s[N + "y"] != by_s[N + "y"]  # NULL
 
 
 def test_filter_or_disjunction(store, ray_session):
