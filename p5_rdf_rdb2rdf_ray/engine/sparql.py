@@ -223,6 +223,7 @@ class ParsedQuery:
     offset: int = 0
     construct_templates: list = field(default_factory=list)
     describe_nodes: list = field(default_factory=list)
+    describe_vars: list = field(default_factory=list)
 
 
 class _Parser:
@@ -955,18 +956,41 @@ class _Parser:
     def parse_describe(self) -> ParsedQuery:
         self.expect("KW", "describe")
         q = ParsedQuery(form="DESCRIBE")
+        desc_vars: list[str] = []
         while True:
             t = self.peek()
             if t.kind == "IRI":
                 q.describe_nodes.append(self.next().val)
             elif t.kind == "PNAME":
                 q.describe_nodes.append(self.expand(self.next()))
+            elif t.kind == "VAR":
+                desc_vars.append(self.next().val)
             else:
                 break
+        if desc_vars:
+            # DESCRIBE ?var needs a WHERE to bind it; the node set is
+            # the DISTINCT non-literal bindings of the listed variables
+            if q.describe_nodes:
+                raise ValueError(
+                    "DESCRIBE mixes explicit IRIs and variables; use one "
+                    "form (run two queries)"
+                )
+            q.describe_vars = desc_vars
+            q.where, q.union_groups = self.where_clause()
+            if q.union_groups is not None:
+                raise ValueError("DESCRIBE ?var does not support UNION")
+            if q.where is None:
+                raise ValueError("DESCRIBE ?var needs a WHERE clause")
+            q.graph = getattr(self, "_graph_scope", None)
+            self.solution_modifiers(q)
+            if q.group_by or q.having:
+                raise ValueError("DESCRIBE does not support GROUP BY")
+            self.expect("EOF")
+            return q
         if not q.describe_nodes:
             raise ValueError(
-                "DESCRIBE needs explicit IRIs (DESCRIBE ?var is not "
-                "supported)"
+                "DESCRIBE needs explicit IRIs or a ?var with a WHERE "
+                "clause"
             )
         self.expect("EOF")
         return q
@@ -1057,7 +1081,7 @@ def _eval_query(
         get_pattern_union,
     )
 
-    if q.form == "DESCRIBE":
+    if q.form == "DESCRIBE" and not q.describe_vars:
         if kind == "store":
             return describe_store(source, q.describe_nodes)
         return _describe(source, q.describe_nodes, base=base)
@@ -1129,6 +1153,32 @@ def _eval_query(
 
     if q.form == "ASK":
         return _ask(plan())
+
+    if q.form == "DESCRIBE":
+        # DESCRIBE ?var: the node set is the distinct NON-LITERAL
+        # bindings of the listed variables over the WHERE solutions (a
+        # literal names no resource, even when its lexical form spells
+        # an IRI — the kind columns make the distinction exact)
+        out = plan(
+            keep_kinds=True, order_by=q.order_by or None,
+            limit=q.limit, offset=q.offset,
+        )
+        nodes = _collect_describe_nodes(out, q.describe_vars)
+        if not nodes:
+            import pyarrow as pa
+            import ray.data as rd
+
+            from ..terms import TRIPLE_SCHEMA
+
+            return rd.from_arrow(
+                pa.Table.from_arrays(
+                    [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                    schema=TRIPLE_SCHEMA,
+                )
+            )
+        if kind == "store":
+            return describe_store(source, nodes)
+        return _describe(source, nodes, base=base)
 
     if q.form == "CONSTRUCT":
         return construct(
@@ -1290,6 +1340,39 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     if implicit:
         out = _single_group_result(out, q)
     return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
+
+
+_DESCRIBE_NODE_CAP = 1_000
+
+
+def _collect_describe_nodes(bindings, desc_vars: list[str]) -> list[str]:
+    """Distinct non-literal bindings of ``desc_vars`` — the DESCRIBE
+    node set. Driver-materialized BY DESIGN: each node costs one
+    bucket-pruned point-lookup union in the CBD walk, so the set must
+    stay human-scale; past ``_DESCRIBE_NODE_CAP`` we fail loud and tell
+    the user to narrow with LIMIT rather than silently launching
+    thousands of lookups. A variable bound in a subject/predicate
+    position carries no ``__k_`` column (implicitly non-literal);
+    object-position bindings are filtered by their kind column."""
+    from ..terms import KIND_LITERAL
+
+    rows = bindings.take(_DESCRIBE_NODE_CAP + 1)
+    if len(rows) > _DESCRIBE_NODE_CAP:
+        raise ValueError(
+            f"DESCRIBE ?var resolved more than {_DESCRIBE_NODE_CAP} "
+            "solutions; add ORDER BY + LIMIT to bound the node set"
+        )
+    nodes: dict[str, None] = {}
+    for r in rows:
+        for v in desc_vars:
+            val = r.get(v)
+            if val is None:
+                continue
+            k = r.get(f"__k_{v}")
+            if k is not None and k == KIND_LITERAL:
+                continue
+            nodes[val] = None
+    return list(nodes)
 
 
 def _single_group_result(out, q: ParsedQuery):

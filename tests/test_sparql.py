@@ -389,7 +389,11 @@ def test_fail_loud():
             "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s <http://p> ?o }",
             "UNDEF",
         ),
-        ("DESCRIBE ?who WHERE { ?who <http://p> ?o }", "DESCRIBE"),
+        ("DESCRIBE ?who", "DESCRIBE ?var needs a WHERE"),
+        (
+            "DESCRIBE <http://n/a> ?who WHERE { ?who <http://p> ?o }",
+            "mixes explicit IRIs and variables",
+        ),
         ("SELECT ?s WHERE { _:b <http://p> ?s }", "blank-node"),
     ]:
         with pytest.raises(ValueError, match=".*"):
@@ -605,6 +609,26 @@ def test_subquery(store, ray_session):
         parse_query(
             f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
         )
+
+
+def test_describe_var(store, ray_session):
+    """DESCRIBE ?var WHERE — the node set is the distinct non-literal
+    bindings; literal bindings name no resource and yield nothing."""
+    got = _rows(
+        sparql(store, f'DESCRIBE ?s WHERE {{ ?s <{N}name> "alpha" }}')
+    )
+    # CBD of <a>: its five outgoing triples
+    assert {(r["subj"], r["pred"]) for r in got} == {
+        (N + "a", N + "p"),
+        (N + "a", N + "name"),
+        (N + "a", N + "score"),
+        (N + "a", N + "tag"),
+        (N + "a", N + "q"),
+    }
+    # every ?o binding is a literal -> empty description, stable schema
+    got = sparql(store, f"DESCRIBE ?o WHERE {{ ?s <{N}name> ?o }}")
+    assert got.count() == 0
+    assert "subj" in got.schema().names
 
 
 def test_multiple_optional_groups(store, ray_session):
