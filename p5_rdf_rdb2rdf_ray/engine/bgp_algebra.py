@@ -132,15 +132,22 @@ _STR_FILTER_FNS = {
 def _validate_filter(flt: tuple) -> None:
     """Raise up-front (driver side, not inside a Ray task) on a filter
     shape the mask evaluator can't handle."""
-    if len(flt) == 2 and flt[0] in ("or", "and"):
+    if len(flt) == 2 and flt[0] in ("or", "and", "not"):
         if not flt[1]:
             raise ValueError(f"empty {flt[0]!r} filter group")
         for sub in flt[1]:
             _validate_filter(sub)
         return
-    var, op, _ = flt
+    var, op, val = flt
+    if op == "bound":
+        return
     if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
         raise ValueError(f"unsupported filter op {op!r}")
+    if isinstance(val, tuple):
+        if not (
+            len(val) == 2 and val[0] == "var" and op in _FILTER_OPS
+        ):
+            raise ValueError(f"bad filter value {val!r} for op {op!r}")
 
 
 def _atomic_mask(t: pa.Table, var: str, op: str, val):
@@ -152,10 +159,30 @@ def _atomic_mask(t: pa.Table, var: str, op: str, val):
     import pandas as pd
 
     name = var.lstrip("?")
+    if op == "bound":
+        col = t.column(name).combine_chunks()
+        return pc.is_valid(col).to_numpy(zero_copy_only=False)
     if op in _STR_FILTER_FNS:
         col = t.column(name).combine_chunks()
         m = getattr(pc, _STR_FILTER_FNS[op])(col, str(val))
         return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    if isinstance(val, tuple) and len(val) == 2 and val[0] == "var":
+        # variable-vs-variable comparison: term (lexical) equality for
+        # == / !=, numeric for the order ops (either side non-numeric
+        # drops — SPARQL type-error semantics); unbound never passes
+        a = t.column(name).to_pandas()
+        b = t.column(str(val[1]).lstrip("?")).to_pandas()
+        keep = (a.notna() & b.notna()).to_numpy()
+        pd_op = _FILTER_OPS[op]
+        if op in ("==", "!="):
+            return keep & getattr(a.astype(str), pd_op)(
+                b.astype(str)
+            ).to_numpy()
+        na = pd.to_numeric(a, errors="coerce")
+        nb = pd.to_numeric(b, errors="coerce")
+        return keep & (
+            getattr(na, pd_op)(nb).fillna(False) & na.notna() & nb.notna()
+        ).to_numpy()
     s = t.column(name).to_pandas()
     keep = s.notna().to_numpy()
     pd_op = _FILTER_OPS[op]
@@ -179,6 +206,9 @@ def _filter_mask(t: pa.Table, flt: tuple):
         return np.logical_or.reduce([_filter_mask(t, c) for c in flt[1]])
     if len(flt) == 2 and flt[0] == "and":
         return np.logical_and.reduce([_filter_mask(t, c) for c in flt[1]])
+    if len(flt) == 2 and flt[0] == "not":
+        (inner,) = flt[1]
+        return np.logical_not(_filter_mask(t, inner))
     return _atomic_mask(t, *flt)
 
 

@@ -192,6 +192,8 @@ def _filter_pushdown_expr(
         if len(flt) != 3:
             return None
         var, op, val = flt
+        if isinstance(val, tuple):
+            return None  # var-vs-var / structured values: binding-only
         col = var_col.get(var.lstrip("?"))
         if col is None or op not in _PUSH_OPS or col not in schema.names:
             return None

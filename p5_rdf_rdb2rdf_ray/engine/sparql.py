@@ -57,6 +57,7 @@ _KEYWORDS = {
     "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
     "substr", "replace", "a", "true", "false", "insert", "delete",
     "data", "regex", "contains", "strstarts", "strends", "graph",
+    "in", "bound",
 }
 
 _ESCAPES = {
@@ -483,6 +484,9 @@ class _Parser:
     def filter_unit(self) -> tuple:
         # a "(" here is boolean grouping: comparisons themselves start
         # with a VAR or a string-test keyword, never a paren
+        if self.at_punct("!"):
+            self.next()
+            return ("not", [self.filter_unit()])
         if self.at_punct("("):
             self.next()
             e = self.filter_expr()
@@ -491,10 +495,12 @@ class _Parser:
         return self.comparison()
 
     def comparison(self) -> tuple:
-        """``?var OP constant`` — the engine's binding-filter shape —
-        or a string-test call ``REGEX(?var, "pat")`` / ``CONTAINS`` /
-        ``STRSTARTS`` / ``STRENDS`` (SPARQL §17.4.3; REGEX flags are
-        not supported — inline ``(?i)`` etc. in the pattern)."""
+        """``?var OP (constant | ?var)`` — the engine's binding-filter
+        shape — or a string-test call ``REGEX(?var, "pat")`` /
+        ``CONTAINS`` / ``STRSTARTS`` / ``STRENDS`` (SPARQL §17.4.3;
+        REGEX flags are not supported — inline ``(?i)`` etc. in the
+        pattern), ``BOUND(?var)``, or ``?var [NOT] IN (consts…)``
+        (§17.4.1.9/.10 — lowered to the or/and boolean algebra)."""
         t0 = self.peek()
         if t0.kind == "KW" and t0.val in self._STR_FILTER_FNS:
             fn = self.next().val
@@ -504,7 +510,37 @@ class _Parser:
             pat = self.expect("STRING").val
             self.expect("PUNCT", ")")
             return ("?" + var, self._STR_FILTER_FNS[fn], pat)
+        if t0.kind == "KW" and t0.val == "bound":
+            self.next()
+            self.expect("PUNCT", "(")
+            var = self.expect("VAR").val
+            self.expect("PUNCT", ")")
+            return ("?" + var, "bound", True)
         t = self.expect("VAR")
+        if self.at_kw("in") or (
+            self.at_kw("not")
+            and self.peek(1).kind == "KW"
+            and self.peek(1).val == "in"
+        ):
+            neg = self.eat_kw("not")
+            self.expect("KW", "in")
+            self.expect("PUNCT", "(")
+            consts = []
+            while not self.at_punct(")"):
+                consts.append(self.filter_const(self.next()))
+                if self.at_punct(","):
+                    self.next()
+            self.expect("PUNCT", ")")
+            if not consts:
+                # IN () is always false, NOT IN () always true (§17.4.1.9)
+                # — a constant filter is never what the author meant
+                raise ValueError("empty IN list (always false/true)")
+            var = "?" + t.val
+            if neg:
+                atoms = [(var, "!=", c) for c in consts]
+                return atoms[0] if len(atoms) == 1 else ("and", atoms)
+            atoms = [(var, "==", c) for c in consts]
+            return atoms[0] if len(atoms) == 1 else ("or", atoms)
         op_t = self.next()
         op = {"=": "=="}.get(op_t.val, op_t.val)
         if op not in ("==", "!=", "<", "<=", ">", ">="):
@@ -513,22 +549,22 @@ class _Parser:
                 f"char {op_t.pos}"
             )
         v = self.next()
-        if v.kind == "NUMBER":
-            val = v.val
-        elif v.kind == "STRING":
-            val = v.val
-        elif v.kind == "IRI":
-            val = v.val
-        elif v.kind == "PNAME":
-            val = self.expand(v)
-        elif v.kind == "KW" and v.val in ("true", "false"):
-            val = v.val
-        else:
-            raise ValueError(
-                f"SPARQL syntax: FILTER comparisons need a constant right "
-                f"side, got {v.kind}:{v.val!r} at char {v.pos}"
-            )
-        return ("?" + t.val, op, val)
+        if v.kind == "VAR":
+            return ("?" + t.val, op, ("var", v.val))
+        return ("?" + t.val, op, self.filter_const(v))
+
+    def filter_const(self, v: _Tok):
+        """One constant term inside a FILTER comparison / IN list."""
+        if v.kind in ("NUMBER", "STRING", "IRI"):
+            return v.val
+        if v.kind == "PNAME":
+            return self.expand(v)
+        if v.kind == "KW" and v.val in ("true", "false"):
+            return v.val
+        raise ValueError(
+            f"SPARQL syntax: FILTER comparisons need a constant right "
+            f"side, got {v.kind}:{v.val!r} at char {v.pos}"
+        )
 
     # -- group graph pattern ----------------------------------------------
     def triples_block(self, wc: WhereClause):

@@ -1561,6 +1561,36 @@ ORDER BY k
 """
 
 
+def q_sparql_filter_in(sf_dir: str) -> rd.Dataset:
+    """FILTER ?x IN (...) (§17.4.1.9 — lowered to the ||-algebra, so the
+    whole disjunction still prunes at the parquet scan) plus a
+    variable-vs-variable numeric comparison (binding-level only)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?k ?seg WHERE {{
+          ?c <{BASE}customer#c_custkey> ?k ;
+             <{BASE}customer#c_mktsegment> ?seg ;
+             <{BASE}customer#c_nationkey> ?nk .
+          FILTER(?seg IN ("BUILDING", "MACHINERY"))
+          FILTER(?nk < ?k)
+        }} ORDER BY ?k
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_FILTER_IN = """
+SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment AS seg
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_nationkey < c_custkey
+ORDER BY k
+"""
+
+
 def q_sparql_two_optionals(sf_dir: str) -> rd.Dataset:
     """Sibling OPTIONAL groups (SPARQL 1.1 §5.2: sequential LeftJoins)
     over the DM virtual graph — each group is an independent left-outer

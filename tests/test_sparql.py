@@ -748,6 +748,53 @@ def test_filter_or_disjunction(store, ray_session):
     assert {(r["s"], r["nm"]) for r in got} == {(N + "b", "beta")}
 
 
+def test_filter_in_bound_negation_varvar(store, ray_session):
+    """§17.4 extras: ?x IN (...) / NOT IN (...), BOUND / !BOUND with
+    OPTIONAL, ! negation of groups, and var-vs-var comparison."""
+    q = parse_query(
+        f'SELECT ?s WHERE {{ ?s <{N}name> ?nm . '
+        f'FILTER(?nm IN ("alpha", "beta")) }}'
+    )
+    assert q.where.filters == [
+        ("or", [("?nm", "==", "alpha"), ("?nm", "==", "beta")])
+    ]
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              FILTER(?nm NOT IN ("alpha", "beta")) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "c"}
+    # !BOUND is the OPTIONAL anti-join idiom: entities with NO tag
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              OPTIONAL {{ ?s <{N}tag> ?tg }} FILTER(!BOUND(?tg)) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "c"}
+    # ! of a parenthesized group (De Morgan vs the || test above)
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              FILTER(!(?nm = "alpha" || ?nm = "beta")) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "c"}
+    # var-vs-var: subjects whose score differs from <a>'s score
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}score> ?v . ?a <{N}score> ?w .
+              FILTER(?a = <{N}a>) FILTER(?v > ?w) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "b", N + "c"}
+
+
 def test_filter_or_across_vars_and_numeric(store, ray_session):
     """Disjunction across two DIFFERENT variables (no store pushdown —
     binding-level only) mixing numeric and string atoms; an unbound
