@@ -1323,9 +1323,14 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     else:
         # numeric aggregates evaluate over the lexical forms: cast the
         # input variable columns once, map-only, before the shuffle
+        # SUM/AVG force a numeric cast of the variable's lexical forms
+        # (non-numeric raises — there is no numeric reading); a variable
+        # used ONLY by MIN/MAX/SAMPLE aggregates LEXICALLY (string
+        # compare — the natural reading for names/IRIs; a var that is
+        # also summed keeps the numeric ordering for its min/max)
         num_vars = sorted(
             {v for fn, v, _x in plain_aggs.values()
-             if fn in ("sum", "avg", "min", "max") and v != "*"}
+             if fn in ("sum", "avg") and v != "*"}
         )
         ds = bindings
         if num_vars:

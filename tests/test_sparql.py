@@ -300,6 +300,15 @@ def test_implicit_single_group(store, ray_session):
     assert [(r["n"], r["t"], r["lo"], r["hi"]) for r in got] == [
         (3, 17.0, 3.0, 7.0)
     ]
+    # a var used ONLY by MIN/MAX aggregates lexically (string compare)
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT (MIN(?nm) AS ?lo) (MAX(?nm) AS ?hi)
+            WHERE {{ ?s <{N}name> ?nm }}""",
+        )
+    )
+    assert [(r["lo"], r["hi"]) for r in got] == [("alpha", "gamma")]
     # COUNT(DISTINCT) single-group
     got = _rows(
         sparql(
