@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     "federated_store",
     "bgp_path_star",
     "split_docs",
+    "sparql_filter_or",
+    "sparql_agg_global",
+    "sparql_two_optionals",
+    "sparql_filter_in",
 ]
 
 
