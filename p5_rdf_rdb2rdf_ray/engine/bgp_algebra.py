@@ -151,65 +151,94 @@ def _validate_filter(flt: tuple) -> None:
 
 
 def _atomic_mask(t: pa.Table, var: str, op: str, val):
-    """Boolean keep-mask (numpy) for one ``("?var", op, value)`` atom.
-    SPARQL type-error semantics: an unbound (NULL — possible for
-    OPTIONAL-group vars) binding never passes; a numeric ``value``
-    compares numerically and non-numeric lexical forms drop."""
+    """``(keep, valid)`` numpy masks for one ``("?var", op, value)``
+    atom — SPARQL's three-valued EBV: ``keep`` is where the atom is
+    TRUE, ``valid`` where it evaluated at all. An unbound (NULL —
+    possible for OPTIONAL-group vars) binding is a type ERROR
+    (valid=False, so it never passes and ``!atom`` drops it too); a
+    numeric ``value`` compares numerically and non-numeric lexical
+    forms are errors likewise. ``BOUND`` is total (always valid)."""
     import numpy as np
     import pandas as pd
 
     name = var.lstrip("?")
     if op == "bound":
         col = t.column(name).combine_chunks()
-        return pc.is_valid(col).to_numpy(zero_copy_only=False)
+        m = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return m, np.ones(len(m), dtype=bool)
     if op in _STR_FILTER_FNS:
         col = t.column(name).combine_chunks()
         m = getattr(pc, _STR_FILTER_FNS[op])(col, str(val))
-        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        return (
+            pc.fill_null(m, False).to_numpy(zero_copy_only=False),
+            pc.is_valid(col).to_numpy(zero_copy_only=False),
+        )
     if isinstance(val, tuple) and len(val) == 2 and val[0] == "var":
         # variable-vs-variable comparison: term (lexical) equality for
         # == / !=, numeric for the order ops (either side non-numeric
-        # drops — SPARQL type-error semantics); unbound never passes
+        # errors — SPARQL type-error semantics); unbound never passes
         a = t.column(name).to_pandas()
         b = t.column(str(val[1]).lstrip("?")).to_pandas()
-        keep = (a.notna() & b.notna()).to_numpy()
+        valid = (a.notna() & b.notna()).to_numpy()
         pd_op = _FILTER_OPS[op]
         if op in ("==", "!="):
-            return keep & getattr(a.astype(str), pd_op)(
-                b.astype(str)
-            ).to_numpy()
+            return (
+                valid
+                & getattr(a.astype(str), pd_op)(b.astype(str)).to_numpy(),
+                valid,
+            )
         na = pd.to_numeric(a, errors="coerce")
         nb = pd.to_numeric(b, errors="coerce")
-        return keep & (
-            getattr(na, pd_op)(nb).fillna(False) & na.notna() & nb.notna()
-        ).to_numpy()
+        valid = valid & (na.notna() & nb.notna()).to_numpy()
+        return (
+            valid & getattr(na, pd_op)(nb).fillna(False).to_numpy(),
+            valid,
+        )
     s = t.column(name).to_pandas()
-    keep = s.notna().to_numpy()
+    valid = s.notna().to_numpy()
     pd_op = _FILTER_OPS[op]
     if isinstance(val, bool) or not isinstance(val, (int, float)):
-        return keep & getattr(s.astype(str), pd_op)(str(val)).to_numpy()
+        return (
+            valid & getattr(s.astype(str), pd_op)(str(val)).to_numpy(),
+            valid,
+        )
     num = pd.to_numeric(s, errors="coerce")
-    return keep & (
-        getattr(num, pd_op)(val).fillna(False) & num.notna()
-    ).to_numpy()
+    valid = valid & num.notna().to_numpy()
+    return valid & getattr(num, pd_op)(val).fillna(False).to_numpy(), valid
 
 
-def _filter_mask(t: pa.Table, flt: tuple):
-    """Recursive keep-mask for one filter entry: an atom, or an
-    ``("or", [entry, …])`` / ``("and", [entry, …])`` boolean group
-    (SPARQL ``||`` / ``&&`` with standard precedence — the text
+def _filter_mask3(t: pa.Table, flt: tuple):
+    """Recursive ``(keep, valid)`` masks for one filter entry: an atom,
+    or an ``("or"|"and"|"not", [entry, …])`` boolean group (SPARQL
+    ``||`` / ``&&`` / ``!`` with standard precedence — the text
     front-end flattens top-level conjunction into separate entries,
-    so nested groups only appear under a disjunction)."""
+    so nested groups only appear under a disjunction). Error
+    propagation follows SPARQL 1.1 §17.2: ``true || E = true``,
+    ``false && E = false``, ``!E = E`` — a row whose entry errors is
+    dropped at the top level, including under negation."""
     import numpy as np
 
     if len(flt) == 2 and flt[0] == "or":
-        return np.logical_or.reduce([_filter_mask(t, c) for c in flt[1]])
+        pairs = [_filter_mask3(t, c) for c in flt[1]]
+        keep = np.logical_or.reduce([k for k, _ in pairs])
+        all_valid = np.logical_and.reduce([v for _, v in pairs])
+        return keep, keep | all_valid
     if len(flt) == 2 and flt[0] == "and":
-        return np.logical_and.reduce([_filter_mask(t, c) for c in flt[1]])
+        pairs = [_filter_mask3(t, c) for c in flt[1]]
+        keep = np.logical_and.reduce([k for k, _ in pairs])
+        any_false = np.logical_or.reduce([v & ~k for k, v in pairs])
+        all_valid = np.logical_and.reduce([v for _, v in pairs])
+        return keep & all_valid, any_false | all_valid
     if len(flt) == 2 and flt[0] == "not":
         (inner,) = flt[1]
-        return np.logical_not(_filter_mask(t, inner))
+        keep, valid = _filter_mask3(t, inner)
+        return valid & ~keep, valid
     return _atomic_mask(t, *flt)
+
+
+def _filter_mask(t: pa.Table, flt: tuple):
+    """Top-level keep-mask: TRUE rows only (an error is not TRUE)."""
+    return _filter_mask3(t, flt)[0]
 
 
 def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
@@ -1259,8 +1288,22 @@ def _bgp_join(
     acc, acc_vars, acc_kinds = _bgp_acc(
         stmt_fn, patterns, num_partitions, units, broadcast_limit
     )
-    if acc is _NO_MATCH or acc is None:
+    if acc is _NO_MATCH:
         return rd.from_arrow(pa.table({}))
+    if acc is None:
+        # every pattern was fully bound and matched (or the group is
+        # empty): the BGP's solution set is {μ0} — ONE solution binding
+        # nothing (SPARQL 1.1 §18.5 Join identity), NOT the empty set;
+        # ASK over an existing fully-bound triple must answer True.
+        # Arrow cannot express a 1-row/0-column table, so the solution
+        # rides an internal marker column (same convention as
+        # ``__path_probe``).
+        if optional_groups or negations or bind or filters:
+            raise NotImplementedError(
+                "OPTIONAL/MINUS/EXISTS/BIND/FILTER over a WHERE group "
+                "that binds no variables is not supported"
+            )
+        return rd.from_arrow(pa.table({"__mu0": pa.array([True])}))
 
     for o_pats, o_units in optional_groups or []:
         acc, acc_vars, acc_kinds = _bgp_left_join(
@@ -1283,9 +1326,17 @@ def _bgp_join(
         acc_kinds |= bkinds
     if filters:
         acc = _apply_binding_filters(acc, filters)
-    if "__path_probe" in acc_vars and len(acc_vars) > 1:
+    if "__path_probe" in acc_vars:
         # a fully-bound path probe contributed existence only; its
         # internal all-null column must not leak into the solutions
+        if len(acc_vars) == 1:
+            # the probe was the ONLY unit: the group's answer is {μ0}
+            # when any probe row survived — same marker convention as
+            # the fully-bound-pattern branch above
+            n = acc.limit(1).count()
+            return rd.from_arrow(
+                pa.table({"__mu0": pa.array([True] * n)})
+            )
         acc_vars = [v for v in acc_vars if v != "__path_probe"]
         acc = acc.map_batches(
             lambda t: t.drop_columns(["__path_probe"]),

@@ -121,7 +121,13 @@ def _tokenize(text: str) -> list[_Tok]:
                         raise ValueError(f"unterminated escape at {j}")
                     e = text[j + 1]
                     if e == "u":
-                        buf.append(chr(int(text[j + 2 : j + 6], 16)))
+                        h = text[j + 2 : j + 6]
+                        try:
+                            buf.append(chr(int(h, 16)))
+                        except ValueError:
+                            raise ValueError(
+                                f"bad \\u escape {h!r} at {j}"
+                            ) from None
                         j += 6
                         continue
                     if e not in _ESCAPES:
@@ -138,11 +144,18 @@ def _tokenize(text: str) -> list[_Tok]:
             # the engine's literal matching is lexical+kind)
             if i < n and text[i] == "@":
                 m = re.match(r"@[A-Za-z]+(-[A-Za-z0-9]+)*", text[i:])
+                if not m:
+                    raise ValueError(f"bad language tag after @ at {i}")
                 i += m.end()
             elif text[i : i + 2] == "^^":
                 i += 2
                 if i < n and text[i] == "<":
-                    i = text.index(">", i) + 1
+                    end = text.find(">", i)
+                    if end < 0:
+                        raise ValueError(
+                            f"unterminated datatype IRI at {i}"
+                        )
+                    i = end + 1
                 else:
                     m = re.match(r"[A-Za-z_][\w.-]*:[A-Za-z_][\w.-]*", text[i:])
                     if not m:
@@ -679,6 +692,7 @@ class _Parser:
         if (
             sub.paths or sub.filters or sub.optional or sub.minus
             or sub.not_exists or sub.exists or sub.values or sub.bind
+            or sub.subqueries
         ):
             raise ValueError(
                 f"{ctx} groups support plain triple patterns only"
@@ -754,6 +768,7 @@ class _Parser:
                 if (
                     g.paths or g.optional or g.minus or g.not_exists
                     or g.exists or g.values or g.bind or g.filters
+                    or g.subqueries
                 ):
                     raise ValueError(
                         "UNION branches support plain triple patterns "
@@ -1072,20 +1087,8 @@ def sparql(
     projected variable); ASK → bool; CONSTRUCT / DESCRIBE → Dataset of
     TRIPLE_SCHEMA rows. All Datasets are lazy; distribution is entirely
     the underlying planners'."""
-    from .construct import construct
-    from .lookup import (
-        apply_solution_modifiers,
-        ask as _ask,
-        describe as _describe,
-        describe_store,
-        get_pattern,
-        get_pattern_store,
-        get_pattern_store_union,
-        get_pattern_union,
-    )
-
     q = parse_query(text)
-    kind, extra = _split_source(source, base)
+    kind, _ = _split_source(source, base)
     return _eval_query(
         q, source, kind, base,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
@@ -1100,11 +1103,18 @@ def _eval_query(
     *,
     num_partitions: int,
     broadcast_limit: int,
+    as_unit: bool = False,
 ):
     """Execute a :class:`ParsedQuery` — shared by :func:`sparql` and
     the §11.2 subquery recursion (a subquery re-enters here with the
     same source; its projected bindings fold into the outer BGP as a
-    pre-built unit)."""
+    pre-built unit).
+
+    ``as_unit=True`` (subquery mode, SELECT only): the result retains a
+    ``__k_<var>`` term-kind column for every projected non-aggregate
+    variable — the outer join's literal/IRI reconciliation is exact
+    only when both sides carry kind metadata (see
+    :func:`_ensure_kind_cols`). Returns ``(ds, kind_vars)``."""
     from .construct import construct
     from .lookup import (
         apply_solution_modifiers,
@@ -1116,6 +1126,12 @@ def _eval_query(
         get_pattern_store_union,
         get_pattern_union,
     )
+
+    if as_unit and (q.form != "SELECT" or q.union_groups is not None):
+        raise NotImplementedError(
+            "subqueries support plain/aggregate SELECT bodies only "
+            "(no UNION, no ASK/CONSTRUCT/DESCRIBE forms)"
+        )
 
     if q.form == "DESCRIBE" and not q.describe_vars:
         if kind == "store":
@@ -1166,18 +1182,34 @@ def _eval_query(
 
     if wc.subqueries:
         # evaluate each subquery independently; its PROJECTED bindings
-        # become a pre-built join unit (kind columns are not carried —
-        # subquery join variables are grouped keys / projected lexical
-        # forms by construction)
+        # become a pre-built join unit. Every non-aggregate projected
+        # variable carries its __k_<var> term-kind column (as_unit mode)
+        # so the outer reconciliation keeps literal solutions exact; an
+        # aggregate OUTPUT shared with an outer pattern variable would
+        # need literal-kind + lexical-form join semantics we do not
+        # implement — fail loud rather than mis-join
+        outer_vars = {
+            t[1:] for pat in wc.patterns for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
         sub_units = []
         for sq in wc.subqueries:
-            sub_ds = _eval_query(
+            sub_ds, sub_kinds = _eval_query(
                 sq, source, kind, base,
                 num_partitions=num_partitions,
                 broadcast_limit=broadcast_limit,
+                as_unit=True,
             )
             names = list(dict.fromkeys(sq.project))
-            sub_units.append((sub_ds, names, set()))
+            agg_aliases = set(sq.aggregates or {}) & set(names)
+            clash = agg_aliases & outer_vars
+            if clash:
+                raise NotImplementedError(
+                    "subquery aggregate output "
+                    f"{sorted(clash)} is joined by an outer pattern "
+                    "variable; join on the GROUP BY keys instead"
+                )
+            sub_units.append((sub_ds, names, sub_kinds))
         plan_kwargs["units"] = sub_units
 
     def plan(**kw):
@@ -1224,6 +1256,37 @@ def _eval_query(
         )
 
     # SELECT
+    if as_unit:
+        from .distinct import distinct_rows
+
+        if q.project is None:
+            raise NotImplementedError(
+                "subqueries must project explicit variables (no SELECT *)"
+            )
+        cols = list(dict.fromkeys(q.project))
+        if q.aggregates:
+            out = _aggregate(
+                plan(keep_kinds=True), q, apply_solution_modifiers,
+                num_partitions, key_kinds=True,
+            )
+            return out, {v for v in q.group_by if v in cols}
+        kcols = [f"__k_{v}" for v in cols]
+        if q.distinct:
+            out = _ensure_kind_cols(plan(keep_kinds=True), cols)
+            out = out.select_columns(cols + kcols)
+            out = distinct_rows(out, cols + kcols,
+                                num_buckets=num_partitions)
+            out = apply_solution_modifiers(
+                out, q.order_by, q.limit, q.offset
+            )
+        else:
+            out = plan(
+                keep_kinds=True, order_by=q.order_by or None,
+                limit=q.limit, offset=q.offset,
+            )
+            out = _ensure_kind_cols(out, cols).select_columns(cols + kcols)
+        return out, set(cols)
+
     if q.aggregates:
         return _aggregate(
             plan(), q, apply_solution_modifiers, num_partitions
@@ -1239,6 +1302,54 @@ def _eval_query(
     return _project(
         out, q, apply_modifiers=False, num_partitions=num_partitions
     )
+
+
+def _ensure_kind_cols(ds, names: list[str]):
+    """Normalize a binding Dataset so EVERY listed variable carries a
+    ``__k_<var>`` term-kind column. A variable the planner left unkinded
+    was bound only in subject/predicate positions, where the kind is
+    derivable from the lexical form alone: ``_:``-prefixed → blank node,
+    anything else → IRI (no literal can bind there). Used to build
+    §11.2 subquery join units — the outer BGP's literal/IRI
+    reconciliation needs a kind verdict for every shared variable, and
+    an ABSENT kind column is read there as \"non-literal position\",
+    which silently dropped literal solutions projected out of
+    subqueries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..terms import KIND_BNODE, KIND_IRI
+
+    def add(t: pa.Table, _names=tuple(names)) -> pa.Table:
+        from ..terms import KIND_LITERAL
+
+        for v in _names:
+            kc = f"__k_{v}"
+            if kc in t.column_names:
+                continue
+            if not pa.types.is_string(t.column(v).type):
+                # non-string bindings (BIND arithmetic, aggregate
+                # outputs) are literal VALUES by construction
+                t = t.append_column(
+                    kc,
+                    pa.repeat(pa.scalar(KIND_LITERAL, pa.uint8()),
+                              t.num_rows),
+                )
+                continue
+            is_bn = pc.starts_with(
+                pc.fill_null(t.column(v).combine_chunks(), ""), "_:"
+            )
+            t = t.append_column(
+                kc,
+                pc.if_else(
+                    is_bn,
+                    pa.scalar(KIND_BNODE, pa.uint8()),
+                    pa.scalar(KIND_IRI, pa.uint8()),
+                ),
+            )
+        return t
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
@@ -1258,9 +1369,15 @@ def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
 
 
 def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
-               num_partitions: int):
+               num_partitions: int, key_kinds: bool = False):
     """GROUP BY + aggregates over a binding set, via the engine's
-    combiner-first grouped stages (``stages.groupagg``)."""
+    combiner-first grouped stages (``stages.groupagg``).
+
+    ``key_kinds=True`` (subquery-unit mode): grouping keys extend to
+    ``(lexical, __k_<var>)`` pairs so an IRI and a literal spelling the
+    same lexical form stay distinct groups, and the kind columns of the
+    projected GROUP BY variables survive into the output for the outer
+    join's reconciliation."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1272,6 +1389,22 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
 
     keys = list(q.group_by)
     implicit = not keys
+    kind_keys: list[str] = []
+    if key_kinds and keys:
+        # the grouped stages reserve the "__" prefix for hidden partials
+        # they drop at finalize — ride the kind columns through under
+        # "k.<var>" ('.' cannot occur in a SPARQL variable name, so no
+        # binding column can collide) and rename back after projection
+        bindings = _ensure_kind_cols(bindings, keys)
+
+        def _to_alias(t: pa.Table, _ks=tuple(keys)) -> pa.Table:
+            ren = {f"__k_{v}": f"k.{v}" for v in _ks}
+            return t.rename_columns(
+                [ren.get(c, c) for c in t.column_names]
+            )
+
+        bindings = bindings.map_batches(_to_alias, batch_format="pyarrow")
+        kind_keys = [f"k.{v}" for v in keys]
     if implicit:
         # implicit single group (SPARQL §18.3): aggregate over ALL
         # solutions via a constant key — '.' is invalid in a SPARQL
@@ -1311,13 +1444,14 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
     if cdist_aggs:
         ((alias, (_fn, var, _x)),) = cdist_aggs.items()
         out = grouped_count_distinct(
-            bindings, keys=keys, col=var, out=alias,
+            bindings, keys=keys + kind_keys, col=var, out=alias,
             num_partitions=num_partitions,
         )
     elif concat_aggs:
         ((alias, (_fn, var, sep)),) = concat_aggs.items()
         out = grouped_concat(
-            bindings, keys=keys, col=var, sep=sep if sep is not None else " ",
+            bindings, keys=keys + kind_keys, col=var,
+            sep=sep if sep is not None else " ",
             order_by=[var], out=alias, num_partitions=num_partitions,
         )
     else:
@@ -1356,7 +1490,8 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
             # deterministic lexical min keeps runs reproducible
             aggs[alias] = (col, {"avg": "mean", "sample": "min"}.get(fn, fn))
         out = grouped_aggregate(
-            ds, keys=keys, aggs=aggs, num_partitions=num_partitions
+            ds, keys=keys + kind_keys, aggs=aggs,
+            num_partitions=num_partitions
         )
 
     if q.having:
@@ -1377,7 +1512,22 @@ def _aggregate(bindings, q: ParsedQuery, apply_solution_modifiers,
         out = out.map_batches(having_filter, batch_format="pyarrow")
 
     if q.project is not None:
-        out = out.select_columns(list(dict.fromkeys(q.project)))
+        cols = list(dict.fromkeys(q.project))
+        if kind_keys:
+            # subquery-unit mode: the projected GROUP BY variables keep
+            # their kind columns for the outer join's reconciliation
+            kept = [v for v in keys if v in q.project]
+            out = out.select_columns(cols + [f"k.{v}" for v in kept])
+
+            def _from_alias(t: pa.Table, _ks=tuple(kept)) -> pa.Table:
+                ren = {f"k.{v}": f"__k_{v}" for v in _ks}
+                return t.rename_columns(
+                    [ren.get(c, c) for c in t.column_names]
+                )
+
+            out = out.map_batches(_from_alias, batch_format="pyarrow")
+        else:
+            out = out.select_columns(cols)
     if implicit:
         out = _single_group_result(out, q)
     return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
@@ -1489,6 +1639,7 @@ def parse_update(text: str) -> ParsedUpdate:
         if (
             wc.paths or wc.filters or wc.optional or wc.minus
             or wc.not_exists or wc.exists or wc.values or wc.bind
+            or wc.subqueries
         ):
             raise ValueError(f"{label} must contain plain triples only")
         return wc
@@ -1581,4 +1732,14 @@ def sparql_update(
 
     if u.kind in ("insert_data", "insert"):
         return merge_triplestore(delta, store_dir, input_fp="sparql-update")
-    return delete_triplestore(delta, store_dir, input_fp="sparql-update")
+    # lexical identity: bindings carry only (lexical form, kind), so a
+    # delta reconstructed from DELETE WHERE solutions has NULL
+    # lang/datatype/graph — matching on the full row would silently
+    # skip every typed / language-tagged / named-graph store row the
+    # pattern matched. The front-end's literal semantics are
+    # lexical+kind throughout (FILTER, joins, aggregation), and DELETE
+    # follows them.
+    return delete_triplestore(
+        delta, store_dir, input_fp="sparql-update",
+        match_cols=("subj", "pred", "obj", "obj_kind"),
+    )

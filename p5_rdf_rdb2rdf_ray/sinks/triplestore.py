@@ -688,8 +688,16 @@ class _BucketDeleter:
     until the driver commits; requires the delta frame to be
     bucket-complete (callers go through ``keyed_exact``)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, match_cols: tuple | None = None):
         self.out_dir = out_dir
+        # identity used for the row match; None = exact full-row
+        # (TRIPLE_COLUMNS). engine.sparql.sparql_update passes the
+        # lexical identity (subj, pred, obj, obj_kind) so DELETE removes
+        # typed / language-tagged / named-graph rows too — consistent
+        # with the front-end's documented lexical+kind literal
+        # semantics (a full-row match silently skipped them: the
+        # reconstructed delta always has NULL lang/datatype/graph)
+        self.match_cols = tuple(match_cols) if match_cols else None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -710,11 +718,12 @@ class _BucketDeleter:
         out = {k: [] for k in ("bucket", "kept", "removed", "part", "old_parts")}
         buckets = t.column(BUCKET_COL)
         cols = list(TRIPLE_COLUMNS)
+        mcols = list(self.match_cols) if self.match_cols else cols
         for bucket in sorted(set(buckets.to_pylist())):
             body = t.filter(pc.equal(buckets, bucket)).drop_columns(
                 [BUCKET_COL]
             )
-            body = _unique_batch(body, cols)
+            body = _unique_batch(body, mcols)
             bucket = int(bucket)
             d = os.path.join(self.out_dir, f"bucket={bucket:05d}")
             if not os.path.isdir(d):
@@ -738,8 +747,8 @@ class _BucketDeleter:
             # so a targeted delete never joins the whole bucket. The
             # hash never DECIDES (collisions only enlarge the verified
             # slice) — the delete stays exact.
-            h_ex = row_hash(existing.combine_chunks(), cols)
-            h_del = row_hash(body.combine_chunks(), cols)
+            h_ex = row_hash(existing.combine_chunks(), mcols)
+            h_del = row_hash(body.combine_chunks(), mcols)
             cand = np.isin(h_ex, h_del)
             if not cand.any():
                 continue
@@ -749,7 +758,10 @@ class _BucketDeleter:
                 .to_pandas()
                 .drop_duplicates()
             )
-            m = exc.merge(deld[cols].assign(__del=1), on=cols, how="left")
+            m = exc.merge(
+                deld[mcols].drop_duplicates().assign(__del=1),
+                on=mcols, how="left",
+            )
             hit = m["__del"].notna().to_numpy()
             if not hit.any():
                 continue
@@ -783,6 +795,7 @@ def delete_triplestore(
     out_dir: str,
     *,
     input_fp: str = "",
+    match_cols: tuple | None = None,
 ) -> dict:
     """Remove a DELTA triple stream from an existing store so the
     result equals a from-scratch build over (old input − delta) — the
@@ -800,12 +813,25 @@ def delete_triplestore(
     per bucket (staged part visible first, manifest second, old parts
     removed last) makes a crash re-runnable: the transient dup-rows
     window collapses under the rewrite's dedup, exactly like
-    :func:`compact_triplestore`."""
+    :func:`compact_triplestore`.
+
+    ``match_cols`` narrows the row-identity used for the match (default:
+    all of ``TRIPLE_COLUMNS``). ``sparql_update`` passes
+    ``("subj", "pred", "obj", "obj_kind")`` so a delta reconstructed
+    from bindings (whose lang/datatype/graph are always NULL) still
+    removes the typed / language-tagged / named-graph store rows its
+    patterns matched. Bucketing is by subject, which every sound
+    ``match_cols`` must include — the match stays bucket-local."""
+    if match_cols is not None and "subj" not in match_cols:
+        raise ValueError("match_cols must include 'subj' (bucket key)")
     with _store_write_lock(out_dir):
-        return _delete_locked(delta, out_dir, input_fp)
+        return _delete_locked(delta, out_dir, input_fp, match_cols)
 
 
-def _delete_locked(delta: rd.Dataset, out_dir: str, input_fp: str) -> dict:
+def _delete_locked(
+    delta: rd.Dataset, out_dir: str, input_fp: str,
+    match_cols: tuple | None = None,
+) -> dict:
     from ..engine.distinct import keyed_exact
 
     num_buckets = _store_num_buckets(out_dir)
@@ -825,7 +851,7 @@ def _delete_locked(delta: rd.Dataset, out_dir: str, input_fp: str) -> dict:
 
     ds = delta.map_batches(bucketer, batch_format="pyarrow")
     results = keyed_exact(
-        ds, [BUCKET_COL], _BucketDeleter(out_dir), num_buckets,
+        ds, [BUCKET_COL], _BucketDeleter(out_dir, match_cols), num_buckets,
         batch_format="pyarrow",
     ).take_all()
 

@@ -276,8 +276,10 @@ class _BpeEncoder:
             first: list[str] = []
             for w in txt.split():
                 toks = self._encode_word(w)
-                if not first:
-                    first = toks[:8]
+                if len(first) < 8:
+                    # first 8 tokens of the DOCUMENT, across words —
+                    # not just the first word's tokens
+                    first.extend(toks[: 8 - len(first)])
                 n += len(toks)
             counts.append(n)
             firsts.append(first)

@@ -824,3 +824,242 @@ def test_filter_or_across_vars_and_numeric(store, ray_session):
     # a: tag=keep passes; b: tag=drop but score 7>5; c: no tag (unbound
     # never passes a FILTER atom) but score 7>5
     assert {r["s"] for r in got} == {N + "a", N + "b", N + "c"}
+
+
+def test_ask_fully_bound_mu0(store, ray_session):
+    """A WHERE group whose patterns are ALL fully bound has solution
+    set {mu0} (one solution binding nothing, SPARQL 1.1 section 18.5
+    Join identity) when every ground triple exists — ASK must answer
+    True, not False-from-empty; any missing ground triple -> False."""
+    assert sparql(store, f"ASK {{ <{N}a> <{N}p> <{N}b> }}") is True
+    assert sparql(store, f"ASK {{ <{N}a> <{N}p> <{N}c> }}") is False
+    assert (
+        sparql(
+            store,
+            f"ASK {{ <{N}a> <{N}p> <{N}b> . <{N}b> <{N}p> <{N}c> }}",
+        )
+        is True
+    )
+    assert (
+        sparql(
+            store,
+            f"ASK {{ <{N}a> <{N}p> <{N}b> . <{N}b> <{N}p> <{N}a> }}",
+        )
+        is False
+    )
+    # fully-bound PATH probe as the only unit: <a> p+ <c> holds via b
+    assert sparql(store, f"ASK {{ <{N}a> <{N}p>+ <{N}c> }}") is True
+    assert sparql(store, f"ASK {{ <{N}c> <{N}p>+ <{N}a> }}") is False
+    # ground triple + a variable pattern: the mu0 branch must NOT fire;
+    # the variable side carries the solutions
+    got = sparql(
+        store,
+        f"SELECT ?nm WHERE {{ <{N}a> <{N}p> <{N}b> . "
+        f"<{N}a> <{N}name> ?nm }}",
+    ).take_all()
+    assert [r["nm"] for r in got] == ["alpha"]
+
+
+def test_subquery_literal_join(store, ray_session):
+    """Subquery units carry term-kind columns: a LITERAL variable
+    projected out of a subquery must join outer literal bindings (it
+    was silently dropped when the unit lacked kind metadata), and a
+    grouped subquery keyed on a literal keeps its kind through the
+    aggregate."""
+    got = sparql(
+        store,
+        f"""SELECT ?s ?nm WHERE {{
+          {{ SELECT ?nm WHERE {{ ?x <{N}name> ?nm }} }}
+          ?s <{N}name> ?nm
+        }} ORDER BY ?nm""",
+    ).take_all()
+    assert [(r["s"], r["nm"]) for r in got] == [
+        (N + "a", "alpha"),
+        (N + "b", "beta"),
+        (N + "c", "gamma"),
+    ]
+
+    # grouped subquery keyed on a literal: counts join back per key
+    got = sparql(
+        store,
+        f"""SELECT ?sc ?c WHERE {{
+          {{ SELECT ?sc (COUNT(?x) AS ?c)
+             WHERE {{ ?x <{N}score> ?sc }} GROUP BY ?sc }}
+          ?s <{N}score> ?sc
+        }} ORDER BY ?sc""",
+    ).take_all()
+    assert [(r["sc"], r["c"]) for r in got] == [
+        ("3", 1), ("7", 2), ("7", 2),
+    ]
+
+    # an aggregate OUTPUT joined by an outer pattern variable would need
+    # literal-join semantics over a computed value -> fail loud
+    with pytest.raises(NotImplementedError, match="aggregate output"):
+        sparql(
+            store,
+            f"""SELECT ?c WHERE {{
+              {{ SELECT ?x (COUNT(?o) AS ?c)
+                 WHERE {{ ?x <{N}p> ?o }} GROUP BY ?x }}
+              ?s <{N}score> ?c
+            }}""",
+        ).take_all()
+
+
+def test_subquery_mixed_kind_no_false_match(ray_session, tmp_path):
+    """A literal binding whose lexical form SPELLS an IRI, projected out
+    of a subquery, must not falsely match an outer pattern where the
+    shared variable sits in subject position (implicitly non-literal)."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    I, L = KIND_IRI, KIND_LITERAL
+    rows = [
+        (N + "x", N + "v", N + "b", I),  # IRI object -> must match
+        (N + "y", N + "v", N + "b", L),  # literal spelling the IRI
+        (N + "b", N + "w", "hit", L),
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([r[3] for r in rows], pa.uint8()),
+            "lang": pa.array([None] * 3, pa.string()),
+            "datatype": pa.array([None] * 3, pa.string()),
+            "graph": pa.array([None] * 3, pa.string()),
+        }
+    )
+    out = str(tmp_path / "subqmixed")
+    write_triplestore(rd.from_arrow(t), out, num_buckets=2)
+    got = sparql(
+        out,
+        f"""SELECT ?o ?h WHERE {{
+          {{ SELECT ?o WHERE {{ ?s <{N}v> ?o }} }}
+          ?o <{N}w> ?h
+        }}""",
+    ).take_all()
+    assert [(r["o"], r["h"]) for r in got] == [(N + "b", "hit")]
+
+
+def test_update_delete_lexical_match(ray_session, tmp_path):
+    """DELETE over the store matches on the LEXICAL identity
+    (subj, pred, obj, obj_kind): typed, language-tagged and named-graph
+    rows are removed by the patterns that matched them, even though the
+    reconstructed delta carries NULL lang/datatype/graph."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        read_triplestore,
+        write_triplestore,
+    )
+
+    I, L = KIND_IRI, KIND_LITERAL
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # (subj, pred, obj, kind, lang, datatype, graph)
+        (N + "d", N + "n", "5", L, None, X + "integer", None),
+        (N + "d", N + "hello", "hi", L, "en", None, None),
+        (N + "d", N + "q", N + "e", I, None, None, N + "g1"),
+        (N + "e", N + "n", "5", L, None, None, None),
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([r[3] for r in rows], pa.uint8()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "datatype": pa.array([r[5] for r in rows], pa.string()),
+            "graph": pa.array([r[6] for r in rows], pa.string()),
+        }
+    )
+    s = str(tmp_path / "lexdel")
+    write_triplestore(rd.from_arrow(t), s, num_buckets=2)
+
+    # DELETE DATA with the plain lexical form removes the TYPED row
+    m = sparql_update(s, f'DELETE DATA {{ <{N}d> <{N}n> "5" . }}')
+    assert m["rows_removed"] == 1
+    assert read_triplestore(s).count() == 3
+    # the other subject's plain "5" is untouched
+    assert sparql(s, f'ASK {{ <{N}e> <{N}n> "5" }}') is True
+
+    # DELETE WHERE sweeps language-tagged and named-graph rows too
+    m = sparql_update(s, f"DELETE WHERE {{ <{N}d> <{N}hello> ?o }}")
+    assert m["rows_removed"] == 1
+    m = sparql_update(s, f"DELETE WHERE {{ ?s <{N}q> ?o }}")
+    assert m["rows_removed"] == 1
+    assert read_triplestore(s).count() == 1
+    # idempotent: re-running the same delete is a no-op
+    m = sparql_update(s, f"DELETE WHERE {{ ?s <{N}q> ?o }}")
+    assert m["rows_removed"] == 0
+
+
+def test_filter_negation_error_semantics(store, ray_session):
+    """SPARQL 1.1 section 17.2: !(error) = error — a row whose inner
+    expression type-errors (unbound var, non-numeric lexical form under
+    a numeric comparison) is DROPPED under negation, not kept."""
+    # c has no tag: ?tg unbound -> (?tg = "keep") errors -> !(...) errors
+    # -> c drops. a has tag "keep" (-> false), b has "drop" (-> true).
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              OPTIONAL {{ ?s <{N}tag> ?tg }}
+              FILTER(!(?tg = "keep")) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "b"}
+    # names are non-numeric: ?nm > 5 errors for every row -> negation
+    # keeps nothing (old behavior kept ALL rows)
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              FILTER(!(?nm > 5)) }}""",
+        )
+    )
+    assert got == []
+    # scores ARE numeric: !(?v > 5) keeps exactly the complement
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}score> ?v .
+              FILTER(!(?v > 5)) }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "a"}
+    # error inside || : true-branch still admits the row (E || T = T),
+    # error-only rows drop
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm .
+              OPTIONAL {{ ?s <{N}tag> ?tg }}
+              FILTER(?tg = "keep" || ?nm = "gamma") }}""",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "a", N + "c"}
+
+
+def test_tokenizer_positioned_errors():
+    """Malformed input raises a positioned ValueError, never a raw
+    int()/AttributeError/index crash."""
+    with pytest.raises(ValueError, match=r"bad \\u escape"):
+        parse_query('SELECT ?s WHERE { ?s <http://x/p> "a\\uZZZZ" }')
+    with pytest.raises(ValueError, match="language tag"):
+        parse_query('SELECT ?s WHERE { ?s <http://x/p> "a"@1 }')
+    with pytest.raises(ValueError, match="unterminated datatype"):
+        parse_query('SELECT ?s WHERE { ?s <http://x/p> "a"^^<http://x }')
+
+
+def test_subquery_in_group_fails_loud():
+    """Subqueries nested inside OPTIONAL / UNION groups are outside the
+    supported subset — the parser rejects them instead of silently
+    dropping them."""
+    sub = f"{{ SELECT ?s WHERE {{ ?s <{N}p> ?o }} }}"
+    with pytest.raises(ValueError, match="plain triple patterns"):
+        parse_query(
+            f"SELECT ?s WHERE {{ ?s <{N}p> ?o . OPTIONAL {{ {sub} }} }}"
+        )
+    with pytest.raises(ValueError, match="plain triple"):
+        parse_query(
+            f"SELECT ?s WHERE {{ {{ ?s <{N}p> ?o }} UNION {{ {sub} }} }}"
+        )

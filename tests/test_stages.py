@@ -3337,8 +3337,12 @@ def test_bpe_encode_matches_reference(ray_session):
     got = (
         bpe_encode(rd.from_arrow(docs), merges, concurrency=2)
         .to_pandas()
-        .set_index("doc_id")["n_tokens"]
+        .set_index("doc_id")
     )
     for i, txt in enumerate(texts):
-        want = sum(len(ref_encode(w)) for w in txt.lower().split())
-        assert got[i] == want, (i, txt)
+        words = txt.lower().split()
+        want = sum(len(ref_encode(w)) for w in words)
+        assert got["n_tokens"][i] == want, (i, txt)
+        # head_tokens = first 8 tokens of the DOCUMENT across words
+        want_head = [tok for w in words for tok in ref_encode(w)][:8]
+        assert list(got["head_tokens"][i]) == want_head, (i, txt)
