@@ -944,23 +944,17 @@ def _derive_kind(ds: rd.Dataset, var: str) -> rd.Dataset:
     *filtering* literals out (the inner-join trick in :func:`_bgp_acc`)
     would be unsound: a literal solution that cannot match the negation
     side must be KEPT, not dropped."""
-    from ..terms import KIND_BNODE, KIND_IRI
-
     kc = f"__k_{var}"
 
     def f(t: pa.Table) -> pa.Table:
+        from ..terms import derive_term_kind
+
         s = (
             t.column(var).combine_chunks()
             if t.num_rows
             else pa.array([], pa.string())
         )
-        arr = pc.if_else(
-            pc.starts_with(pc.fill_null(s, ""), "_:"),
-            pa.scalar(KIND_BNODE, pa.uint8()),
-            pa.scalar(KIND_IRI, pa.uint8()),
-        )
-        arr = pc.if_else(pc.is_valid(s), arr, pa.nulls(len(s), pa.uint8()))
-        return t.append_column(kc, arr)
+        return t.append_column(kc, derive_term_kind(s))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -1205,13 +1199,12 @@ def _bgp_left_join(
                 derived.add(v)
 
                 def derive_kind(t: pa.Table, _v=v) -> pa.Table:
+                    from ..terms import derive_term_kind
+
                     col = t.column(_v).combine_chunks()
-                    kind = pc.if_else(
-                        pc.starts_with(col, "_:"),
-                        pa.scalar(KIND_BNODE, pa.uint8()),
-                        pa.scalar(KIND_IRI, pa.uint8()),
+                    return t.append_column(
+                        f"__k_{_v}", derive_term_kind(col)
                     )
-                    return t.append_column(f"__k_{_v}", kind)
 
                 oacc = oacc.map_batches(derive_kind, batch_format="pyarrow")
                 join_keys.append(f"__k_{v}")

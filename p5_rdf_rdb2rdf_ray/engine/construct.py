@@ -142,11 +142,11 @@ def construct(
                         else pa.array([], pa.uint8())
                     )
                 else:
-                    kind = pc.if_else(
-                        pc.starts_with(pc.fill_null(obj, ""), "_:"),
-                        pa.scalar(KIND_BNODE, pa.uint8()),
-                        pa.scalar(KIND_IRI, pa.uint8()),
-                    )
+                    from ..terms import derive_term_kind
+
+                    # NULL rows get a NULL kind here; the validity mask
+                    # below drops them before emission
+                    kind = derive_term_kind(obj)
                 m = pc.is_valid(obj)
                 mask = m if mask is None else pc.and_(mask, m)
             elif lit:

@@ -402,7 +402,6 @@ def _bgp_union(
     num_partitions: int,
     filters: list[tuple] | None,
 ) -> rd.Dataset:
-    from ..terms import KIND_BNODE, KIND_IRI
     from .distinct import distinct_rows
 
     parts: list[tuple[rd.Dataset, list[str], set[str]]] = []
@@ -435,13 +434,9 @@ def _bgp_union(
             elif v in _vars:
                 # bound in a non-literal position: derive kind from the
                 # surface form so cross-group identical terms collapse
-                s = cols[names.index(v)]
-                arr = pc.if_else(
-                    pc.starts_with(pc.fill_null(s, ""), "_:"),
-                    pa.scalar(KIND_BNODE, pa.uint8()),
-                    pa.scalar(KIND_IRI, pa.uint8()),
-                )
-                arr = pc.if_else(pc.is_valid(s), arr, pa.nulls(len(s), pa.uint8()))
+                from ..terms import derive_term_kind
+
+                arr = derive_term_kind(cols[names.index(v)])
             else:
                 arr = pa.nulls(t.num_rows, pa.uint8())
             cols.append(arr)

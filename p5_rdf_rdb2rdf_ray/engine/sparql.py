@@ -122,12 +122,13 @@ def _tokenize(text: str) -> list[_Tok]:
                     e = text[j + 1]
                     if e == "u":
                         h = text[j + 2 : j + 6]
-                        try:
-                            buf.append(chr(int(h, 16)))
-                        except ValueError:
+                        # exactly 4 hex digits — int(h, 16) alone also
+                        # accepts whitespace/signs/underscores
+                        if not re.fullmatch(r"[0-9A-Fa-f]{4}", h):
                             raise ValueError(
                                 f"bad \\u escape {h!r} at {j}"
-                            ) from None
+                            )
+                        buf.append(chr(int(h, 16)))
                         j += 6
                         continue
                     if e not in _ESCAPES:
@@ -1188,10 +1189,27 @@ def _eval_query(
         # aggregate OUTPUT shared with an outer pattern variable would
         # need literal-kind + lexical-form join semantics we do not
         # implement — fail loud rather than mis-join
-        outer_vars = {
-            t[1:] for pat in wc.patterns for t in pat
-            if isinstance(t, str) and t.startswith("?")
-        }
+        # every variable the outer group can JOIN a unit on — patterns,
+        # property paths, OPTIONAL/MINUS/EXISTS groups, VALUES, and the
+        # other subqueries' projections (FILTER/BIND only READ the
+        # joined column, so they are not join sites and stay legal over
+        # aggregate outputs)
+        def _walk_vars(o, out: set):
+            if isinstance(o, str):
+                if o.startswith("?"):
+                    out.add(o[1:])
+            elif isinstance(o, (list, tuple)):
+                for x in o:
+                    _walk_vars(x, out)
+            return out
+
+        outer_vars: set = set()
+        for part in (
+            wc.patterns, wc.paths, wc.optional, wc.minus,
+            wc.not_exists, wc.exists, wc.values,
+        ):
+            if part:
+                _walk_vars(part, outer_vars)
         sub_units = []
         for sq in wc.subqueries:
             sub_ds, sub_kinds = _eval_query(
@@ -1202,11 +1220,18 @@ def _eval_query(
             )
             names = list(dict.fromkeys(sq.project))
             agg_aliases = set(sq.aggregates or {}) & set(names)
-            clash = agg_aliases & outer_vars
+            # a sibling subquery's projection joins this unit too —
+            # count every projection EXCEPT this subquery's own
+            sibling_vars = {
+                v for other in wc.subqueries if other is not sq
+                for v in (other.project or [])
+            }
+            clash = agg_aliases & (outer_vars | sibling_vars)
             if clash:
                 raise NotImplementedError(
                     "subquery aggregate output "
-                    f"{sorted(clash)} is joined by an outer pattern "
+                    f"{sorted(clash)} is joined by an outer pattern/"
+                    "path/OPTIONAL/MINUS/EXISTS/VALUES/subquery "
                     "variable; join on the GROUP BY keys instead"
                 )
             sub_units.append((sub_ds, names, sub_kinds))
@@ -1308,20 +1333,16 @@ def _ensure_kind_cols(ds, names: list[str]):
     """Normalize a binding Dataset so EVERY listed variable carries a
     ``__k_<var>`` term-kind column. A variable the planner left unkinded
     was bound only in subject/predicate positions, where the kind is
-    derivable from the lexical form alone: ``_:``-prefixed → blank node,
-    anything else → IRI (no literal can bind there). Used to build
-    §11.2 subquery join units — the outer BGP's literal/IRI
-    reconciliation needs a kind verdict for every shared variable, and
-    an ABSENT kind column is read there as \"non-literal position\",
-    which silently dropped literal solutions projected out of
-    subqueries."""
+    derivable from the lexical form alone (:func:`terms.derive_term_kind`;
+    NULL = unbound stays NULL). Used to build §11.2 subquery join units
+    — the outer BGP's literal/IRI reconciliation needs a kind verdict
+    for every shared variable, and an ABSENT kind column is read there
+    as \"non-literal position\", which silently dropped literal
+    solutions projected out of subqueries."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..terms import KIND_BNODE, KIND_IRI
 
     def add(t: pa.Table, _names=tuple(names)) -> pa.Table:
-        from ..terms import KIND_LITERAL
+        from ..terms import KIND_LITERAL, derive_term_kind
 
         for v in _names:
             kc = f"__k_{v}"
@@ -1336,16 +1357,8 @@ def _ensure_kind_cols(ds, names: list[str]):
                               t.num_rows),
                 )
                 continue
-            is_bn = pc.starts_with(
-                pc.fill_null(t.column(v).combine_chunks(), ""), "_:"
-            )
             t = t.append_column(
-                kc,
-                pc.if_else(
-                    is_bn,
-                    pa.scalar(KIND_BNODE, pa.uint8()),
-                    pa.scalar(KIND_IRI, pa.uint8()),
-                ),
+                kc, derive_term_kind(t.column(v))
             )
         return t
 
@@ -1354,10 +1367,33 @@ def _ensure_kind_cols(ds, names: list[str]):
 
 def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
              num_partitions: int):
+    import pyarrow as pa
+
     from .distinct import distinct_rows
     from .lookup import apply_solution_modifiers
 
     out = bindings
+    sch = out.schema()
+    names = sch.names if sch is not None else []
+    if "__mu0" in names or not names:
+        # the WHERE group bound no variables: its solution set is {mu0}
+        # when the ground triples exist (see _bgp_join) or empty when a
+        # fully-bound pattern missed (_NO_MATCH's zero-column table) —
+        # every projected variable is unbound, one all-NULL row per mu0
+        # solution, and the internal marker must not leak
+        if q.project is None:
+            raise NotImplementedError(
+                "SELECT * over a WHERE group that binds no variables"
+            )
+        cols = list(dict.fromkeys(q.project))
+        n = out.limit(1).count() if "__mu0" in names else 0
+        import ray.data as rd
+
+        out = rd.from_arrow(
+            pa.table(
+                {c: pa.array([None] * n, pa.string()) for c in cols}
+            )
+        )
     if q.project is not None:
         cols = list(dict.fromkeys(q.project))
         out = out.select_columns(cols)

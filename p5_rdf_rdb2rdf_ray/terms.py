@@ -41,6 +41,25 @@ TRIPLE_SCHEMA = pa.schema(
     ]
 )
 
+def derive_term_kind(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Term-kind array for a binding column in a NON-LITERAL position
+    (subject / predicate — no literal can bind there): ``_:`` prefix →
+    blank node, anything else → IRI; NULL (unbound, e.g. an OPTIONAL
+    var) stays NULL. The single shared implementation for every
+    kind-derivation site (BGP join reconciliation, lookup unit folding,
+    subquery units, CONSTRUCT instantiation)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.if_else(
+        pc.starts_with(pc.fill_null(col, ""), "_:"),
+        pa.scalar(KIND_BNODE, pa.uint8()),
+        pa.scalar(KIND_IRI, pa.uint8()),
+    )
+    return pc.if_else(pc.is_valid(col), arr, pa.nulls(len(col), pa.uint8()))
+
+
 # Well-known IRIs
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD = "http://www.w3.org/2001/XMLSchema#"

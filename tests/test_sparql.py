@@ -1063,3 +1063,72 @@ def test_subquery_in_group_fails_loud():
         parse_query(
             f"SELECT ?s WHERE {{ {{ ?s <{N}p> ?o }} UNION {{ {sub} }} }}"
         )
+
+
+def test_select_fully_bound_mu0(store, ray_session):
+    """SELECT over a WHERE group binding no variables: explicit
+    projections yield ONE all-unbound solution when the ground triples
+    exist (never the internal __mu0 marker), zero rows when they do
+    not; SELECT * fails loud."""
+    got = sparql(
+        store, f"SELECT ?x WHERE {{ <{N}a> <{N}p> <{N}b> }}"
+    ).take_all()
+    assert len(got) == 1 and got[0]["x"] is None
+    got = sparql(
+        store, f"SELECT ?x WHERE {{ <{N}a> <{N}p> <{N}c> }}"
+    ).take_all()
+    assert got == []
+    with pytest.raises(NotImplementedError, match="binds no variables"):
+        sparql(store, f"SELECT * WHERE {{ <{N}a> <{N}p> <{N}b> }}").take_all()
+
+
+def test_subquery_agg_alias_clash_all_join_sites(store, ray_session):
+    """The aggregate-output clash guard covers every outer JOIN site —
+    VALUES and OPTIONAL, not just plain patterns."""
+    sub = (
+        f"{{ SELECT ?x (COUNT(?o) AS ?c) "
+        f"WHERE {{ ?x <{N}p> ?o }} GROUP BY ?x }}"
+    )
+    with pytest.raises(NotImplementedError, match="aggregate output"):
+        sparql(
+            store,
+            f'SELECT ?c WHERE {{ {sub} VALUES ?c {{ "2" }} }}',
+        ).take_all()
+    with pytest.raises(NotImplementedError, match="aggregate output"):
+        sparql(
+            store,
+            f"SELECT ?c WHERE {{ {sub} ?x <{N}name> ?nm . "
+            f"OPTIONAL {{ ?s <{N}score> ?c }} }}",
+        ).take_all()
+    # FILTER over the alias only READS the joined column — legal
+    got = sparql(
+        store,
+        f"SELECT ?x WHERE {{ {sub} ?x <{N}name> ?nm . FILTER(?c >= 1) }}",
+    ).take_all()
+    assert {r["x"] for r in got} == {N + "a", N + "b"}
+
+
+def test_subquery_optional_var_null_kind(store, ray_session):
+    """A subquery projecting an OPTIONAL variable: unbound rows carry a
+    NULL kind (not a fabricated IRI kind) and survive the outer join."""
+    got = sparql(
+        store,
+        f"""SELECT ?s ?tg WHERE {{
+          {{ SELECT ?s ?tg WHERE {{ ?s <{N}name> ?nm .
+             OPTIONAL {{ ?s <{N}tag> ?tg }} }} }}
+          ?s <{N}score> ?v
+        }} ORDER BY ?s""",
+    ).take_all()
+    assert [(r["s"], r["tg"]) for r in got] == [
+        (N + "a", "keep"), (N + "b", "drop"), (N + "c", None),
+    ]
+
+
+def test_tokenizer_u_escape_strictness():
+    """\\u must be exactly 4 hex digits — int(x, 16)'s tolerance for
+    whitespace / signs / underscores is not inherited."""
+    for bad in ("\\u 041", "\\u+041", "\\u0_41", "\\u04"):
+        with pytest.raises(ValueError, match=r"bad \\u escape"):
+            parse_query(
+                f'SELECT ?s WHERE {{ ?s <http://x/p> "a{bad}!" }}'
+            )
