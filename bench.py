@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "sparql_agg_global",
     "sparql_two_optionals",
     "sparql_filter_in",
+    "sparql_var_pred",
 ]
 
 

@@ -751,8 +751,12 @@ def _bgp_acc(
     unit_queue: list[tuple[rd.Dataset, list[str], set[str]]] = list(
         units or []
     )
-    for s, p, o in patterns:
-        kwargs: dict = {}
+    for pat in patterns:
+        # a 4th element is a dict of extra stmt_fn kwargs attached by the
+        # planner (e.g. get_pattern's subject-anchored table prune for
+        # variable-predicate patterns) — invisible to 3-tuple callers
+        s, p, o = pat[:3]
+        kwargs: dict = dict(pat[3]) if len(pat) > 3 else {}
         slots: dict[str, str] = {}  # triple column -> var name
         if _is_var(s):
             slots["subj"] = s[1:]

@@ -239,6 +239,29 @@ def _filter_pushdown_expr(
     return expr
 
 
+def subject_tables(
+    catalog: Catalog, patterns: list[tuple], base: str
+) -> dict[str, set[str]]:
+    """Map each subject VARIABLE to the set of DM tables its bound
+    column/ref predicates resolve to. A DM subject IRI (or skolem bnode)
+    encodes its table, so a variable-predicate pattern whose subject
+    joins such a variable can only match triples emitted by those
+    tables' maps — :func:`get_pattern` passes the set to
+    ``get_statements(only_tables=…)`` so the ``?s ?p ?o`` wildcard
+    expands ONE table instead of the whole catalog (at 100 TB: one
+    table scan instead of an all-tables scan, same bindings)."""
+    known = set(catalog.table_names())
+    out: dict[str, set[str]] = {}
+    for pat in patterns:
+        s, p = pat[0], pat[1]
+        if not (_is_var(s) and isinstance(p, str) and not _is_var(p)):
+            continue
+        for dec in (decode_predicate(p, base), decode_ref_predicate(p, base)):
+            if dec is not None and dec[0] in known:
+                out.setdefault(s[1:], set()).add(dec[0])
+    return out
+
+
 def _star_groups(
     catalog: Catalog,
     patterns: list[tuple],

@@ -40,6 +40,7 @@ from .bgp_plan import (  # noqa: F401
     _star_groups,
     _star_pivot,
     _store_star_groups,
+    subject_tables,
     decode_predicate,
     decode_ref_predicate,
     decode_subject,
@@ -56,8 +57,16 @@ def get_statements(
     base: str = "http://example.com/base/",
     distinct_buckets: int = 8,
     distinct: bool = False,
+    only_tables: list[str] | None = None,
 ) -> rd.Dataset:
     """Lazy Dataset of DM triples matching the bound terms.
+
+    ``only_tables`` [graft extension]: restrict the expansion to these
+    tables' maps when no bound term already pins a table — the BGP
+    planner passes the tables a shared subject VARIABLE is known to
+    range over (DM subject IRIs encode their table, so a
+    variable-predicate pattern joined on such a subject can only match
+    triples from those tables). Sound prune, never widens results.
 
     ``distinct=False`` (default) skips the set-semantics shuffle — DM
     output is duplicate-free by construction (see the proof comment at
@@ -135,6 +144,12 @@ def get_statements(
     # an object bound WITHOUT a predicate gets no column pushdown — the
     # semantic gate below post-filters the emitted terms (the reference
     # scans every column in that case too)
+
+    if tables is None and only_tables is not None:
+        # planner-supplied subject-anchored prune (see docstring)
+        tables = sorted(set(only_tables) & set(catalog.table_names()))
+        if not tables:
+            return rd.from_arrow(_empty())
 
     # compile over ALL tables so FK parents resolve; execute only the bound
     # table's map (if any)
@@ -307,6 +322,17 @@ def get_pattern(
     extra_units = list(units) if units else []
     units, rest = _star_groups(catalog, patterns, base, filters=filters)
     units = list(units) + extra_units
+    sv_tables = subject_tables(catalog, patterns, base)
+    if sv_tables:
+        # variable-predicate wildcards whose subject var is anchored to
+        # known tables by a sibling bound-predicate pattern expand only
+        # those tables' maps (sound: DM subjects encode their table)
+        rest = [
+            (s, p, o, {"only_tables": sorted(sv_tables[s[1:]])})
+            if _is_var(p) and _is_var(s) and s[1:] in sv_tables
+            else (s, p, o)
+            for (s, p, o) in rest
+        ]
     if paths:
         # §9.1 property-path items over the DM VIRTUAL graph — the path
         # evaluator's (catalog, base) source; folds like any other unit

@@ -584,7 +584,15 @@ class _Parser:
     def triples_block(self, wc: WhereClause):
         subj = self.term(as_subject=True)
         while True:
-            verb = self.path()
+            t = self.peek()
+            if t.kind == "VAR":
+                # SPARQL §19.8 Verb := VarOrIri — a variable predicate
+                # is an ordinary triple pattern; path operators need
+                # ground IRIs and cannot follow a variable verb
+                self.next()
+                verb = ("pred", "?" + t.val)
+            else:
+                verb = self.path()
             objs = [self.term()]
             while self.at_punct(","):
                 self.next()

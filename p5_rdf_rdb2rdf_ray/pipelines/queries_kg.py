@@ -1394,6 +1394,44 @@ ORDER BY nm LIMIT 12
 """
 
 
+def q_sparql_var_pred(sf_dir: str) -> rd.Dataset:
+    """Textual VARIABLE-PREDICATE pattern (``?s ?p ?o`` — SPARQL §19.8
+    Verb := VarOrIri): per-predicate triple counts over the nation
+    subjects of the Direct-Mapping virtual graph. The unbound predicate
+    enumerates every column-predicate + the FK ref + rdf:type; the
+    bound ``n_name`` star pattern prunes the scan to one table before
+    the wildcard expands, so the wildcard never touches the other
+    catalog tables."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?p (COUNT(?s) AS ?n) WHERE {{
+          ?s <{BASE}nation#n_name> ?nm .
+          ?s ?p ?o
+        }} GROUP BY ?p ORDER BY ?p
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_VAR_PRED = f"""
+SELECT p, COUNT(*) AS n FROM (
+  SELECT '{BASE}nation#n_name' AS p FROM nation WHERE n_name IS NOT NULL
+  UNION ALL
+  SELECT '{BASE}nation#n_nationkey' FROM nation WHERE n_nationkey IS NOT NULL
+  UNION ALL
+  SELECT '{BASE}nation#n_regionkey' FROM nation WHERE n_regionkey IS NOT NULL
+  UNION ALL
+  SELECT '{BASE}nation#ref-n_regionkey' FROM nation
+  WHERE n_regionkey IS NOT NULL
+  UNION ALL
+  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM nation
+) GROUP BY p ORDER BY p
+"""
+
+
 def q_sparql_agg(sf_dir: str) -> rd.Dataset:
     """Textual GROUP BY + COUNT + HAVING + ORDER BY: the parser routes
     the aggregate through the combiner-first `grouped_aggregate` and

@@ -1132,3 +1132,49 @@ def test_tokenizer_u_escape_strictness():
             parse_query(
                 f'SELECT ?s WHERE {{ ?s <http://x/p> "a{bad}!" }}'
             )
+
+
+def test_variable_predicate(store, ray_session):
+    """SPARQL 19.8 Verb := VarOrIri — variable predicates are ordinary
+    triple patterns: bound-subject enumeration, grouped counts over the
+    full wildcard, ';' lists and OPTIONAL groups."""
+    got = sparql(
+        store, f"SELECT ?p ?o WHERE {{ <{N}c> ?p ?o }} ORDER BY ?p"
+    ).take_all()
+    assert [(r["p"], r["o"]) for r in got] == [
+        (N + "name", "gamma"), (N + "score", "7"),
+    ]
+    got = sparql(
+        store,
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY ?p",
+    ).take_all()
+    assert [(r["p"], r["n"]) for r in got] == [
+        (N + "name", 3), (N + "p", 2), (N + "q", 1),
+        (N + "score", 3), (N + "tag", 2),
+    ]
+    # ';' continues the same subject after a variable verb; OPTIONAL
+    # groups accept variable verbs too
+    got = sparql(
+        store,
+        f"""SELECT ?s ?o ?z WHERE {{
+          ?s ?p ?o ; <{N}name> "alpha" .
+          OPTIONAL {{ ?s <{N}tag> ?z }}
+        }} ORDER BY ?o""",
+    ).take_all()
+    assert len(got) == 5 and all(r["s"] == N + "a" for r in got)
+    assert all(r["z"] == "keep" for r in got)
+
+
+def test_update_delete_wildcard(store, tmp_path, ray_session):
+    """DELETE WHERE { ?s ?p ?o } — the variable-predicate wildcard
+    empties the store in ONE statement (the per-predicate enumeration
+    workaround is no longer needed)."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import read_triplestore
+
+    s = _copy_store(store, tmp_path, "wipe")
+    total = read_triplestore(s).count()
+    m = sparql_update(s, "DELETE WHERE { ?s ?p ?o }")
+    assert m["rows_removed"] == total
+    assert read_triplestore(s).count() == 0
