@@ -1178,3 +1178,41 @@ def test_update_delete_wildcard(store, tmp_path, ray_session):
     m = sparql_update(s, "DELETE WHERE { ?s ?p ?o }")
     assert m["rows_removed"] == total
     assert read_triplestore(s).count() == 0
+
+
+def test_variable_predicate_catalog_prune(ray_session):
+    """Over the DM VIRTUAL graph, a ``?s ?p ?o`` wildcard whose subject
+    is anchored by a bound-predicate sibling expands only that table's
+    map (get_pattern's subject_tables prune) — and the prune is SOUND:
+    the bindings equal the unpruned whole-catalog expansion's."""
+    from p5_rdf_rdb2rdf_ray.engine.bgp_plan import subject_tables
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_statements
+    from p5_rdf_rdb2rdf_ray.pipelines.queries_kg import BASE, catalog_for
+
+    cat = catalog_for("/root/testdata/sf0.001")
+    sv = subject_tables(
+        cat,
+        [("?s", f"{BASE}region#r_name", "?nm"), ("?s", "?p", "?o")],
+        BASE,
+    )
+    assert sv == {"s": {"region"}}
+    # only_tables prunes the expansion; unknown tables yield empty
+    assert get_statements(cat, only_tables=["region"]).count() == 15
+    assert get_statements(cat, only_tables=["nosuch"]).count() == 0
+
+    got = _rows(
+        sparql(
+            cat,
+            f"""SELECT ?p (COUNT(?s) AS ?n) WHERE {{
+              ?s <{BASE}region#r_name> ?nm . ?s ?p ?o
+            }} GROUP BY ?p ORDER BY ?p""",
+            base=BASE,
+        )
+    )
+    # region: 2 columns + rdf:type, 5 rows each — nothing from the
+    # other nine catalog tables leaks in, nothing of region is lost
+    assert [(r["p"], r["n"]) for r in got] == [
+        (f"{BASE}region#r_name", 5),
+        (f"{BASE}region#r_regionkey", 5),
+        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 5),
+    ]
