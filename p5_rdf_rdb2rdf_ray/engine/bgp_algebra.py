@@ -722,6 +722,7 @@ def _bgp_acc(
     num_partitions: int,
     units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     broadcast_limit: int = 1_000_000,
+    graph_var: str | None = None,
 ):
     """Shared BGP accumulation: per-pattern statement Datasets
     (``stmt_fn`` maps bound-term kwargs → triples) joined on shared
@@ -734,6 +735,14 @@ def _bgp_acc(
     (e.g. fused star groups from :func:`_star_groups`); they fold FIRST,
     so the usually-largest fused unit becomes the streamed accumulator
     instead of a driver-materialized broadcast side.
+
+    ``graph_var`` [SPARQL §13.3 GRAPH ?var]: every pattern additionally
+    binds the statement's ``graph`` column to that variable — a QUAD
+    pattern, fully distributed (no per-context fan-out; the join on the
+    shared graph variable enforces the same-context semantics across
+    the group's patterns). The caller's ``stmt_fn`` must restrict to
+    named contexts (``named_only=True``) and its Datasets must carry a
+    ``graph`` column (stores do; the DM virtual graph does not).
 
     Join strategy per unit: the new side is collected to the driver for
     a broadcast inner join UP TO ``broadcast_limit`` rows (point-lookup
@@ -772,6 +781,10 @@ def _bgp_acc(
             kwargs["obj_literal"] = o[1]
         else:
             kwargs["obj"] = o
+        if graph_var is not None:
+            # quad pattern: the named context binds like any other
+            # position (non-literal — graph terms are IRIs/bnodes)
+            slots["graph"] = graph_var
         ds = stmt_fn(**kwargs)
 
         if not slots:
@@ -1261,9 +1274,12 @@ def _bgp_join(
     negations: list[tuple[str, list[tuple], list | None]] | None = None,
     bind: list[tuple] | None = None,
     keep_kinds: bool = False,
+    graph_var: str | None = None,
 ) -> rd.Dataset:
     """Required BGP ⟕ optional BGP groups → negations → BIND → FILTER →
-    distinct bindings.
+    distinct bindings. ``graph_var`` threads to :func:`_bgp_acc` (GRAPH
+    ?var quad patterns; the required group only — callers reject
+    OPTIONAL/MINUS/EXISTS under a variable graph scope).
 
     ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
     columns on the output (consumed by :mod:`engine.construct`, which
@@ -1283,7 +1299,8 @@ def _bgp_join(
     from .distinct import distinct_rows
 
     acc, acc_vars, acc_kinds = _bgp_acc(
-        stmt_fn, patterns, num_partitions, units, broadcast_limit
+        stmt_fn, patterns, num_partitions, units, broadcast_limit,
+        graph_var=graph_var,
     )
     if acc is _NO_MATCH:
         return rd.from_arrow(pa.table({}))

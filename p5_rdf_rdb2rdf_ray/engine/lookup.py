@@ -509,6 +509,7 @@ def get_pattern_store(
     units: list | None = None,
     graph: str | None = None,
     default_graph: bool = False,
+    graph_var: str | None = None,
 ) -> rd.Dataset:
     """:func:`get_pattern` served from a MATERIALIZED triple store
     (``sinks/triplestore.py``) instead of the source tables: each
@@ -536,6 +537,16 @@ def get_pattern_store(
     and the per-pattern ``store_statements`` reads. Property paths do
     not compose with a graph scope (the path relation reads the whole
     graph); pass neither or drop the paths.
+
+    ``graph_var`` [SPARQL §13.3 GRAPH ?var]: every pattern becomes a
+    QUAD pattern over the NAMED contexts — the store's ``graph`` column
+    binds to that variable and the join on it enforces the
+    same-context semantics, fully distributed with no per-context
+    fan-out (scale-safe at millions of contexts). Star fusion is
+    bypassed (the subject-pivot would have to pivot per (subject,
+    graph); per-pattern joins are exact), and OPTIONAL/MINUS/EXISTS/
+    paths under a variable graph scope are rejected loud — they would
+    need the graph binding threaded through the left/anti joins.
     """
     from ..sinks.triplestore import store_statements
 
@@ -548,22 +559,45 @@ def get_pattern_store(
             "graph=/default_graph= does not compose with paths= "
             "(path relations read the whole graph)"
         )
+    if graph_var is not None:
+        if graph is not None or default_graph:
+            raise ValueError(
+                "graph_var= does not compose with graph=/default_graph="
+            )
+        if paths:
+            raise ValueError(
+                "graph_var= does not compose with paths= "
+                "(path relations read the whole graph)"
+            )
+        if optional or minus or not_exists or exists:
+            raise NotImplementedError(
+                "OPTIONAL/MINUS/(NOT) EXISTS inside GRAPH ?var are not "
+                "supported (the graph binding is not threaded through "
+                "the left/anti joins); use a constant GRAPH scope"
+            )
 
     def stmt_fn(**kwargs):
         out = store_statements(
-            dirs[0], graph=graph, default_graph=default_graph, **kwargs
+            dirs[0], graph=graph, default_graph=default_graph,
+            named_only=graph_var is not None, **kwargs
         )
         for d in dirs[1:]:
             out = out.union(store_statements(
-                d, graph=graph, default_graph=default_graph, **kwargs
+                d, graph=graph, default_graph=default_graph,
+                named_only=graph_var is not None, **kwargs
             ))
         return out
 
     extra_units = list(units) if units else []
-    units, rest = _store_star_groups(
-        store_dir, patterns, filters=filters,
-        graph=graph, default_graph=default_graph,
-    )
+    if graph_var is not None:
+        # quad patterns bypass star fusion: the subject-pivot is
+        # per-subject-complete, not per-(subject, graph)-complete
+        units, rest = [], list(patterns)
+    else:
+        units, rest = _store_star_groups(
+            store_dir, patterns, filters=filters,
+            graph=graph, default_graph=default_graph,
+        )
     units = list(units) + extra_units
     if paths:
         # §9.1 property-path items: each becomes one binding unit whose
@@ -598,6 +632,7 @@ def get_pattern_store(
         stmt_fn, rest, num_partitions, filters=filters, units=units,
         optional_groups=optional_groups or None, negations=negs,
         bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
+        graph_var=graph_var,
     )
     return apply_solution_modifiers(out, order_by, limit, offset)
 

@@ -226,6 +226,7 @@ class WhereClause:
 class ParsedQuery:
     form: str  # SELECT ASK CONSTRUCT DESCRIBE
     graph: str | None = None  # GRAPH <iri> scope wrapping the WHERE body
+    graph_var: str | None = None  # GRAPH ?var scope (bare variable name)
     distinct: bool = False
     project: list[str] | None = None  # None = *
     aggregates: dict | None = None  # alias -> ("count*"|fn, var, extra)
@@ -680,9 +681,12 @@ class _Parser:
                 # parser's scope attribute around the nested parse.
                 self.next()
                 saved = getattr(self, "_graph_scope", None)
+                saved_var = getattr(self, "_graph_var", None)
                 self._graph_scope = None
+                self._graph_var = None
                 sub = self.parse_select(top=False)
                 self._graph_scope = saved
+                self._graph_var = saved_var
                 self.expect("PUNCT", "}")
                 if sub.project is None:
                     raise ValueError(
@@ -758,10 +762,16 @@ class _Parser:
                 self._graph_scope = self.next().val
             elif t.kind == "PNAME":
                 self._graph_scope = self.expand(self.next())
+            elif t.kind == "VAR":
+                # GRAPH ?var: ranges over the store's NAMED contexts
+                # (SPARQL §13.3); planned as QUAD patterns — the store's
+                # graph column binds the variable, the BGP join on it
+                # enforces same-context semantics (no context fan-out)
+                self._graph_var = self.next().val
             else:
                 raise ValueError(
-                    f"GRAPH needs a constant IRI at char {t.pos} "
-                    "(GRAPH ?var is not supported)"
+                    f"GRAPH needs a constant IRI or a variable at char "
+                    f"{t.pos}"
                 )
             inner = self.group()
             self.expect("PUNCT", "}")
@@ -927,6 +937,7 @@ class _Parser:
             q = ParsedQuery(form="ASK")
             q.where, q.union_groups = self.where_clause()
             q.graph = getattr(self, "_graph_scope", None)
+            q.graph_var = getattr(self, "_graph_var", None)
             self.expect("EOF")
             return q
         if t.val == "construct":
@@ -969,6 +980,7 @@ class _Parser:
                 q.aggregates = None
         q.where, q.union_groups = self.where_clause()
         q.graph = getattr(self, "_graph_scope", None)
+        q.graph_var = getattr(self, "_graph_var", None)
         self.solution_modifiers(q)
         if top:
             self.expect("EOF")
@@ -1005,6 +1017,7 @@ class _Parser:
         q.construct_templates = tmpl.patterns
         q.where, q.union_groups = self.where_clause()
         q.graph = getattr(self, "_graph_scope", None)
+        q.graph_var = getattr(self, "_graph_var", None)
         self.solution_modifiers(q)
         if q.group_by or q.order_by or q.limit is not None or q.offset:
             raise ValueError(
@@ -1042,6 +1055,7 @@ class _Parser:
             if q.where is None:
                 raise ValueError("DESCRIBE ?var needs a WHERE clause")
             q.graph = getattr(self, "_graph_scope", None)
+            q.graph_var = getattr(self, "_graph_var", None)
             self.solution_modifiers(q)
             if q.group_by or q.having:
                 raise ValueError("DESCRIBE does not support GROUP BY")
@@ -1171,10 +1185,15 @@ def _eval_query(
         )
 
     wc = q.where
-    if q.graph is not None and kind != "store":
+    if (q.graph is not None or q.graph_var is not None) and kind != "store":
         raise ValueError(
             "GRAPH scope needs a triple-store source (the DM virtual "
             "graph has no named contexts)"
+        )
+    if q.graph_var is not None and wc.subqueries:
+        raise NotImplementedError(
+            "subqueries inside GRAPH ?var are not supported (the "
+            "subquery would evaluate outside the variable graph scope)"
         )
     plan_kwargs = dict(
         filters=wc.filters or None,
@@ -1249,6 +1268,8 @@ def _eval_query(
         if kind == "store":
             if q.graph is not None:
                 kw["graph"] = q.graph
+            if q.graph_var is not None:
+                kw["graph_var"] = q.graph_var
             return get_pattern_store(source, wc.patterns, **plan_kwargs, **kw)
         return get_pattern(source, wc.patterns, base=base, **plan_kwargs, **kw)
 

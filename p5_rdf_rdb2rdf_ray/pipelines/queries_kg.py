@@ -1162,6 +1162,38 @@ FROM nation ORDER BY nm
 """
 
 
+def q_sparql_graph_var(sf_dir: str) -> rd.Dataset:
+    """``GRAPH ?var`` [SPARQL §13.3] over a quad store: every pattern
+    becomes a QUAD pattern — the store's graph column binds ``?g``
+    directly (named contexts only; no per-context fan-out, so the plan
+    is one distributed scan + grouped count regardless of how many
+    contexts exist). The region POM quads live in gMeta, one
+    graph/{{rk}} context per region, and the nil (default) graph —
+    the last must NOT appear in the result."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        _nation_ctx_store(sf_dir),
+        f"""
+        SELECT ?g (COUNT(?n) AS ?c) WHERE {{
+          GRAPH ?g {{ ?n <{BASE}region> ?r }}
+        }} GROUP BY ?g ORDER BY ?g
+        """,
+    )
+
+
+# region quads: every nation row in gMeta + its graph/{rk} context;
+# rr:defaultGraph rows carry NULL graph and are excluded by GRAPH ?var.
+SQL_SPARQL_GRAPH_VAR = f"""
+SELECT g, c FROM (
+  SELECT '{BASE}gMeta' AS g, CAST(count(*) AS BIGINT) AS c FROM nation
+  UNION ALL
+  SELECT '{BASE}graph/' || n_regionkey, CAST(count(*) AS BIGINT)
+  FROM nation GROUP BY n_regionkey
+) t ORDER BY g
+"""
+
+
 # Named contexts = the two constant graphs + one template graph per
 # distinct n_regionkey; rr:defaultGraph quads carry a NULL graph and are
 # excluded by get_contexts semantics.

@@ -1092,6 +1092,7 @@ def store_statements(
     obj_literal: str | None = None,
     graph: str | None = None,
     default_graph: bool = False,
+    named_only: bool = False,
 ) -> rd.Dataset:
     """Lazy Dataset of store triples matching the bound terms — the
     Store ``get_statements($s,$p,$o,$g)`` surface served from the
@@ -1102,7 +1103,10 @@ def store_statements(
     IRIs/bnodes only, ``obj_literal`` literals only; ``graph`` a named
     context, ``default_graph=True`` the nil context — quads with NULL
     graph [R: Store.pm get_statements takes the context as its fourth
-    bound term])."""
+    bound term]; ``named_only=True`` restricts to quads with ANY named
+    context (graph IS NOT NULL) — the statement source for
+    ``GRAPH ?var`` [SPARQL §13.3], where the graph column itself
+    becomes a binding)."""
     import pyarrow.compute as pc
 
     from ..terms import KIND_LITERAL, TRIPLE_SCHEMA
@@ -1111,6 +1115,10 @@ def store_statements(
         # validate BEFORE the empty-store early return — the contract
         # violation must not be state-dependent
         raise ValueError("bind graph= OR default_graph=True, not both")
+    if named_only and (graph is not None or default_graph):
+        raise ValueError(
+            "named_only=True does not compose with graph=/default_graph="
+        )
     parts = _store_parts(out_dir, subject)
     if not parts:
         return rd.from_arrow(
@@ -1140,4 +1148,6 @@ def store_statements(
         conj(pc.field("graph") == graph)
     elif default_graph:
         conj(pc.field("graph").is_null())
+    elif named_only:
+        conj(pc.field("graph").is_valid())
     return rd.read_parquet(parts, filter=flt)

@@ -556,18 +556,24 @@ def test_filter_string_functions(store, ray_session):
 
 def test_graph_scope_and_sample(store, ray_session):
     """GRAPH <g> scopes to a named context (the fixture store is all
-    default-graph, so any named scope is empty); GRAPH on a catalog
-    source and GRAPH ?var reject; SAMPLE aggregates deterministically
-    (lexical min)."""
+    default-graph, so any named scope is empty — and so is GRAPH ?var,
+    which ranges over named contexts only); GRAPH on a catalog source
+    rejects; SAMPLE aggregates deterministically (lexical min)."""
     got = sparql(
         store,
         f"SELECT ?s WHERE {{ GRAPH <http://g/x> {{ ?s <{N}name> ?nm }} }}",
     ).take_all()
     assert got == []
-    with pytest.raises(ValueError, match="GRAPH needs a constant IRI"):
-        parse_query(
-            f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{N}name> ?nm }} }}"
-        )
+    q = parse_query(
+        f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{N}name> ?nm }} }}"
+    )
+    assert q.graph_var == "g" and q.graph is None
+    # the fixture is all default-graph: GRAPH ?var binds nothing
+    got = sparql(
+        store,
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{N}name> ?nm }} }}",
+    ).take_all()
+    assert got == []
     from p5_rdf_rdb2rdf_ray.pipelines.queries_kg import BASE, catalog_for
 
     with pytest.raises(ValueError, match="triple-store source"):
@@ -583,6 +589,106 @@ def test_graph_scope_and_sample(store, ray_session):
         }} GROUP BY ?v ORDER BY ?v""",
     ).take_all()
     assert [(r["v"], r["one"]) for r in got] == [("3", "alpha"), ("7", "beta")]
+
+
+@pytest.fixture(scope="module")
+def quad_store(ray_session, tmp_path_factory):
+    """Named-context fixture for GRAPH ?var: quads spread over two
+    named graphs plus default-graph rows that must stay invisible."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    I, L = KIND_IRI, KIND_LITERAL
+    G1, G2 = N + "g1", N + "g2"
+    rows = [
+        (N + "a", N + "p", N + "b", I, G1),
+        (N + "a", N + "name", "alpha", L, G1),
+        (N + "a", N + "name", "alpha", L, G2),  # same triple, two graphs
+        (N + "b", N + "name", "beta", L, G2),
+        (N + "c", N + "name", "gamma", L, G2),
+        (N + "d", N + "name", "delta", L, None),  # default graph: hidden
+        (N + "b", N + "p", N + "c", I, None),
+        (N + "a", N + "home", G1, I, G1),  # object == own context
+        (N + "b", N + "home", G1, I, G2),  # object != own context
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([r[3] for r in rows], pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("quadstore") / "store")
+    write_triplestore(rd.from_arrow(t), out, num_buckets=4)
+    return out
+
+
+def test_graph_var(quad_store, ray_session):
+    """GRAPH ?var [SPARQL §13.3] as distributed QUAD patterns: the
+    context binds per solution, named graphs only, one shared context
+    across the group's patterns, and the variable composes with
+    aggregates, ASK, and other pattern variables."""
+    G1, G2 = N + "g1", N + "g2"
+
+    # context binding: one row per (quad match); default graph hidden
+    got = sparql(
+        quad_store,
+        f"SELECT ?g ?s ?nm WHERE {{ GRAPH ?g {{ ?s <{N}name> ?nm }} }} "
+        "ORDER BY ?nm ?g",
+    ).take_all()
+    assert [(r["g"], r["nm"]) for r in got] == [
+        (G1, "alpha"), (G2, "alpha"), (G2, "beta"), (G2, "gamma")
+    ]
+
+    # same-context join: both patterns must hold in ONE graph
+    got = sparql(
+        quad_store,
+        f"""SELECT ?g ?nm WHERE {{
+          GRAPH ?g {{ ?s <{N}p> ?o . ?s <{N}name> ?nm }}
+        }}""",
+    ).take_all()
+    assert [(r["g"], r["nm"]) for r in got] == [(G1, "alpha")]
+
+    # graph var shared with an object position: term equality
+    got = sparql(
+        quad_store,
+        f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{N}home> ?g }} }}",
+    ).take_all()
+    assert [r["s"] for r in got] == [N + "a"]
+
+    # aggregate over the context variable
+    got = sparql(
+        quad_store,
+        f"""SELECT ?g (COUNT(?s) AS ?c) WHERE {{
+          GRAPH ?g {{ ?s <{N}name> ?nm }}
+        }} GROUP BY ?g ORDER BY ?g""",
+    ).take_all()
+    assert [(r["g"], r["c"]) for r in got] == [(G1, 1), (G2, 3)]
+
+    # ASK + FILTER over the bound context
+    assert sparql(
+        quad_store,
+        f'ASK {{ GRAPH ?g {{ ?s <{N}name> "beta" }} }}',
+    )
+    got = sparql(
+        quad_store,
+        f"""SELECT ?nm WHERE {{
+          GRAPH ?g {{ ?s <{N}name> ?nm FILTER(?g = <{G1}>) }}
+        }}""",
+    ).take_all()
+    assert [r["nm"] for r in got] == ["alpha"]
+
+    # loud rejections: OPTIONAL under a variable scope; paths
+    with pytest.raises(NotImplementedError, match="GRAPH"):
+        sparql(
+            quad_store,
+            f"""SELECT ?s WHERE {{ GRAPH ?g {{
+              ?s <{N}name> ?nm OPTIONAL {{ ?s <{N}p> ?o }}
+            }} }}""",
+        )
 
 
 def test_subquery(store, ray_session):
