@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "sparql_two_optionals",
     "sparql_filter_in",
     "sparql_var_pred",
+    "sparql_graph_var",
 ]
 
 

@@ -128,6 +128,9 @@ _STR_FILTER_FNS = {
     "strends": "ends_with",
 }
 
+# SPARQL §17.4.2 term tests — ("?var", op, True) atoms over term kinds
+_TERM_TEST_OPS = {"isiri", "isblank", "isliteral", "isnumeric"}
+
 
 def _validate_filter(flt: tuple) -> None:
     """Raise up-front (driver side, not inside a Ray task) on a filter
@@ -139,7 +142,7 @@ def _validate_filter(flt: tuple) -> None:
             _validate_filter(sub)
         return
     var, op, val = flt
-    if op == "bound":
+    if op == "bound" or op in _TERM_TEST_OPS:
         return
     if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
         raise ValueError(f"unsupported filter op {op!r}")
@@ -166,6 +169,45 @@ def _atomic_mask(t: pa.Table, var: str, op: str, val):
         col = t.column(name).combine_chunks()
         m = pc.is_valid(col).to_numpy(zero_copy_only=False)
         return m, np.ones(len(m), dtype=bool)
+    if op in _TERM_TEST_OPS:
+        # §17.4.2 term tests: the term kind comes from the hidden
+        # ``__k_<var>`` column when the planner kept one (object /
+        # BIND / VALUES positions), else derives from the lexical form
+        # (subject/predicate positions bind IRIs or bnodes only).
+        # isNUMERIC follows the engine's datatype-insensitive model: a
+        # LITERAL whose lexical form parses as a number. Unbound is a
+        # type error (never passes, ``!test`` drops it too).
+        from ..terms import (
+            KIND_BNODE, KIND_IRI, KIND_LITERAL, derive_term_kind,
+        )
+
+        col = t.column(name).combine_chunks()
+        kname = f"__k_{name}"
+        kd = (
+            t.column(kname).combine_chunks()
+            if kname in t.column_names
+            else derive_term_kind(col)
+        )
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if op == "isnumeric":
+            lit = pc.fill_null(
+                pc.equal(kd, KIND_LITERAL), False
+            ).to_numpy(zero_copy_only=False)
+            num = (
+                pd.to_numeric(col.to_pandas(), errors="coerce")
+                .notna()
+                .to_numpy()
+            )
+            return valid & lit & num, valid
+        want = {
+            "isiri": KIND_IRI,
+            "isblank": KIND_BNODE,
+            "isliteral": KIND_LITERAL,
+        }[op]
+        m = pc.fill_null(pc.equal(kd, want), False).to_numpy(
+            zero_copy_only=False
+        )
+        return valid & m, valid
     if op in _STR_FILTER_FNS:
         col = t.column(name).combine_chunks()
         m = getattr(pc, _STR_FILTER_FNS[op])(col, str(val))
@@ -288,6 +330,10 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
 #   ("strlen", a) ("ucase", a) ("lcase", a)
 #   ("substr", a, start[, len]) -> SPARQL 1-based substring
 #   ("replace", a, pat, repl)   -> regex replace
+#   ("str", a)                  -> lexical form, bound as a literal
+#   ("strbefore"|"strafter", a, sep) -> §17.4.3 (constant sep; no match -> "")
+#   ("abs"|"ceil"|"floor"|"round", a) -> numeric (round = xpath ties-up)
+#   ("encode_for_uri", a)       -> percent-encode outside RFC3986 unreserved
 #   ("+"|"-"|"*"|"/", a, b)     -> numeric (lexical forms parse numerically;
 #                                  a non-numeric binding yields NULL = the
 #                                  SPARQL expression-error -> unbound rule)
@@ -418,6 +464,60 @@ def _compile_bind(expr):
         return lambda df: fns[0](df).astype("string").str.replace(
             pat, repl, regex=True
         )
+    if op == "str":
+        # lexical identity — the engine's bindings ARE lexical forms;
+        # the result binds as a literal (the default BIND kind), which
+        # is exactly STR()'s IRI→string / literal→lexical semantics
+        return lambda df: fns[0](df).astype("string")
+    if op in ("strbefore", "strafter"):
+        sep = args[1]
+        if not isinstance(sep, str):
+            raise ValueError(
+                f"{op.upper()} needs a constant separator string"
+            )
+
+        def part(df, _after=(op == "strafter"), _sep=sep):
+            s = fns[0](df).astype("string")
+            if _sep == "":
+                # §17.4.3.3/.4: empty separator → "" before, whole after
+                return s if _after else s.where(s.isna(), "")
+            parts = s.str.split(_sep, n=1, regex=False)
+            found = (parts.str.len() > 1).fillna(False)
+            picked = parts.str[1] if _after else parts.str[0]
+            # no match → "" (not an error), unbound input stays unbound
+            return picked.where(found, "").mask(s.isna())
+
+        return part
+    if op in ("abs", "ceil", "floor", "round"):
+        def num1(df, _op=op):
+            import numpy as np
+
+            num = pd.to_numeric(fns[0](df), errors="coerce")
+            if _op == "abs":
+                return num.abs()
+            if _op == "ceil":
+                return pd.Series(np.ceil(num), index=num.index)
+            if _op == "floor":
+                return pd.Series(np.floor(num), index=num.index)
+            # xpath fn:round — ties round toward positive infinity
+            return pd.Series(np.floor(num + 0.5), index=num.index)
+
+        return num1
+    if op == "encode_for_uri":
+        def enc(df):
+            from urllib.parse import quote
+
+            s = fns[0](df).astype("string")
+            # fast path: rows that are all RFC3986-unreserved pass
+            # zero-copy; only flagged rows take the per-value encoder
+            need = (
+                s.str.fullmatch(r"[A-Za-z0-9\-._~]*") == False  # noqa: E712
+            ).fillna(False).astype(bool)
+            if need.any():
+                s = s.mask(need, s[need].map(lambda v: quote(v, safe="")))
+            return s
+
+        return enc
     if op in _BIND_ARITH:
         def arith(df, _op=op):
             a = pd.to_numeric(fns[0](df), errors="coerce")

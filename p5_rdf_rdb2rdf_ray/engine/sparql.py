@@ -14,7 +14,9 @@ aggregates + GROUP BY/HAVING) / ASK / CONSTRUCT / DESCRIBE; WHERE with
 triple patterns (``;`` / ``,`` abbreviations, ``a``), property paths
 (``/ | ^ + * ? !(…)``), FILTER comparisons (``&&``-conjoined), FILTER
 EXISTS / NOT EXISTS, OPTIONAL, MINUS, top-level UNION, VALUES, BIND (CONCAT,
-STRLEN, UCASE, LCASE, SUBSTR, REPLACE, IF, COALESCE, IRI, arithmetic);
+STRLEN, UCASE, LCASE, SUBSTR, REPLACE, IF, COALESCE, IRI, STR, STRBEFORE,
+STRAFTER, ABS, CEIL, FLOOR, ROUND, ENCODE_FOR_URI, arithmetic); FILTER term
+tests isIRI/isBlank/isLiteral/isNumeric (§17.4.2 over term kinds);
 solution modifiers ORDER BY / LIMIT / OFFSET; PREFIX declarations.
 Anything outside the subset fails loud with the offending token —
 never a silent wrong answer.
@@ -57,7 +59,9 @@ _KEYWORDS = {
     "coalesce", "iri", "uri", "concat", "strlen", "ucase", "lcase",
     "substr", "replace", "a", "true", "false", "insert", "delete",
     "data", "regex", "contains", "strstarts", "strends", "graph",
-    "in", "bound",
+    "in", "bound", "str", "strbefore", "strafter", "abs", "ceil",
+    "floor", "round", "encode_for_uri", "isiri", "isuri", "isblank",
+    "isliteral", "isnumeric",
 }
 
 _ESCAPES = {
@@ -199,7 +203,7 @@ def _tokenize(text: str) -> list[_Tok]:
                 i += len(op)
                 break
         else:
-            if c in "{}().;,*/|^+?!=<>":
+            if c in "{}().;,*/|^+-?!=<>":
                 toks.append(_Tok("PUNCT", c, i))
                 i += 1
             else:
@@ -383,10 +387,23 @@ class _Parser:
 
     def expr_additive(self):
         left = self.expr_mult()
-        while self.peek().kind == "PUNCT" and self.peek().val in ("+", "-"):
-            op = self.next().val
-            left = (op, left, self.expr_mult())
-        return left
+        while True:
+            t = self.peek()
+            if t.kind == "PUNCT" and t.val in ("+", "-"):
+                op = self.next().val
+                left = (op, left, self.expr_mult())
+                continue
+            if (
+                t.kind == "NUMBER"
+                and isinstance(t.val, (int, float))
+                and t.val < 0
+            ):
+                # §19.8 AdditiveExpression's NumericLiteralNegative
+                # branch: `?v-10` tokenizes as VAR NUMBER(-10)
+                self.next()
+                left = ("+", left, t.val)
+                continue
+            return left
 
     def expr_mult(self):
         left = self.expr_primary()
@@ -409,7 +426,9 @@ class _Parser:
             self.expect("PUNCT", ")")
             return e
         if t.kind == "KW" and t.val in (
-            "concat", "strlen", "ucase", "lcase", "coalesce",
+            "concat", "strlen", "ucase", "lcase", "coalesce", "str",
+            "strbefore", "strafter", "abs", "ceil", "floor", "round",
+            "encode_for_uri",
         ):
             self.next()
             self.expect("PUNCT", "(")
@@ -531,6 +550,17 @@ class _Parser:
             var = self.expect("VAR").val
             self.expect("PUNCT", ")")
             return ("?" + var, "bound", True)
+        if t0.kind == "KW" and t0.val in (
+            "isiri", "isuri", "isblank", "isliteral", "isnumeric"
+        ):
+            # §17.4.2 term tests over the binding's term kind (isNUMERIC
+            # follows the engine's lexical model: a literal whose
+            # lexical form parses as a number)
+            fn = self.next().val
+            self.expect("PUNCT", "(")
+            var = self.expect("VAR").val
+            self.expect("PUNCT", ")")
+            return ("?" + var, {"isuri": "isiri"}.get(fn, fn), True)
         t = self.expect("VAR")
         if self.at_kw("in") or (
             self.at_kw("not")

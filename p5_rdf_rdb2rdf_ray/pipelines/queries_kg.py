@@ -1426,6 +1426,41 @@ ORDER BY nm LIMIT 12
 """
 
 
+def q_sparql_builtins(sf_dir: str) -> rd.Dataset:
+    """§17.4 built-ins end-to-end over the DM virtual graph: STRAFTER /
+    ROUND (xpath ties-up) / ENCODE_FOR_URI / CONCAT in BIND plus the
+    isLiteral/isIRI/isNumeric term tests in FILTER (all three are
+    tautologies over this data — they must not drop rows)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm ?suf ?r ?e WHERE {{
+          ?n <{BASE}nation#n_name> ?nm ;
+             <{BASE}nation#n_nationkey> ?k .
+          FILTER(isLiteral(?nm) && isIRI(?n) && isNumeric(?k))
+          BIND(STRAFTER(?nm, "_") AS ?suf)
+          BIND(ROUND(?k / 2) AS ?r)
+          BIND(ENCODE_FOR_URI(CONCAT(?nm, "/x")) AS ?e)
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+# n_name is 'NATION_<k>' (suffix starts at char 8); ROUND is xpath
+# fn:round (ties toward +inf) = floor(x + 0.5); '/' percent-encodes,
+# the name's [A-Z0-9_] chars are RFC3986-unreserved and pass through.
+SQL_SPARQL_BUILTINS = """
+SELECT n_name AS nm,
+       substr(n_name, 8) AS suf,
+       CAST(CAST(floor(n_nationkey / 2.0 + 0.5) AS BIGINT) AS VARCHAR) AS r,
+       n_name || '%2Fx' AS e
+FROM nation ORDER BY nm
+"""
+
+
 def q_sparql_var_pred(sf_dir: str) -> rd.Dataset:
     """Textual VARIABLE-PREDICATE pattern (``?s ?p ?o`` — SPARQL §19.8
     Verb := VarOrIri): per-predicate triple counts over the nation

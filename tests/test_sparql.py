@@ -591,6 +591,83 @@ def test_graph_scope_and_sample(store, ray_session):
     assert [(r["v"], r["one"]) for r in got] == [("3", "alpha"), ("7", "beta")]
 
 
+def test_builtin_fns_and_term_tests(store, ray_session, tmp_path):
+    """§17.4 built-ins: STR/STRBEFORE/STRAFTER/ABS/CEIL/FLOOR/ROUND/
+    ENCODE_FOR_URI in BIND (non-numeric input → unbound; no-match
+    separator → ""), and the isIRI/isBlank/isLiteral/isNumeric term
+    tests in FILTER (kind columns where kept, derived elsewhere)."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+    from p5_rdf_rdb2rdf_ray.terms import KIND_BNODE
+
+    got = sparql(
+        store,
+        f"""SELECT ?nm ?b ?a ?e ?st WHERE {{
+          ?s <{N}name> ?nm
+          BIND(STRBEFORE(?nm, "e") AS ?b) BIND(STRAFTER(?nm, "e") AS ?a)
+          BIND(ENCODE_FOR_URI(CONCAT(?nm, " /1")) AS ?e)
+          BIND(STR(?s) AS ?st)
+        }} ORDER BY ?nm""",
+    ).take_all()
+    assert [(r["nm"], r["b"], r["a"], r["e"]) for r in got] == [
+        ("alpha", "", "", "alpha%20%2F1"),
+        ("beta", "b", "ta", "beta%20%2F1"),
+        ("gamma", "", "", "gamma%20%2F1"),
+    ]
+    assert got[0]["st"] == N + "a"  # STR(?iri) = the IRI string
+
+    got = sparql(
+        store,
+        f"""SELECT ?v ?ab ?c ?f ?r WHERE {{
+          ?s <{N}score> ?v . ?s <{N}name> "alpha"
+          BIND(ABS(?v - 10) AS ?ab) BIND(CEIL(?v / 2) AS ?c)
+          BIND(FLOOR(?v / 2) AS ?f) BIND(ROUND(?v / 2) AS ?r)
+        }}""",
+    ).take_all()  # v=3: |3-10|=7, ceil(1.5)=2, floor=1, round(1.5)=2
+    assert [(r["ab"], r["c"], r["f"], r["r"]) for r in got] == [
+        ("7", "2", "1", "2")
+    ]
+
+    # term tests: STR(?s) is a literal; ?s itself an IRI; a bnode object
+    # store: one IRI object, one bnode object, names are literals
+    import pyarrow as pa2
+
+    t = pa2.table(
+        {
+            "subj": [N + "x", N + "x", N + "x"],
+            "pred": [N + "v"] * 3,
+            "obj": [N + "y", "_:bn", "12"],
+            "obj_kind": pa2.array(
+                [KIND_IRI, KIND_BNODE, KIND_LITERAL], pa2.uint8()
+            ),
+            "lang": pa2.array([None] * 3, pa2.string()),
+            "datatype": pa2.array([None] * 3, pa2.string()),
+            "graph": pa2.array([None] * 3, pa2.string()),
+        }
+    )
+    out = str(tmp_path / "termstore")
+    write_triplestore(rd.from_arrow(t), out, num_buckets=2)
+
+    def objs(test):
+        return sorted(
+            r["o"]
+            for r in sparql(
+                out, f"SELECT ?o WHERE {{ ?s <{N}v> ?o FILTER({test}) }}"
+            ).take_all()
+        )
+
+    assert objs("isIRI(?o)") == [N + "y"]
+    assert objs("isBlank(?o)") == ["_:bn"]
+    assert objs("isLiteral(?o)") == ["12"]
+    assert objs("isNumeric(?o)") == ["12"]
+    assert objs("!isLiteral(?o)") == ["_:bn", N + "y"]
+    # derived-kind path: subject position has no __k_ column
+    got = sparql(
+        out,
+        f"SELECT ?s WHERE {{ ?s <{N}v> ?o FILTER(isIRI(?s)) }}",
+    ).take_all()
+    assert sorted({r["s"] for r in got}) == [N + "x"]
+
+
 @pytest.fixture(scope="module")
 def quad_store(ray_session, tmp_path_factory):
     """Named-context fixture for GRAPH ?var: quads spread over two
