@@ -1086,6 +1086,7 @@ def _bgp_anti(
     n_units: list | None,
     num_partitions: int,
     broadcast_limit: int,
+    graph_var: str | None = None,
 ) -> tuple[rd.Dataset, bool]:
     """One SPARQL existence group (MINUS / FILTER NOT EXISTS / FILTER
     EXISTS) applied to the accumulated required bindings [graft
@@ -1121,8 +1122,12 @@ def _bgp_anti(
 
     if mode not in ("minus", "not_exists", "exists"):
         raise ValueError(f"unknown negation mode {mode!r}")
+    # graph_var [GRAPH ?var]: the group's patterns bind the context too,
+    # and the context joins the shared-variable set — the anti/semi join
+    # then enforces SPARQL's per-named-graph Minus/Exists semantics
     nacc, nvars, nkinds = _bgp_acc(
-        stmt_fn, n_pats, num_partitions, n_units, broadcast_limit
+        stmt_fn, n_pats, num_partitions, n_units, broadcast_limit,
+        graph_var=graph_var,
     )
     if nacc is _NO_MATCH:
         # group can match nothing → negation is a no-op; positive
@@ -1229,6 +1234,7 @@ def _bgp_left_join(
     optional_units,
     num_partitions: int,
     broadcast_limit: int,
+    graph_var: str | None = None,
 ):
     """ONE left-outer (OPTIONAL) group joined into the accumulator
     [SPARQL 1.1 §6 LeftJoin]: required solutions keep their row when
@@ -1236,12 +1242,15 @@ def _bgp_left_join(
     NULL. Restriction (raises ValueError): every shared variable must
     carry term-kind visibility on BOTH sides or NEITHER — a mixed pair
     cannot be joined term-correctly without splitting required rows.
+    ``graph_var`` [GRAPH ?var]: the group binds the context variable
+    too, so the left join matches per named graph — exactly
+    ``Graph(?g, LeftJoin(A, B))``'s per-context semantics.
     Returns the updated ``(acc, acc_vars, acc_kinds)``."""
     import ray
 
     oacc, ovars, okinds = _bgp_acc(
         stmt_fn, optional or [], num_partitions, optional_units,
-        broadcast_limit,
+        broadcast_limit, graph_var=graph_var,
     )
     if oacc is _NO_MATCH:
         # a fully-bound pattern in the group matched nothing → the
@@ -1377,9 +1386,10 @@ def _bgp_join(
     graph_var: str | None = None,
 ) -> rd.Dataset:
     """Required BGP ⟕ optional BGP groups → negations → BIND → FILTER →
-    distinct bindings. ``graph_var`` threads to :func:`_bgp_acc` (GRAPH
-    ?var quad patterns; the required group only — callers reject
-    OPTIONAL/MINUS/EXISTS under a variable graph scope).
+    distinct bindings. ``graph_var`` threads to every :func:`_bgp_acc`
+    (GRAPH ?var quad patterns — required, OPTIONAL, and negation groups
+    all bind the context, so the joins enforce SPARQL's per-named-graph
+    LeftJoin/Minus/Exists semantics).
 
     ``keep_kinds=True`` retains the hidden ``__k_<var>`` term-kind
     columns on the output (consumed by :mod:`engine.construct`, which
@@ -1422,13 +1432,13 @@ def _bgp_join(
     for o_pats, o_units in optional_groups or []:
         acc, acc_vars, acc_kinds = _bgp_left_join(
             acc, acc_vars, acc_kinds, stmt_fn, o_pats, o_units,
-            num_partitions, broadcast_limit,
+            num_partitions, broadcast_limit, graph_var=graph_var,
         )
 
     for mode, n_pats, n_units in negations or []:
         acc, empty = _bgp_anti(
             acc, acc_vars, acc_kinds, stmt_fn, mode, n_pats, n_units,
-            num_partitions, broadcast_limit,
+            num_partitions, broadcast_limit, graph_var=graph_var,
         )
         if empty:  # (NOT-)EXISTS global gate fired: no solutions survive
             acc = acc.limit(0)

@@ -544,9 +544,11 @@ def get_pattern_store(
     same-context semantics, fully distributed with no per-context
     fan-out (scale-safe at millions of contexts). Star fusion is
     bypassed (the subject-pivot would have to pivot per (subject,
-    graph); per-pattern joins are exact), and OPTIONAL/MINUS/EXISTS/
-    paths under a variable graph scope are rejected loud — they would
-    need the graph binding threaded through the left/anti joins.
+    graph); per-pattern joins are exact). OPTIONAL/MINUS/(NOT) EXISTS
+    groups bind the context variable too, so the left/anti joins are
+    per-named-graph — exactly ``Graph(?g, LeftJoin/Minus(A, B))``.
+    Property paths under a variable scope are rejected loud (the path
+    relation reads the whole graph).
     """
     from ..sinks.triplestore import store_statements
 
@@ -568,12 +570,6 @@ def get_pattern_store(
             raise ValueError(
                 "graph_var= does not compose with paths= "
                 "(path relations read the whole graph)"
-            )
-        if optional or minus or not_exists or exists:
-            raise NotImplementedError(
-                "OPTIONAL/MINUS/(NOT) EXISTS inside GRAPH ?var are not "
-                "supported (the graph binding is not threaded through "
-                "the left/anti joins); use a constant GRAPH scope"
             )
 
     def stmt_fn(**kwargs):
@@ -612,16 +608,27 @@ def get_pattern_store(
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     optional_groups = []
     for grp in _optional_as_groups(optional):
-        o_units, o_rest = _store_star_groups(
-            store_dir, grp, graph=graph, default_graph=default_graph
-        )
-        optional_groups.append((o_rest, o_units))
+        if graph_var is not None:
+            # quad patterns bypass star fusion (see above); the group
+            # binds the context var itself, so the left join is
+            # per-named-graph
+            optional_groups.append((list(grp), []))
+        else:
+            o_units, o_rest = _store_star_groups(
+                store_dir, grp, graph=graph, default_graph=default_graph
+            )
+            optional_groups.append((o_rest, o_units))
     negs = [
         (
             mode,
-            *reversed(_store_star_groups(
-                store_dir, grp, graph=graph, default_graph=default_graph
-            )),
+            *(
+                (list(grp), [])
+                if graph_var is not None
+                else tuple(reversed(_store_star_groups(
+                    store_dir, grp, graph=graph,
+                    default_graph=default_graph,
+                )))
+            ),
         )
         for mode, grp in (
             ("minus", minus), ("not_exists", not_exists), ("exists", exists)

@@ -758,14 +758,31 @@ def test_graph_var(quad_store, ray_session):
     ).take_all()
     assert [r["nm"] for r in got] == ["alpha"]
 
-    # loud rejections: OPTIONAL under a variable scope; paths
-    with pytest.raises(NotImplementedError, match="GRAPH"):
-        sparql(
-            quad_store,
-            f"""SELECT ?s WHERE {{ GRAPH ?g {{
-              ?s <{N}name> ?nm OPTIONAL {{ ?s <{N}p> ?o }}
-            }} }}""",
-        )
+    # OPTIONAL is per-named-graph: Graph(?g, LeftJoin(A, B)) — a's
+    # p-edge lives in g1 only, so its g2 name row NULL-extends; b's
+    # p-edge is default-graph (invisible to GRAPH ?var)
+    got = sparql(
+        quad_store,
+        f"""SELECT ?g ?nm ?o WHERE {{ GRAPH ?g {{
+          ?s <{N}name> ?nm OPTIONAL {{ ?s <{N}p> ?o }}
+        }} }} ORDER BY ?nm ?g""",
+    ).take_all()
+    assert [(r["g"], r["nm"], r["o"]) for r in got] == [
+        (G1, "alpha", N + "b"), (G2, "alpha", None),
+        (G2, "beta", None), (G2, "gamma", None),
+    ]
+
+    # MINUS is per-named-graph too: only (g1, alpha) has a same-graph
+    # p-edge and drops
+    got = sparql(
+        quad_store,
+        f"""SELECT ?g ?nm WHERE {{ GRAPH ?g {{
+          ?s <{N}name> ?nm MINUS {{ ?s <{N}p> ?o }}
+        }} }} ORDER BY ?nm ?g""",
+    ).take_all()
+    assert [(r["g"], r["nm"]) for r in got] == [
+        (G2, "alpha"), (G2, "beta"), (G2, "gamma")
+    ]
 
 
 def test_subquery(store, ray_session):
