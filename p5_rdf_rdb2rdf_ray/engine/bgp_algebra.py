@@ -142,6 +142,20 @@ def _validate_filter(flt: tuple) -> None:
             _validate_filter(sub)
         return
     var, op, val = flt
+    if isinstance(var, tuple):
+        # computed left side, e.g. ("strlen", "?nm") — comparisons vs a
+        # constant only (the BIND expression machinery evaluates it)
+        if op not in _FILTER_OPS:
+            raise ValueError(
+                f"computed filter left sides support comparisons only, "
+                f"got op {op!r}"
+            )
+        if isinstance(val, tuple):
+            raise ValueError(
+                "computed filter left sides need a constant right side"
+            )
+        _compile_bind(var)  # raises on an unsupported function
+        return
     if op == "bound" or op in _TERM_TEST_OPS:
         return
     if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
@@ -163,6 +177,36 @@ def _atomic_mask(t: pa.Table, var: str, op: str, val):
     forms are errors likewise. ``BOUND`` is total (always valid)."""
     import numpy as np
     import pandas as pd
+
+    if isinstance(var, tuple):
+        # computed left side [§17.4 over expressions], e.g.
+        # FILTER(STRLEN(?nm) > 5): evaluate with the BIND machinery over
+        # the referenced columns, then compare the canonical lexical
+        # form like a plain binding. A row where the expression errors
+        # (unbound input, non-numeric arithmetic) is a type error —
+        # never passes, and `!atom` drops it too.
+        refs = sorted(_bind_vars_of(var))
+        if any(c not in t.column_names for c in refs):
+            # a referenced variable is entirely unbound: every row errors
+            z = np.zeros(t.num_rows, dtype=bool)
+            return z, z.copy()
+        df = t.select(refs).to_pandas() if refs else pd.DataFrame(
+            index=range(t.num_rows)
+        )
+        s = _bind_lex(_compile_bind(var)(df))
+        valid = s.notna().to_numpy()
+        pd_op = _FILTER_OPS[op]
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            return (
+                valid & getattr(s.astype(str), pd_op)(str(val)).to_numpy(),
+                valid,
+            )
+        num = pd.to_numeric(s, errors="coerce")
+        valid = valid & num.notna().to_numpy()
+        return (
+            valid & getattr(num, pd_op)(val).fillna(False).to_numpy(),
+            valid,
+        )
 
     name = var.lstrip("?")
     if op == "bound":

@@ -192,8 +192,8 @@ def _filter_pushdown_expr(
         if len(flt) != 3:
             return None
         var, op, val = flt
-        if isinstance(val, tuple):
-            return None  # var-vs-var / structured values: binding-only
+        if not isinstance(var, str) or isinstance(val, tuple):
+            return None  # computed left side / var-vs-var: binding-only
         col = var_col.get(var.lstrip("?"))
         if col is None or op not in _PUSH_OPS or col not in schema.names:
             return None
@@ -407,6 +407,8 @@ def _store_filter_pushdown_expr(
         if len(flt) != 3:
             return None
         var, op, val = flt
+        if not isinstance(var, str):
+            return None  # computed left side: binding-level only
         p = var_pred.get(var.lstrip("?"))
         if (
             p is None

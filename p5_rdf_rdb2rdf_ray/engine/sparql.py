@@ -69,6 +69,14 @@ _ESCAPES = {
     '"': '"', "'": "'", "\\": "\\",
 }
 
+# functions that start a BIND-grammar expression — a FILTER whose first
+# token is one of these is a computed-left comparison, not a string test
+_EXPR_FN_KWS = {
+    "concat", "strlen", "ucase", "lcase", "coalesce", "str", "strbefore",
+    "strafter", "abs", "ceil", "floor", "round", "encode_for_uri",
+    "substr", "replace", "if", "iri", "uri",
+}
+
 
 @dataclass
 class _Tok:
@@ -561,6 +569,19 @@ class _Parser:
             var = self.expect("VAR").val
             self.expect("PUNCT", ")")
             return ("?" + var, {"isuri": "isiri"}.get(fn, fn), True)
+        if t0.kind == "KW" and t0.val in _EXPR_FN_KWS:
+            # computed left side: FILTER(STRLEN(?nm) > 5) — the BIND
+            # expression grammar, compared against a constant
+            return self._expr_comparison(self.expr())
+        if t0.kind == "VAR":
+            t1 = self.peek(1)
+            if t1.kind == "PUNCT" and t1.val in ("+", "-", "*", "/") or (
+                t1.kind == "NUMBER"
+                and isinstance(t1.val, (int, float))
+                and t1.val < 0
+            ):
+                # arithmetic left side: FILTER(?a + ?b > 3)
+                return self._expr_comparison(self.expr())
         t = self.expect("VAR")
         if self.at_kw("in") or (
             self.at_kw("not")
@@ -597,6 +618,26 @@ class _Parser:
         if v.kind == "VAR":
             return ("?" + t.val, op, ("var", v.val))
         return ("?" + t.val, op, self.filter_const(v))
+
+    def _expr_comparison(self, left) -> tuple:
+        """Comparison whose LEFT side is a computed expression (the BIND
+        grammar); the right side must be a constant — evaluated by the
+        binding-filter algebra's expression branch
+        (:func:`engine.bgp_algebra._atomic_mask`)."""
+        op_t = self.next()
+        op = {"=": "=="}.get(op_t.val, op_t.val)
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"SPARQL syntax: unsupported comparison {op_t.val!r} at "
+                f"char {op_t.pos}"
+            )
+        v = self.next()
+        if v.kind == "VAR":
+            raise ValueError(
+                "computed-left FILTER comparisons need a constant right "
+                f"side, got ?{v.val} at char {v.pos}"
+            )
+        return (left, op, self.filter_const(v))
 
     def filter_const(self, v: _Tok):
         """One constant term inside a FILTER comparison / IN list."""

@@ -668,6 +668,47 @@ def test_builtin_fns_and_term_tests(store, ray_session, tmp_path):
     assert sorted({r["s"] for r in got}) == [N + "x"]
 
 
+def test_filter_computed_left(store, ray_session):
+    """FILTER with a computed LEFT side: function calls and arithmetic
+    lower to the binding-filter algebra's expression atoms; they
+    compose with && / ! and error rows (non-numeric lexicals) drop on
+    both the positive and negated form."""
+    def names(q):
+        return sorted(r["nm"] for r in sparql(store, q).take_all())
+
+    base = f"SELECT ?nm WHERE {{ ?s <{N}name> ?nm . %s }}"
+    assert names(base % "FILTER(STRLEN(?nm) > 4)") == ["alpha", "gamma"]
+    assert names(base % 'FILTER(UCASE(?nm) = "BETA")') == ["beta"]
+    assert names(base % 'FILTER(STRAFTER(?nm, "mm") = "a")') == ["gamma"]
+    assert names(
+        base % 'FILTER(STRLEN(?nm) = 4 || CONCAT(?nm, "!") = "gamma!")'
+    ) == ["beta", "gamma"]
+    # arithmetic left side over a numeric lexical; the non-numeric
+    # binding ("alpha"-less subjects have scores 3/7/7) never errors out
+    got = sorted(
+        r["v"]
+        for r in sparql(
+            store,
+            f"SELECT ?v WHERE {{ ?s <{N}score> ?v FILTER(?v * 2 > 10) }}",
+        ).take_all()
+    )
+    assert got == ["7", "7"]
+    # negated computed atom: an unbound input is a type error and drops
+    # under ! too (only a/b have tags, both len 4: !(4 > 4) passes;
+    # gamma's unbound ?tg errors and never survives the negation)
+    got = sorted(
+        r["nm"]
+        for r in sparql(
+            store,
+            f"""SELECT ?nm WHERE {{
+              ?s <{N}name> ?nm OPTIONAL {{ ?s <{N}tag> ?tg }}
+              FILTER(!(STRLEN(?tg) > 4))
+            }}""",
+        ).take_all()
+    )
+    assert got == ["alpha", "beta"]
+
+
 @pytest.fixture(scope="module")
 def quad_store(ray_session, tmp_path_factory):
     """Named-context fixture for GRAPH ?var: quads spread over two
