@@ -1024,6 +1024,7 @@ class _Parser:
             q.distinct = True
         elif self.eat_kw("reduced"):
             q.distinct = True  # REDUCED permits dedup; we always dedup
+        pending_binds: list[tuple] = []
         if self.at_punct("*"):
             self.next()
             q.project = None
@@ -1037,12 +1038,29 @@ class _Parser:
                     q.project.append(t.val)
                 elif self.at_punct("("):
                     self.next()
-                    fn, var, extra = self.aggregate_call()
-                    self.expect("KW", "as")
-                    alias = self.expect("VAR").val
-                    self.expect("PUNCT", ")")
-                    q.aggregates[alias] = (fn, var, extra)
-                    q.project.append(alias)
+                    t1 = self.peek()
+                    if t1.kind == "KW" and t1.val in (
+                        "count", "sum", "min", "max", "avg", "sample",
+                        "group_concat",
+                    ):
+                        fn, var, extra = self.aggregate_call()
+                        self.expect("KW", "as")
+                        alias = self.expect("VAR").val
+                        self.expect("PUNCT", ")")
+                        q.aggregates[alias] = (fn, var, extra)
+                        q.project.append(alias)
+                    else:
+                        # §18.2.4 projection expression (expr AS ?x):
+                        # lowered to a BIND appended after the WHERE
+                        # group parses — same evaluation point (over
+                        # the solution set, before DISTINCT/ORDER), and
+                        # the alias may serve as a GROUP BY key
+                        expr = self.expr()
+                        self.expect("KW", "as")
+                        alias = self.expect("VAR").val
+                        self.expect("PUNCT", ")")
+                        pending_binds.append(("?" + alias, expr))
+                        q.project.append(alias)
                 else:
                     break
             if not q.project:
@@ -1050,6 +1068,13 @@ class _Parser:
             if not q.aggregates:
                 q.aggregates = None
         q.where, q.union_groups = self.where_clause()
+        if pending_binds:
+            if q.union_groups is not None:
+                raise ValueError(
+                    "projection expressions need a single WHERE group "
+                    "(no top-level UNION)"
+                )
+            q.where.bind.extend(pending_binds)
         q.graph = getattr(self, "_graph_scope", None)
         q.graph_var = getattr(self, "_graph_var", None)
         self.solution_modifiers(q)
@@ -1079,6 +1104,35 @@ class _Parser:
     def parse_construct(self) -> ParsedQuery:
         self.expect("KW", "construct")
         q = ParsedQuery(form="CONSTRUCT")
+        if self.at_kw("where"):
+            # §10.2.2 CONSTRUCT WHERE shorthand: the template IS the
+            # where pattern — basic graph pattern only (the spec's
+            # shorthand grammar admits no FILTER/OPTIONAL/paths)
+            q.where, q.union_groups = self.where_clause()
+            if q.union_groups is not None:
+                raise ValueError(
+                    "CONSTRUCT WHERE takes a basic graph pattern (no UNION)"
+                )
+            wc = q.where
+            if (
+                wc.paths or wc.filters or wc.optional or wc.minus
+                or wc.not_exists or wc.exists or wc.values or wc.bind
+                or wc.subqueries
+            ):
+                raise ValueError(
+                    "CONSTRUCT WHERE takes a basic graph pattern only "
+                    "(use the explicit template form for FILTER/OPTIONAL/…)"
+                )
+            q.construct_templates = list(wc.patterns)
+            q.graph = getattr(self, "_graph_scope", None)
+            q.graph_var = getattr(self, "_graph_var", None)
+            self.solution_modifiers(q)
+            if q.group_by or q.order_by or q.limit is not None or q.offset:
+                raise ValueError(
+                    "CONSTRUCT does not take GROUP BY / ORDER / LIMIT here"
+                )
+            self.expect("EOF")
+            return q
         tmpl = self.group()
         if (
             tmpl.paths or tmpl.filters or tmpl.optional or tmpl.minus

@@ -668,6 +668,52 @@ def test_builtin_fns_and_term_tests(store, ray_session, tmp_path):
     assert sorted({r["s"] for r in got}) == [N + "x"]
 
 
+def test_projection_expressions(store, ray_session):
+    """§18.2.4 SELECT (expr AS ?x): lowered to a BIND over the solution
+    set; the alias projects, orders, and may serve as a GROUP BY key."""
+    got = sparql(
+        store,
+        f"""SELECT ?nm (STRLEN(?nm) AS ?l) (CONCAT(?nm, "!") AS ?x)
+        WHERE {{ ?s <{N}name> ?nm }} ORDER BY ?nm""",
+    ).take_all()
+    assert [(r["nm"], r["l"], r["x"]) for r in got] == [
+        ("alpha", "5", "alpha!"), ("beta", "4", "beta!"),
+        ("gamma", "5", "gamma!"),
+    ]
+    got = sparql(
+        store,
+        f"""SELECT (STRLEN(?nm) AS ?l) (COUNT(?s) AS ?c)
+        WHERE {{ ?s <{N}name> ?nm }} GROUP BY ?l ORDER BY ?l""",
+    ).take_all()
+    assert [(r["l"], r["c"]) for r in got] == [("4", 1), ("5", 2)]
+    # alias clash with an in-scope variable rejects (SPARQL §7.6)
+    with pytest.raises(ValueError, match="already in scope"):
+        sparql(
+            store,
+            f"SELECT (STRLEN(?nm) AS ?nm) WHERE {{ ?s <{N}name> ?nm }}",
+        ).take_all()
+
+
+def test_construct_where_shorthand(store, ray_session):
+    """§10.2.2 CONSTRUCT WHERE { BGP }: the template is the pattern
+    itself — byte-identical result to the explicit template form; the
+    shorthand rejects non-BGP bodies."""
+    short = sparql(store, f"CONSTRUCT WHERE {{ ?s <{N}name> ?o }}")
+    full = sparql(
+        store,
+        f"CONSTRUCT {{ ?s <{N}name> ?o }} WHERE {{ ?s <{N}name> ?o }}",
+    )
+    key = lambda r: (r["subj"], r["pred"], r["obj"])  # noqa: E731
+    assert sorted(map(key, short.take_all())) == sorted(
+        map(key, full.take_all())
+    )
+    assert short.count() == 3
+    with pytest.raises(ValueError, match="basic graph pattern"):
+        parse_query(
+            f'CONSTRUCT WHERE {{ ?s <{N}name> ?o FILTER(?o = "beta") }}'
+        )
+
+
 def test_filter_computed_left(store, ray_session):
     """FILTER with a computed LEFT side: function calls and arithmetic
     lower to the binding-filter algebra's expression atoms; they
