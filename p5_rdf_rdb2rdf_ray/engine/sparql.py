@@ -1794,18 +1794,21 @@ def _single_group_result(out, q: ParsedQuery):
 
 @dataclass
 class ParsedUpdate:
-    kind: str  # insert_data | delete_data | delete_where | insert | delete
+    kind: str  # insert_data|delete_data|delete_where|insert|delete|modify
     templates: list = field(default_factory=list)
     where: WhereClause | None = None
+    insert_templates: list | None = None  # the INSERT half of "modify"
 
 
 def parse_update(text: str) -> ParsedUpdate:
     """SPARQL 1.1 Update subset → :class:`ParsedUpdate` [W3C Update §3]:
     ``INSERT DATA { triples }``, ``DELETE DATA { triples }``,
-    ``DELETE WHERE { patterns }``, and the template forms
-    ``INSERT/DELETE { template } WHERE { group }``. One operation per
-    request (no ``;`` sequences); GRAPH blocks and blank-node labels
-    are not supported (use the programmatic store API)."""
+    ``DELETE WHERE { patterns }``, the template forms
+    ``INSERT/DELETE { template } WHERE { group }``, and the combined
+    §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``. One
+    operation per request (no ``;`` sequences); GRAPH blocks and
+    blank-node labels are not supported (use the programmatic store
+    API)."""
     p = _Parser(text)
     while p.at_kw("prefix") or p.at_kw("base"):
         kw = p.next().val
@@ -1853,9 +1856,22 @@ def parse_update(text: str) -> ParsedUpdate:
         )
     else:
         tmpl = plain_group(f"{verb.upper()} template")
+        ins = None
+        if verb == "delete" and p.at_kw("insert"):
+            # §3.1.3 Modify: DELETE { t1 } INSERT { t2 } WHERE { g } —
+            # both templates instantiate over the same pre-state
+            # solutions, deletes applied before inserts
+            p.next()
+            ins = plain_group("INSERT template")
         p.expect("KW", "where")
         where = p.group_body_braced()
-        u = ParsedUpdate(kind=verb, templates=tmpl.patterns, where=where)
+        if ins is not None:
+            u = ParsedUpdate(
+                kind="modify", templates=tmpl.patterns, where=where,
+                insert_templates=ins.patterns,
+            )
+        else:
+            u = ParsedUpdate(kind=verb, templates=tmpl.patterns, where=where)
     p.expect("EOF")
     return u
 
@@ -1916,6 +1932,31 @@ def sparql_update(
             broadcast_limit=broadcast_limit,
             keep_kinds=True,
         )
+        if u.kind == "modify":
+            # §3.1.3: both templates instantiate over the SAME pre-state
+            # solutions; MATERIALIZE both deltas before mutating — the
+            # delete rewrites store buckets in place, and a still-lazy
+            # insert delta would otherwise read post-delete state.
+            # Deltas are update-sized; the blocks pin in the object
+            # store, never the driver heap.
+            del_delta = construct(
+                bindings, u.templates, num_partitions=num_partitions
+            ).materialize()
+            ins_delta = construct(
+                bindings, u.insert_templates, num_partitions=num_partitions
+            ).materialize()
+            removed = delete_triplestore(
+                del_delta, store_dir, input_fp="sparql-update",
+                match_cols=("subj", "pred", "obj", "obj_kind"),
+            )
+            added = merge_triplestore(
+                ins_delta, store_dir, input_fp="sparql-update"
+            )
+            return {
+                **{f"delete_{k}": v for k, v in removed.items()},
+                **{f"insert_{k}": v for k, v in added.items()},
+                "rows_removed": removed.get("rows_removed", 0),
+            }
         delta = construct(
             bindings, u.templates, num_partitions=num_partitions
         )

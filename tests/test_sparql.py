@@ -456,6 +456,11 @@ def test_update_parse_forms():
         "INSERT { ?s <http://x/copy> ?o } WHERE { ?s <http://x/p> ?o }"
     )
     assert u.kind == "insert"
+    u = parse_update(
+        "DELETE { ?s <http://x/p> ?o } INSERT { ?s <http://x/q> ?o } "
+        "WHERE { ?s <http://x/p> ?o }"
+    )
+    assert u.kind == "modify" and len(u.insert_templates) == 1
     with pytest.raises(ValueError, match="ground"):
         parse_update("DELETE DATA { ?s <http://x/p> <http://x/o> }")
     with pytest.raises(ValueError, match="INSERT or DELETE"):
@@ -514,11 +519,25 @@ def test_update_delete_where_and_templates(store, tmp_path, ray_session):
     assert m["rows_removed"] == 2
     got = sparql(s, f"SELECT ?nm WHERE {{ ?s <{N}renamed> ?nm }}").take_all()
     assert [r["nm"] for r in got] == ["alpha"]
+    # §3.1.3 Modify: predicate rename in one operation — both halves
+    # instantiate over the same pre-state solutions (delete-then-insert)
+    m = sparql_update(
+        s,
+        f"""DELETE {{ ?s <{N}p> ?o }} INSERT {{ ?s <{N}p2> ?o }}
+            WHERE {{ ?s <{N}p> ?o }}""",
+    )
+    assert m["rows_removed"] == 2 and m["insert_rows_added"] == 2
+    assert not sparql(s, f"ASK {{ ?s <{N}p> ?o }}")
+    got = sparql(
+        s, f"SELECT ?o WHERE {{ ?s <{N}p2> ?o }} ORDER BY ?o"
+    ).take_all()
+    assert [r["o"] for r in got] == [N + "b", N + "c"]
+
     # buckets fully emptied are fine: delete every remaining triple
     # (variable predicates are outside the text subset — enumerate)
     total = read_triplestore(s).count()
     removed = 0
-    for pred in ("p", "name", "score", "q", "renamed"):
+    for pred in ("p", "p2", "name", "score", "q", "renamed"):
         removed += sparql_update(
             s, f"DELETE WHERE {{ ?s <{N}{pred}> ?o }}"
         )["rows_removed"]
