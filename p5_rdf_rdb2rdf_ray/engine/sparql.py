@@ -1801,25 +1801,51 @@ class ParsedUpdate:
 
 
 def parse_update(text: str) -> ParsedUpdate:
-    """SPARQL 1.1 Update subset → :class:`ParsedUpdate` [W3C Update §3]:
+    """SPARQL 1.1 Update, ONE operation → :class:`ParsedUpdate`
+    (see :func:`parse_update_ops` for ``;`` sequences)."""
+    ops = parse_update_ops(text)
+    if len(ops) != 1:
+        raise ValueError(
+            f"parse_update expects exactly one operation, got {len(ops)} "
+            "(use parse_update_ops / sparql_update for sequences)"
+        )
+    return ops[0]
+
+
+def parse_update_ops(text: str) -> list[ParsedUpdate]:
+    """SPARQL 1.1 Update subset → operations list [W3C Update §3]:
     ``INSERT DATA { triples }``, ``DELETE DATA { triples }``,
     ``DELETE WHERE { patterns }``, the template forms
-    ``INSERT/DELETE { template } WHERE { group }``, and the combined
-    §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``. One
-    operation per request (no ``;`` sequences); GRAPH blocks and
-    blank-node labels are not supported (use the programmatic store
-    API)."""
+    ``INSERT/DELETE { template } WHERE { group }``, the combined
+    §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``, and
+    ``;``-separated sequences of those (applied in order, each against
+    the store state the previous left — §3.1). PREFIX declarations
+    carry across the whole request. GRAPH blocks and blank-node labels
+    are not supported (use the programmatic store API)."""
     p = _Parser(text)
-    while p.at_kw("prefix") or p.at_kw("base"):
-        kw = p.next().val
-        if kw == "base":
-            raise ValueError("BASE is not supported; use absolute IRIs")
-        tok = p.expect("PNAME")
-        pfx, local = tok.val
-        if local:
-            raise ValueError(f"bad PREFIX declaration at char {tok.pos}")
-        p.prefixes[pfx] = p.expect("IRI").val
+    ops: list[ParsedUpdate] = []
+    while True:
+        while p.at_kw("prefix") or p.at_kw("base"):
+            kw = p.next().val
+            if kw == "base":
+                raise ValueError("BASE is not supported; use absolute IRIs")
+            tok = p.expect("PNAME")
+            pfx, local = tok.val
+            if local:
+                raise ValueError(f"bad PREFIX declaration at char {tok.pos}")
+            p.prefixes[pfx] = p.expect("IRI").val
+        ops.append(_parse_one_update(p))
+        if p.at_punct(";"):
+            p.next()
+            if p.peek().kind == "EOF":  # trailing ; is legal
+                break
+            continue
+        break
+    p.expect("EOF")
+    return ops
 
+
+def _parse_one_update(p: _Parser) -> ParsedUpdate:
     t = p.peek()
     if t.kind != "KW" or t.val not in ("insert", "delete"):
         raise ValueError(
@@ -1872,7 +1898,6 @@ def parse_update(text: str) -> ParsedUpdate:
             )
         else:
             u = ParsedUpdate(kind=verb, templates=tmpl.patterns, where=where)
-    p.expect("EOF")
     return u
 
 
@@ -1902,15 +1927,46 @@ def sparql_update(
     INSERT paths produce the delta with the CONSTRUCT machinery (so
     template instantiation is batch-wise and distinct) and upsert it;
     DELETE paths anti-join the delta against only its hash buckets.
-    Returns the store metrics dict of the underlying operation."""
+    Returns the store metrics dict of the underlying operation. A
+    ``;``-sequence applies in order, each operation against the state
+    the previous left (§3.1); the returned dict then carries summed
+    ``rows_added``/``rows_removed`` plus the per-operation list under
+    ``"ops"``."""
+    ops = parse_update_ops(text)
+    if len(ops) == 1:
+        return _apply_one_update(
+            ops[0], store_dir,
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        )
+    results = [
+        _apply_one_update(
+            u, store_dir,
+            num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        )
+        for u in ops
+    ]
+    return {
+        "ops": results,
+        "rows_added": sum(r.get("rows_added", 0) or 0 for r in results),
+        "rows_removed": sum(
+            r.get("rows_removed", 0) or 0 for r in results
+        ),
+    }
+
+
+def _apply_one_update(
+    u: ParsedUpdate,
+    store_dir: str,
+    *,
+    num_partitions: int,
+    broadcast_limit: int,
+) -> dict:
     import pyarrow as pa
     import ray.data as rd
 
     from ..sinks.triplestore import delete_triplestore, merge_triplestore
     from .construct import construct
     from .lookup import get_pattern_store
-
-    u = parse_update(text)
 
     if u.kind in ("insert_data", "delete_data"):
         one = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int8())}))

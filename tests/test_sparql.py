@@ -465,6 +465,16 @@ def test_update_parse_forms():
         parse_update("DELETE DATA { ?s <http://x/p> <http://x/o> }")
     with pytest.raises(ValueError, match="INSERT or DELETE"):
         parse_update("SELECT ?s WHERE { ?s ?p ?o }")
+    from p5_rdf_rdb2rdf_ray.engine.sparql import parse_update_ops
+
+    ops = parse_update_ops(
+        'PREFIX ex: <http://x/> INSERT DATA { ex:s ex:p "1" . } ; '
+        "DELETE WHERE { ?s ex:p ?o } ;"  # trailing ; is legal
+    )
+    assert [o.kind for o in ops] == ["insert_data", "delete_where"]
+    with pytest.raises(ValueError, match="exactly one"):
+        parse_update('INSERT DATA { <http://x/s> <http://x/p> "1" . } ; '
+                     "DELETE WHERE { ?s <http://x/p> ?o }")
 
 
 def test_update_insert_delete_data(store, tmp_path, ray_session):
@@ -519,6 +529,16 @@ def test_update_delete_where_and_templates(store, tmp_path, ray_session):
     assert m["rows_removed"] == 2
     got = sparql(s, f"SELECT ?nm WHERE {{ ?s <{N}renamed> ?nm }}").take_all()
     assert [r["nm"] for r in got] == ["alpha"]
+    # ;-sequence: each op sees the previous op's state (§3.1)
+    m = sparql_update(
+        s,
+        f"""INSERT DATA {{ <{N}w> <{N}score> "9" . }} ;
+            DELETE WHERE {{ <{N}w> <{N}score> ?v }}""",
+    )
+    assert m["rows_added"] == 1 and m["rows_removed"] == 1
+    assert len(m["ops"]) == 2
+    assert not sparql(s, f'ASK {{ <{N}w> <{N}score> "9" }}')
+
     # §3.1.3 Modify: predicate rename in one operation — both halves
     # instantiate over the same pre-state solutions (delete-then-insert)
     m = sparql_update(
