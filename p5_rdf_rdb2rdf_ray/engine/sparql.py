@@ -61,7 +61,7 @@ _KEYWORDS = {
     "data", "regex", "contains", "strstarts", "strends", "graph",
     "in", "bound", "str", "strbefore", "strafter", "abs", "ceil",
     "floor", "round", "encode_for_uri", "isiri", "isuri", "isblank",
-    "isliteral", "isnumeric",
+    "isliteral", "isnumeric", "clear", "drop", "named", "default", "all",
 }
 
 _ESCAPES = {
@@ -1795,9 +1795,14 @@ def _single_group_result(out, q: ParsedQuery):
 @dataclass
 class ParsedUpdate:
     kind: str  # insert_data|delete_data|delete_where|insert|delete|modify
+    #      |clear
     templates: list = field(default_factory=list)
     where: WhereClause | None = None
     insert_templates: list | None = None  # the INSERT half of "modify"
+    # DATA: constant named-graph scope (GRAPH <g> { triples }).
+    # CLEAR/DROP: the target — an IRI, or "__default__"/"__named__"/
+    # "__all__" sentinels.
+    graph: str | None = None
 
 
 def parse_update(text: str) -> ParsedUpdate:
@@ -1817,11 +1822,15 @@ def parse_update_ops(text: str) -> list[ParsedUpdate]:
     ``INSERT DATA { triples }``, ``DELETE DATA { triples }``,
     ``DELETE WHERE { patterns }``, the template forms
     ``INSERT/DELETE { template } WHERE { group }``, the combined
-    §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``, and
+    §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``,
+    ``CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL`` (§3.2.2/3.2.3 —
+    identical here: the bucket store has no empty-graph existence), and
     ``;``-separated sequences of those (applied in order, each against
     the store state the previous left — §3.1). PREFIX declarations
-    carry across the whole request. GRAPH blocks and blank-node labels
-    are not supported (use the programmatic store API)."""
+    carry across the whole request. DATA blocks accept ONE constant
+    ``GRAPH <g> { triples }`` wrapper; GRAPH blocks inside WHERE
+    templates and blank-node labels are not supported (use the
+    programmatic store API)."""
     p = _Parser(text)
     ops: list[ParsedUpdate] = []
     while True:
@@ -1847,6 +1856,34 @@ def parse_update_ops(text: str) -> list[ParsedUpdate]:
 
 def _parse_one_update(p: _Parser) -> ParsedUpdate:
     t = p.peek()
+    if t.kind == "KW" and t.val in ("clear", "drop"):
+        # §3.2.2/.3.2.2 CLEAR / DROP — identical here (the bucket store
+        # has no empty-graph existence, so DROP ≡ CLEAR): target is
+        # GRAPH <iri>, DEFAULT, NAMED, or ALL. SILENT is accepted and
+        # ignored (clearing an absent graph is already a no-op).
+        p.next()
+        if p.peek().kind == "IDENT" and str(p.peek().val).lower() == "silent":
+            p.next()
+        tk = p.peek()
+        if tk.kind == "KW" and tk.val == "graph":
+            p.next()
+            tk = p.peek()
+            if tk.kind == "IRI":
+                g = p.next().val
+            elif tk.kind == "PNAME":
+                g = p.expand(p.next())
+            else:
+                raise ValueError(
+                    f"CLEAR GRAPH needs a constant IRI at char {tk.pos}"
+                )
+            return ParsedUpdate(kind="clear", graph=g)
+        if tk.kind == "KW" and tk.val in ("default", "named", "all"):
+            p.next()
+            return ParsedUpdate(kind="clear", graph=f"__{tk.val}__")
+        raise ValueError(
+            f"CLEAR/DROP needs GRAPH <iri>, DEFAULT, NAMED or ALL at "
+            f"char {tk.pos}"
+        )
     if t.kind != "KW" or t.val not in ("insert", "delete"):
         raise ValueError(
             f"SPARQL Update: expected INSERT or DELETE at char {t.pos}"
@@ -1865,7 +1902,32 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
 
     if p.at_kw("data"):
         p.next()
-        wc = plain_group(f"{verb.upper()} DATA")
+        g = None
+        if (
+            p.at_punct("{")
+            and p.peek(1).kind == "KW"
+            and p.peek(1).val == "graph"
+        ):
+            # DATA { GRAPH <g> { triples } }: one constant named-graph
+            # wrapper around the whole block (mixed plain+graphed
+            # bodies are outside the subset — fail loud on trailing
+            # content via the closing-brace expect)
+            p.next()
+            p.next()
+            tk = p.peek()
+            if tk.kind == "IRI":
+                g = p.next().val
+            elif tk.kind == "PNAME":
+                g = p.expand(p.next())
+            else:
+                raise ValueError(
+                    f"GRAPH in a DATA block needs a constant IRI at "
+                    f"char {tk.pos}"
+                )
+            wc = plain_group(f"{verb.upper()} DATA")
+            p.expect("PUNCT", "}")
+        else:
+            wc = plain_group(f"{verb.upper()} DATA")
         for s, pr, o in wc.patterns:
             for term in (s, pr, o):
                 if isinstance(term, str) and term.startswith("?"):
@@ -1873,7 +1935,7 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
                         f"{verb.upper()} DATA requires ground triples "
                         f"(found variable {term})"
                     )
-        u = ParsedUpdate(kind=f"{verb}_data", templates=wc.patterns)
+        u = ParsedUpdate(kind=f"{verb}_data", templates=wc.patterns, graph=g)
     elif verb == "delete" and p.at_kw("where"):
         p.next()
         wc = plain_group("DELETE WHERE")
@@ -1968,9 +2030,38 @@ def _apply_one_update(
     from .construct import construct
     from .lookup import get_pattern_store
 
+    if u.kind == "clear":
+        # CLEAR/DROP: the delta IS the matching slice of the store —
+        # a lazy, graph-filtered scan (work ∝ matched rows + touched
+        # buckets; the full-row match removes exactly those quads and
+        # leaves the same triples in other graphs alone)
+        from ..sinks.triplestore import store_statements
+
+        kw: dict = {}
+        if u.graph == "__default__":
+            kw["default_graph"] = True
+        elif u.graph == "__named__":
+            kw["named_only"] = True
+        elif u.graph != "__all__":
+            kw["graph"] = u.graph
+        return delete_triplestore(
+            store_statements(store_dir, **kw), store_dir,
+            input_fp="sparql-update",
+        )
+
     if u.kind in ("insert_data", "delete_data"):
         one = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int8())}))
         delta = construct(one, u.templates, num_partitions=num_partitions)
+        if u.graph is not None:
+            # constant named-graph scope: stamp the graph column on the
+            # (graph-NULL) constructed quads
+            def set_graph(t: pa.Table, _g=u.graph) -> pa.Table:
+                i = t.schema.get_field_index("graph")
+                return t.set_column(
+                    i, "graph", pa.array([_g] * t.num_rows, pa.string())
+                )
+
+            delta = delta.map_batches(set_graph, batch_format="pyarrow")
     else:
         wc = u.where
         bindings = get_pattern_store(
@@ -2025,8 +2116,11 @@ def _apply_one_update(
     # skip every typed / language-tagged / named-graph store row the
     # pattern matched. The front-end's literal semantics are
     # lexical+kind throughout (FILTER, joins, aggregation), and DELETE
-    # follows them.
+    # follows them. A GRAPH-scoped DELETE DATA adds the graph column to
+    # the identity so only the named context's quad is removed.
+    match = ("subj", "pred", "obj", "obj_kind")
+    if u.kind == "delete_data" and u.graph is not None:
+        match = match + ("graph",)
     return delete_triplestore(
-        delta, store_dir, input_fp="sparql-update",
-        match_cols=("subj", "pred", "obj", "obj_kind"),
+        delta, store_dir, input_fp="sparql-update", match_cols=match,
     )

@@ -472,6 +472,15 @@ def test_update_parse_forms():
         "DELETE WHERE { ?s ex:p ?o } ;"  # trailing ; is legal
     )
     assert [o.kind for o in ops] == ["insert_data", "delete_where"]
+    u = parse_update(
+        'INSERT DATA { GRAPH <http://x/g> { <http://x/s> <http://x/p> "1" . } }'
+    )
+    assert u.kind == "insert_data" and u.graph == "http://x/g"
+    u = parse_update("CLEAR GRAPH <http://x/g>")
+    assert u.kind == "clear" and u.graph == "http://x/g"
+    assert parse_update("DROP ALL").graph == "__all__"
+    assert parse_update("CLEAR NAMED").graph == "__named__"
+    assert parse_update("CLEAR DEFAULT").graph == "__default__"
     with pytest.raises(ValueError, match="exactly one"):
         parse_update('INSERT DATA { <http://x/s> <http://x/p> "1" . } ; '
                      "DELETE WHERE { ?s <http://x/p> ?o }")
@@ -827,6 +836,34 @@ def quad_store(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("quadstore") / "store")
     write_triplestore(rd.from_arrow(t), out, num_buckets=4)
     return out
+
+
+def test_update_graph_scoped_and_clear(quad_store, tmp_path, ray_session):
+    """GRAPH-scoped DATA blocks touch only the named context's quad;
+    CLEAR GRAPH/DEFAULT/NAMED remove exactly the scoped slices."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import read_triplestore
+
+    s = _copy_store(quad_store, tmp_path, "gupd")
+    G1, G2 = N + "g1", N + "g2"
+    n0 = read_triplestore(s).count()  # 9 quads (2 default-graph)
+
+    # same triple exists in g1 AND g2 ("alpha"): a g1-scoped DELETE
+    # DATA removes only the g1 row
+    m = sparql_update(
+        s, f'DELETE DATA {{ GRAPH <{G1}> {{ <{N}a> <{N}name> "alpha" . }} }}'
+    )
+    assert m["rows_removed"] == 1
+    assert sparql(s, f'ASK {{ GRAPH <{G2}> {{ ?s <{N}name> "alpha" }} }}')
+    assert not sparql(s, f'ASK {{ GRAPH <{G1}> {{ ?s <{N}name> "alpha" }} }}')
+
+    m = sparql_update(s, f"CLEAR GRAPH <{G2}>")
+    assert m["rows_removed"] == 4  # alpha+beta+gamma names + b's home
+    m = sparql_update(s, "CLEAR DEFAULT")
+    assert m["rows_removed"] == 2  # delta name + b p c
+    m = sparql_update(s, "CLEAR NAMED")
+    assert m["rows_removed"] == n0 - 1 - 4 - 2
+    assert read_triplestore(s).count() == 0
 
 
 def test_graph_var(quad_store, ray_session):
