@@ -1801,8 +1801,10 @@ class ParsedUpdate:
     insert_templates: list | None = None  # the INSERT half of "modify"
     # DATA: constant named-graph scope (GRAPH <g> { triples }).
     # CLEAR/DROP: the target — an IRI, or "__default__"/"__named__"/
-    # "__all__" sentinels.
+    # "__all__" sentinels. ADD/COPY/MOVE: the SOURCE graph.
     graph: str | None = None
+    # ADD/COPY/MOVE: the DESTINATION graph (IRI or "__default__")
+    graph_to: str | None = None
 
 
 def parse_update(text: str) -> ParsedUpdate:
@@ -1884,6 +1886,40 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
             f"CLEAR/DROP needs GRAPH <iri>, DEFAULT, NAMED or ALL at "
             f"char {tk.pos}"
         )
+    if t.kind == "IDENT" and str(t.val).lower() in ("add", "copy", "move"):
+        # §3.2.5–3.2.7 graph management: SOURCE (GRAPH <g> | DEFAULT)
+        # TO DESTINATION. ADD unions src into dst; COPY replaces dst
+        # with src; MOVE is COPY + drop src. SILENT accepted/ignored.
+        verb = str(p.next().val).lower()
+        if p.peek().kind == "IDENT" and str(p.peek().val).lower() == "silent":
+            p.next()
+
+        def graph_ref(role: str) -> str:
+            tk = p.peek()
+            if tk.kind == "KW" and tk.val == "graph":
+                p.next()
+                tk = p.peek()
+            if tk.kind == "IRI":
+                return p.next().val
+            if tk.kind == "PNAME":
+                return p.expand(p.next())
+            if tk.kind == "KW" and tk.val == "default":
+                p.next()
+                return "__default__"
+            raise ValueError(
+                f"{verb.upper()} needs a {role} graph (GRAPH <iri> or "
+                f"DEFAULT) at char {tk.pos}"
+            )
+
+        src = graph_ref("source")
+        to = p.peek()
+        if not (to.kind == "IDENT" and str(to.val).lower() == "to"):
+            raise ValueError(
+                f"{verb.upper()} needs TO between graphs at char {to.pos}"
+            )
+        p.next()
+        dst = graph_ref("destination")
+        return ParsedUpdate(kind=verb, graph=src, graph_to=dst)
     if t.kind != "KW" or t.val not in ("insert", "delete"):
         raise ValueError(
             f"SPARQL Update: expected INSERT or DELETE at char {t.pos}"
@@ -2029,6 +2065,50 @@ def _apply_one_update(
     from ..sinks.triplestore import delete_triplestore, merge_triplestore
     from .construct import construct
     from .lookup import get_pattern_store
+
+    if u.kind in ("add", "copy", "move"):
+        # §3.2.5–3.2.7: the source slice re-stamped to the destination
+        # graph is the merge delta. MATERIALIZE it before any rewrite —
+        # bucket rewrites replace part files, and a still-lazy scan
+        # holding the old file list would fail (or read stale state).
+        from ..sinks.triplestore import store_statements
+
+        src, dst = u.graph, u.graph_to
+        if src == dst:
+            return {"rows_added": 0, "rows_removed": 0}  # §: no-op
+
+        def slice_kw(g: str) -> dict:
+            return (
+                {"default_graph": True} if g == "__default__"
+                else {"graph": g}
+            )
+
+        gval = None if dst == "__default__" else dst
+
+        def set_graph(t: pa.Table, _g=gval) -> pa.Table:
+            i = t.schema.get_field_index("graph")
+            return t.set_column(
+                i, "graph", pa.array([_g] * t.num_rows, pa.string())
+            )
+
+        delta = store_statements(store_dir, **slice_kw(src)).map_batches(
+            set_graph, batch_format="pyarrow"
+        ).materialize()
+        removed = 0
+        if u.kind in ("copy", "move"):  # COPY/MOVE replace the dest
+            removed += delete_triplestore(
+                store_statements(store_dir, **slice_kw(dst)), store_dir,
+                input_fp="sparql-update",
+            ).get("rows_removed", 0)
+        added = merge_triplestore(
+            delta, store_dir, input_fp="sparql-update"
+        ).get("rows_added", 0)
+        if u.kind == "move":
+            removed += delete_triplestore(
+                store_statements(store_dir, **slice_kw(src)), store_dir,
+                input_fp="sparql-update",
+            ).get("rows_removed", 0)
+        return {"rows_added": added, "rows_removed": removed}
 
     if u.kind == "clear":
         # CLEAR/DROP: the delta IS the matching slice of the store —

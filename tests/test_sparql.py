@@ -481,6 +481,11 @@ def test_update_parse_forms():
     assert parse_update("DROP ALL").graph == "__all__"
     assert parse_update("CLEAR NAMED").graph == "__named__"
     assert parse_update("CLEAR DEFAULT").graph == "__default__"
+    u = parse_update("ADD GRAPH <http://x/a> TO GRAPH <http://x/b>")
+    assert (u.kind, u.graph, u.graph_to) == ("add", "http://x/a", "http://x/b")
+    u = parse_update("MOVE SILENT <http://x/a> TO DEFAULT")
+    assert (u.kind, u.graph_to) == ("move", "__default__")
+    assert parse_update("COPY DEFAULT TO <http://x/b>").kind == "copy"
     with pytest.raises(ValueError, match="exactly one"):
         parse_update('INSERT DATA { <http://x/s> <http://x/p> "1" . } ; '
                      "DELETE WHERE { ?s <http://x/p> ?o }")
@@ -864,6 +869,20 @@ def test_update_graph_scoped_and_clear(quad_store, tmp_path, ray_session):
     m = sparql_update(s, "CLEAR NAMED")
     assert m["rows_removed"] == n0 - 1 - 4 - 2
     assert read_triplestore(s).count() == 0
+
+    # §3.2.5-7 graph management on a fresh copy:
+    # g1 = {a p b, a name alpha, a home g1} (3), g2 = 4, default = 2
+    s2 = _copy_store(quad_store, tmp_path, "gmgmt")
+    m = sparql_update(s2, f"ADD GRAPH <{G1}> TO DEFAULT")
+    assert m["rows_added"] == 3 and m["rows_removed"] == 0
+    m = sparql_update(s2, f"COPY DEFAULT TO <{G2}>")  # dst replaced
+    assert m["rows_removed"] == 4 and m["rows_added"] == 5
+    m = sparql_update(s2, f"MOVE GRAPH <{G1}> TO <{G2}>")
+    assert m["rows_removed"] == 5 + 3 and m["rows_added"] == 3
+    assert not sparql(s2, f'ASK {{ GRAPH <{G1}> {{ ?s ?p ?o }} }}')
+    # ADD src == dst is the spec'd no-op
+    m = sparql_update(s2, f"ADD GRAPH <{G2}> TO GRAPH <{G2}>")
+    assert m == {"rows_added": 0, "rows_removed": 0}
 
 
 def test_graph_var(quad_store, ray_session):
