@@ -62,6 +62,7 @@ _KEYWORDS = {
     "in", "bound", "str", "strbefore", "strafter", "abs", "ceil",
     "floor", "round", "encode_for_uri", "isiri", "isuri", "isblank",
     "isliteral", "isnumeric", "clear", "drop", "named", "default", "all",
+    "with",
 }
 
 _ESCAPES = {
@@ -1828,9 +1829,11 @@ def parse_update_ops(text: str) -> list[ParsedUpdate]:
     ``CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL`` (§3.2.2/3.2.3 —
     identical here: the bucket store has no empty-graph existence), and
     ``;``-separated sequences of those (applied in order, each against
-    the store state the previous left — §3.1). PREFIX declarations
-    carry across the whole request. DATA blocks accept ONE constant
-    ``GRAPH <g> { triples }`` wrapper; GRAPH blocks inside WHERE
+    the store state the previous left — §3.1). ``WITH <g>`` before a
+    template-form operation scopes BOTH the WHERE matching and the
+    template target to that named graph. PREFIX declarations carry
+    across the whole request. DATA blocks accept ONE constant
+    ``GRAPH <g> { triples }`` wrapper; free GRAPH blocks inside WHERE /
     templates and blank-node labels are not supported (use the
     programmatic store API)."""
     p = _Parser(text)
@@ -1920,6 +1923,23 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
         p.next()
         dst = graph_ref("destination")
         return ParsedUpdate(kind=verb, graph=src, graph_to=dst)
+    with_g = None
+    if t.kind == "KW" and t.val == "with":
+        # §3.1.3 WITH <g>: the named graph is BOTH the template target
+        # and the WHERE matching scope for the following template-form
+        # operation (spec: equivalent to USING <g> + GRAPH-wrapped
+        # templates)
+        p.next()
+        tk = p.peek()
+        if tk.kind == "IRI":
+            with_g = p.next().val
+        elif tk.kind == "PNAME":
+            with_g = p.expand(p.next())
+        else:
+            raise ValueError(
+                f"WITH needs a constant IRI at char {tk.pos}"
+            )
+        t = p.peek()
     if t.kind != "KW" or t.val not in ("insert", "delete"):
         raise ValueError(
             f"SPARQL Update: expected INSERT or DELETE at char {t.pos}"
@@ -1937,6 +1957,11 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
         return wc
 
     if p.at_kw("data"):
+        if with_g is not None:
+            raise ValueError(
+                "WITH does not apply to INSERT/DELETE DATA (use a "
+                "GRAPH wrapper inside the DATA block)"
+            )
         p.next()
         g = None
         if (
@@ -1976,7 +2001,8 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
         p.next()
         wc = plain_group("DELETE WHERE")
         u = ParsedUpdate(
-            kind="delete_where", templates=wc.patterns, where=wc
+            kind="delete_where", templates=wc.patterns, where=wc,
+            graph=with_g,
         )
     else:
         tmpl = plain_group(f"{verb.upper()} template")
@@ -1992,10 +2018,13 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
         if ins is not None:
             u = ParsedUpdate(
                 kind="modify", templates=tmpl.patterns, where=where,
-                insert_templates=ins.patterns,
+                insert_templates=ins.patterns, graph=with_g,
             )
         else:
-            u = ParsedUpdate(kind=verb, templates=tmpl.patterns, where=where)
+            u = ParsedUpdate(
+                kind=verb, templates=tmpl.patterns, where=where,
+                graph=with_g,
+            )
     return u
 
 
@@ -2129,19 +2158,26 @@ def _apply_one_update(
             input_fp="sparql-update",
         )
 
+    def stamp(ds: rd.Dataset, g: str | None) -> rd.Dataset:
+        # constant named-graph scope: set the graph column on the
+        # (graph-NULL) constructed quads
+        if g is None:
+            return ds
+
+        def set_graph(t: pa.Table, _g=g) -> pa.Table:
+            i = t.schema.get_field_index("graph")
+            return t.set_column(
+                i, "graph", pa.array([_g] * t.num_rows, pa.string())
+            )
+
+        return ds.map_batches(set_graph, batch_format="pyarrow")
+
     if u.kind in ("insert_data", "delete_data"):
         one = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int8())}))
-        delta = construct(one, u.templates, num_partitions=num_partitions)
-        if u.graph is not None:
-            # constant named-graph scope: stamp the graph column on the
-            # (graph-NULL) constructed quads
-            def set_graph(t: pa.Table, _g=u.graph) -> pa.Table:
-                i = t.schema.get_field_index("graph")
-                return t.set_column(
-                    i, "graph", pa.array([_g] * t.num_rows, pa.string())
-                )
-
-            delta = delta.map_batches(set_graph, batch_format="pyarrow")
+        delta = stamp(
+            construct(one, u.templates, num_partitions=num_partitions),
+            u.graph,
+        )
     else:
         wc = u.where
         bindings = get_pattern_store(
@@ -2158,6 +2194,8 @@ def _apply_one_update(
             paths=wc.paths or None,
             broadcast_limit=broadcast_limit,
             keep_kinds=True,
+            # WITH <g>: pattern matching scoped to the named graph
+            graph=u.graph,
         )
         if u.kind == "modify":
             # §3.1.3: both templates instantiate over the SAME pre-state
@@ -2166,15 +2204,18 @@ def _apply_one_update(
             # insert delta would otherwise read post-delete state.
             # Deltas are update-sized; the blocks pin in the object
             # store, never the driver heap.
-            del_delta = construct(
+            del_delta = stamp(construct(
                 bindings, u.templates, num_partitions=num_partitions
-            ).materialize()
-            ins_delta = construct(
+            ), u.graph).materialize()
+            ins_delta = stamp(construct(
                 bindings, u.insert_templates, num_partitions=num_partitions
-            ).materialize()
+            ), u.graph).materialize()
+            mcols = ("subj", "pred", "obj", "obj_kind")
+            if u.graph is not None:  # WITH: delete from that graph only
+                mcols = mcols + ("graph",)
             removed = delete_triplestore(
                 del_delta, store_dir, input_fp="sparql-update",
-                match_cols=("subj", "pred", "obj", "obj_kind"),
+                match_cols=mcols,
             )
             added = merge_triplestore(
                 ins_delta, store_dir, input_fp="sparql-update"
@@ -2184,8 +2225,9 @@ def _apply_one_update(
                 **{f"insert_{k}": v for k, v in added.items()},
                 "rows_removed": removed.get("rows_removed", 0),
             }
-        delta = construct(
-            bindings, u.templates, num_partitions=num_partitions
+        delta = stamp(
+            construct(bindings, u.templates, num_partitions=num_partitions),
+            u.graph,
         )
 
     if u.kind in ("insert_data", "insert"):
@@ -2196,10 +2238,11 @@ def _apply_one_update(
     # skip every typed / language-tagged / named-graph store row the
     # pattern matched. The front-end's literal semantics are
     # lexical+kind throughout (FILTER, joins, aggregation), and DELETE
-    # follows them. A GRAPH-scoped DELETE DATA adds the graph column to
-    # the identity so only the named context's quad is removed.
+    # follows them. A GRAPH-scoped DELETE DATA / WITH-scoped delete adds
+    # the graph column to the identity so only the named context's quad
+    # is removed.
     match = ("subj", "pred", "obj", "obj_kind")
-    if u.kind == "delete_data" and u.graph is not None:
+    if u.graph is not None:
         match = match + ("graph",)
     return delete_triplestore(
         delta, store_dir, input_fp="sparql-update", match_cols=match,

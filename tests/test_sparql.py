@@ -486,6 +486,18 @@ def test_update_parse_forms():
     u = parse_update("MOVE SILENT <http://x/a> TO DEFAULT")
     assert (u.kind, u.graph_to) == ("move", "__default__")
     assert parse_update("COPY DEFAULT TO <http://x/b>").kind == "copy"
+    u = parse_update(
+        "WITH <http://x/g> DELETE { ?s <http://x/p> ?o } "
+        "WHERE { ?s <http://x/p> ?o }"
+    )
+    assert (u.kind, u.graph) == ("delete", "http://x/g")
+    assert parse_update(
+        "WITH <http://x/g> DELETE WHERE { ?s <http://x/p> ?o }"
+    ).graph == "http://x/g"
+    with pytest.raises(ValueError, match="WITH does not apply"):
+        parse_update(
+            'WITH <http://x/g> INSERT DATA { <http://x/s> <http://x/p> "1" . }'
+        )
     with pytest.raises(ValueError, match="exactly one"):
         parse_update('INSERT DATA { <http://x/s> <http://x/p> "1" . } ; '
                      "DELETE WHERE { ?s <http://x/p> ?o }")
@@ -883,6 +895,22 @@ def test_update_graph_scoped_and_clear(quad_store, tmp_path, ray_session):
     # ADD src == dst is the spec'd no-op
     m = sparql_update(s2, f"ADD GRAPH <{G2}> TO GRAPH <{G2}>")
     assert m == {"rows_added": 0, "rows_removed": 0}
+
+    # WITH <g>: scopes BOTH matching and the template target (§3.1.3);
+    # g2 holds {alpha, beta, gamma} names + b's home after the moves
+    s3 = _copy_store(quad_store, tmp_path, "withupd")
+    m = sparql_update(
+        s3, f"WITH <{G2}> DELETE WHERE {{ ?s <{N}name> ?nm }}"
+    )
+    assert m["rows_removed"] == 3  # g1's alpha + the default delta stay
+    assert sparql(s3, f'ASK {{ GRAPH <{G1}> {{ ?s <{N}name> "alpha" }} }}')
+    assert sparql(s3, f'ASK {{ ?s <{N}name> "delta" }}')
+    m = sparql_update(
+        s3,
+        f"WITH <{G1}> INSERT {{ ?o <{N}rev> ?s }} WHERE {{ ?s <{N}p> ?o }}",
+    )
+    assert m["rows_added"] == 1
+    assert sparql(s3, f'ASK {{ GRAPH <{G1}> {{ <{N}b> <{N}rev> <{N}a> }} }}')
 
 
 def test_graph_var(quad_store, ray_session):
