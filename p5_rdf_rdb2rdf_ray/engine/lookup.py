@@ -533,10 +533,10 @@ def get_pattern_store(
 
     NAMED-GRAPH scope [SPARQL GRAPH]: ``graph=`` restricts every
     pattern to one named context, ``default_graph=True`` to the nil
-    context — pushed as a parquet row filter into both the star scans
-    and the per-pattern ``store_statements`` reads. Property paths do
-    not compose with a graph scope (the path relation reads the whole
-    graph); pass neither or drop the paths.
+    context — pushed as a parquet row filter into the star scans, the
+    per-pattern ``store_statements`` reads, AND the property-path edge
+    reads (incl. the §18.4 zero-length term domain, via the
+    scoped-source wrapper consumed by ``stages.paths``).
 
     ``graph_var`` [SPARQL §13.3 GRAPH ?var]: every pattern becomes a
     QUAD pattern over the NAMED contexts — the store's ``graph`` column
@@ -556,11 +556,14 @@ def get_pattern_store(
     if not dirs:
         raise ValueError("get_pattern_store needs at least one store dir")
 
-    if (graph is not None or default_graph) and paths:
-        raise ValueError(
-            "graph=/default_graph= does not compose with paths= "
-            "(path relations read the whole graph)"
-        )
+    # a CONSTANT graph scope composes with paths: every edge read (and
+    # the §18.4 zero-length term domain) restricts to that context via
+    # the scoped-source wrapper consumed by stages.paths
+    path_source = (
+        ("graph_scope", store_dir, graph, default_graph)
+        if (graph is not None or default_graph)
+        else store_dir
+    )
     if graph_var is not None:
         if graph is not None or default_graph:
             raise ValueError(
@@ -601,7 +604,7 @@ def get_pattern_store(
         # join, closures = path doubling); folds with the ordinary
         # patterns on shared variables like any other side
         units = list(units) + [
-            _path_unit(store_dir, s, p, o, num_partitions)
+            _path_unit(path_source, s, p, o, num_partitions)
             for (s, p, o) in paths
         ]
     if values:

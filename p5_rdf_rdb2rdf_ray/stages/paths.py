@@ -368,19 +368,35 @@ def _source_statements(source, predicate: str | None = None) -> rd.Dataset:
     (``store_statements`` — bucket pruning + parquet filters); a LIST of
     strings is the federated UNION of member stores (each with its own
     pushdown; closure distincts collapse cross-store duplicates); a
+    ``("graph_scope", store, g, default)`` wrapper restricts every edge
+    read to ONE named context (or the nil context) — SPARQL GRAPH
+    scope over paths, pushed as a parquet row filter; a
     ``(catalog, base)`` tuple is the Direct-Mapping VIRTUAL graph
     (``engine.lookup.get_statements`` — the bound predicate compiles
     only that column's triples map, so a path leaf scans one column)."""
+    gkw: dict = {}
+    if (
+        isinstance(source, tuple)
+        and len(source) == 4
+        and source[0] == "graph_scope"
+    ):
+        _, source, g, dflt = source
+        if not isinstance(source, (str, list)):
+            raise ValueError(
+                "GRAPH scope over paths needs a store source (the DM "
+                "virtual graph has no named contexts)"
+            )
+        gkw = {"graph": g, "default_graph": dflt}
     if isinstance(source, str):
         from ..sinks.triplestore import store_statements
 
-        return store_statements(source, predicate=predicate)
+        return store_statements(source, predicate=predicate, **gkw)
     if isinstance(source, list):
         from ..sinks.triplestore import store_statements
 
-        out = store_statements(source[0], predicate=predicate)
+        out = store_statements(source[0], predicate=predicate, **gkw)
         for d in source[1:]:
-            out = out.union(store_statements(d, predicate=predicate))
+            out = out.union(store_statements(d, predicate=predicate, **gkw))
         return out
     catalog, base = source
     from ..engine.lookup import get_statements

@@ -855,6 +855,36 @@ def quad_store(ray_session, tmp_path_factory):
     return out
 
 
+def test_graph_scoped_paths(quad_store, ray_session):
+    """Property paths under a CONSTANT graph scope: edge reads and the
+    §18.4 zero-length term domain restrict to the named context. The
+    fixture's <p> edges: a→b in g1, b→c in the default graph — the
+    unscoped closure chains them; the g1 scope sees one hop only."""
+    G1 = N + "g1"
+    un = sparql(quad_store, f"SELECT ?a ?b WHERE {{ ?a <{N}p>+ ?b }}")
+    assert sorted(
+        (r["a"], r["b"]) for r in un.take_all()
+    ) == [(N + "a", N + "b"), (N + "a", N + "c"), (N + "b", N + "c")]
+    sc = sparql(
+        quad_store,
+        f"SELECT ?a ?b WHERE {{ GRAPH <{G1}> {{ ?a <{N}p>+ ?b }} }}",
+    )
+    assert [(r["a"], r["b"]) for r in sc.take_all()] == [(N + "a", N + "b")]
+    # zero-length identity ranges over the SCOPED graph's terms only:
+    # ?x = <c> never appears in g1 (c's name quad lives in g2)
+    got = sparql(
+        quad_store,
+        f"SELECT ?x WHERE {{ GRAPH <{G1}> {{ <{N}c> <{N}p>? ?x }} }}",
+    ).take_all()
+    assert got == []
+    # GRAPH ?var still rejects paths loudly
+    with pytest.raises(ValueError, match="paths"):
+        sparql(
+            quad_store,
+            f"SELECT ?g ?a WHERE {{ GRAPH ?g {{ ?a <{N}p>+ ?b }} }}",
+        )
+
+
 def test_update_graph_scoped_and_clear(quad_store, tmp_path, ray_session):
     """GRAPH-scoped DATA blocks touch only the named context's quad;
     CLEAR GRAPH/DEFAULT/NAMED remove exactly the scoped slices."""
