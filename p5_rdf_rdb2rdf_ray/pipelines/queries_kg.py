@@ -1872,6 +1872,72 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_sparql_construct_where(sf_dir: str) -> rd.Dataset:
+    """§10.2.2 CONSTRUCT WHERE shorthand: the BGP is its own template —
+    byte-identical machinery to the explicit form (parser-level
+    rewrite, zero new planning)."""
+    from ..engine.sparql import sparql
+
+    return to_term_columns(
+        sparql(
+            _nation_region_store(sf_dir),
+            f"CONSTRUCT WHERE {{ ?n <{BASE}nation#n_name> ?nm }}",
+        )
+    )
+
+
+SQL_SPARQL_CONSTRUCT_WHERE = f"""
+SELECT '<{BASE}nation/n_nationkey=' || n_nationkey || '>' AS subj,
+       '<{BASE}nation#n_name>' AS pred,
+       '"' || n_name || '"' AS obj
+FROM nation
+"""
+
+
+def q_sparql_graph_path(sf_dir: str) -> rd.Dataset:
+    """Property path under a CONSTANT GRAPH scope: the closure's edge
+    reads (and the §18.4 zero-length domain) restrict to one named
+    context via the scoped-source wrapper — the gMeta context carries
+    every region edge, the per-region graph/{{rk}} contexts only their
+    own rows."""
+    from ..engine.sparql import sparql
+
+    store = _nation_ctx_store(sf_dir)
+    meta = sparql(
+        store,
+        f"SELECT ?a ?b WHERE {{ GRAPH <{BASE}gMeta> "
+        f"{{ ?a <{BASE}region>+ ?b }} }}",
+    )
+    one = sparql(
+        store,
+        f"SELECT ?a ?b WHERE {{ GRAPH <{BASE}graph/0> "
+        f"{{ ?a <{BASE}region>+ ?b }} }}",
+    )
+
+    import pyarrow as pa
+
+    def tag(ds, scope):
+        return ds.map_batches(
+            lambda t, _s=scope: t.append_column(
+                "scope", pa.array([_s] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(meta, "gMeta").union(tag(one, "graph0"))
+
+
+SQL_SPARQL_GRAPH_PATH = f"""
+SELECT '{BASE}nation-g/' || n_nationkey AS a,
+       '{BASE}region-g/' || n_regionkey AS b, scope
+FROM nation, (SELECT 'gMeta' AS scope) s
+UNION ALL
+SELECT '{BASE}nation-g/' || n_nationkey,
+       '{BASE}region-g/' || n_regionkey, 'graph0'
+FROM nation WHERE n_regionkey = 0
+"""
+
+
 def q_sparql_ask(sf_dir: str):
     """Textual ASK: satisfiable and unsatisfiable probes, each a
     streaming limit(1) early-exit through the parsed BGP."""
