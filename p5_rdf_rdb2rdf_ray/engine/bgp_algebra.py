@@ -1457,7 +1457,37 @@ def _bgp_join(
         graph_var=graph_var,
     )
     if acc is _NO_MATCH:
-        return rd.from_arrow(pa.table({}))
+        # a fully-bound pattern missed: the group's solution set is
+        # empty. Emit the EMPTY table WITH the group's bindable columns
+        # (pattern/unit/OPTIONAL/BIND/graph-var positions) so consumers
+        # keep a stable schema — Ray never maps a 0-row block, so a
+        # zero-column table here could not be repaired downstream
+        scope: dict[str, None] = {}
+        for pat in patterns:
+            for term in pat:
+                if isinstance(term, str) and term.startswith("?"):
+                    scope.setdefault(term[1:])
+        for _ds, names, _kinds in units or []:
+            for v in names:
+                scope.setdefault(v)
+        for o_pats, o_units in optional_groups or []:
+            for pat in o_pats:
+                for term in pat:
+                    if isinstance(term, str) and term.startswith("?"):
+                        scope.setdefault(term[1:])
+            for _ds, names, _kinds in o_units or []:
+                for v in names:
+                    scope.setdefault(v)
+        for alias, *_ in bind or []:
+            scope.setdefault(alias.lstrip("?"))
+        if graph_var is not None:
+            scope.setdefault(graph_var)
+        scope.pop("__path_probe", None)
+        cols = {v: pa.array([], pa.string()) for v in scope}
+        if keep_kinds:
+            for v in list(scope):
+                cols[f"__k_{v}"] = pa.array([], pa.uint8())
+        return rd.from_arrow(pa.table(cols) if cols else pa.table({}))
     if acc is None:
         # every pattern was fully bound and matched (or the group is
         # empty): the BGP's solution set is {μ0} — ONE solution binding

@@ -257,9 +257,22 @@ class ParsedQuery:
 
 class _Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
+
+    def _signed_num(self, t: _Tok) -> bool:
+        """True when a NUMBER token carries an EXPLICIT sign in the
+        source (`+1` / `-1`): the tokenizer folds the sign into the
+        value, which is how §19.8's NumericLiteralPositive/Negative
+        reach AdditiveExpression — `?v+10` lexes as VAR NUMBER(10)
+        with a '+' at the token's start."""
+        return (
+            t.kind == "NUMBER"
+            and isinstance(t.val, (int, float))
+            and self.text[t.pos] in "+-"
+        )
 
     # -- token helpers ---------------------------------------------------
     def peek(self, k: int = 0) -> _Tok:
@@ -402,13 +415,11 @@ class _Parser:
                 op = self.next().val
                 left = (op, left, self.expr_mult())
                 continue
-            if (
-                t.kind == "NUMBER"
-                and isinstance(t.val, (int, float))
-                and t.val < 0
-            ):
-                # §19.8 AdditiveExpression's NumericLiteralNegative
-                # branch: `?v-10` tokenizes as VAR NUMBER(-10)
+            if self._signed_num(t):
+                # §19.8 AdditiveExpression's NumericLiteralPositive/
+                # Negative branch: `?v-10` tokenizes as VAR NUMBER(-10)
+                # and `?v+10` as VAR NUMBER(+10) — the signed value IS
+                # the addend
                 self.next()
                 left = ("+", left, t.val)
                 continue
@@ -576,12 +587,12 @@ class _Parser:
             return self._expr_comparison(self.expr())
         if t0.kind == "VAR":
             t1 = self.peek(1)
-            if t1.kind == "PUNCT" and t1.val in ("+", "-", "*", "/") or (
-                t1.kind == "NUMBER"
-                and isinstance(t1.val, (int, float))
-                and t1.val < 0
-            ):
-                # arithmetic left side: FILTER(?a + ?b > 3)
+            if (
+                t1.kind == "PUNCT" and t1.val in ("+", "-", "*", "/")
+            ) or self._signed_num(t1):
+                # arithmetic left side: FILTER(?a + ?b > 3); a signed
+                # NUMBER right after the VAR is the unspaced `?a+1`
+                # / `?a-1` form (§19.8)
                 return self._expr_comparison(self.expr())
         t = self.expect("VAR")
         if self.at_kw("in") or (
@@ -749,12 +760,15 @@ class _Parser:
                     )
                 # SPARQL 11.2 subquery: evaluated independently, its
                 # PROJECTED bindings join the outer group on shared
-                # variables. GRAPH scope is per-query: save/restore the
-                # parser's scope attribute around the nested parse.
+                # variables. A constant GRAPH <g> scope is the ACTIVE
+                # GRAPH for the nested query too (§13.3) — the nested
+                # parse INHERITS it (an inner GRAPH clause overwrites
+                # it for the subquery only; save/restore keeps the
+                # outer scope intact). GRAPH ?var does not compose
+                # with subqueries (fails loud in _eval_query).
                 self.next()
                 saved = getattr(self, "_graph_scope", None)
                 saved_var = getattr(self, "_graph_var", None)
-                self._graph_scope = None
                 self._graph_var = None
                 sub = self.parse_select(top=False)
                 self._graph_scope = saved
@@ -1307,7 +1321,8 @@ def _eval_query(
                 "UNION queries support SELECT/ASK without aggregates"
             )
         return _project(
-            out, q, apply_modifiers=True, num_partitions=num_partitions
+            out, q, apply_modifiers=True, num_partitions=num_partitions,
+            scope_vars=_scope_vars(q),
         )
 
     wc = q.where
@@ -1475,12 +1490,14 @@ def _eval_query(
         # DISTINCT-over-projection precedes ORDER/LIMIT (SPARQL §18.2.4
         # sequence): plan unmodified, project+dedup, then the modifiers
         out = _project(
-            plan(), q, apply_modifiers=False, num_partitions=num_partitions
+            plan(), q, apply_modifiers=False, num_partitions=num_partitions,
+            scope_vars=_scope_vars(q),
         )
         return apply_solution_modifiers(out, q.order_by, q.limit, q.offset)
     out = plan(order_by=q.order_by or None, limit=q.limit, offset=q.offset)
     return _project(
-        out, q, apply_modifiers=False, num_partitions=num_partitions
+        out, q, apply_modifiers=False, num_partitions=num_partitions,
+        scope_vars=_scope_vars(q),
     )
 
 
@@ -1520,38 +1537,100 @@ def _ensure_kind_cols(ds, names: list[str]):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _scope_vars(q: ParsedQuery) -> list[str]:
+    """Variables the WHERE group can BIND — the SPARQL 1.1 §18.2.1
+    in-scope set minus FILTER / MINUS / (NOT) EXISTS (which never
+    extend scope): pattern, property-path and OPTIONAL positions,
+    VALUES variables, BIND aliases, subquery projections, GRAPH ?var.
+    Computed STATICALLY from the parse so :func:`_project` never has
+    to execute the plan to sniff its schema (``Dataset.schema()`` in
+    Ray runs the whole pipeline once — the distinct shuffle at the end
+    of every BGP defeats its ``limit(1)``)."""
+    seen: dict[str, None] = {}
+
+    def walk(o):
+        if isinstance(o, str):
+            if o.startswith("?"):
+                seen.setdefault(o[1:])
+        elif isinstance(o, (list, tuple)):
+            for x in o:
+                walk(x)
+
+    if q.union_groups is not None:
+        for g in q.union_groups:
+            walk(g.patterns)
+    elif q.where is not None:
+        wc = q.where
+        walk(wc.patterns)
+        walk(wc.paths)
+        walk(wc.optional)
+        walk(wc.values)
+        for alias, _expr in wc.bind or []:
+            walk(alias)  # only the alias binds; expr vars merely read
+        for sq in wc.subqueries:
+            for v in sq.project or []:
+                seen.setdefault(v)
+    if q.graph_var is not None:
+        seen.setdefault(q.graph_var)
+    return list(seen)
+
+
 def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
-             num_partitions: int):
+             num_partitions: int, scope_vars: list[str]):
     import pyarrow as pa
 
     from .distinct import distinct_rows
     from .lookup import apply_solution_modifiers
 
     out = bindings
-    sch = out.schema()
-    names = sch.names if sch is not None else []
-    if "__mu0" in names or not names:
-        # the WHERE group bound no variables: its solution set is {mu0}
-        # when the ground triples exist (see _bgp_join) or empty when a
-        # fully-bound pattern missed (_NO_MATCH's zero-column table) —
-        # every projected variable is unbound, one all-NULL row per mu0
-        # solution, and the internal marker must not leak
-        if q.project is None:
+    if q.project is None:
+        # SELECT *: the planner's columns ARE the projection. With a
+        # non-empty scope the plan never yields the mu0 marker, and
+        # _bgp_join's _NO_MATCH table already carries the scope
+        # columns — pass through untouched (and lazy).
+        if not scope_vars:
             raise NotImplementedError(
                 "SELECT * over a WHERE group that binds no variables"
             )
+    else:
         cols = list(dict.fromkeys(q.project))
-        n = out.limit(1).count() if "__mu0" in names else 0
-        import ray.data as rd
+        if not scope_vars:
+            # degenerate group (every pattern fully bound): the
+            # solution set is {mu0} (one row, see _bgp_join's marker)
+            # or empty (_NO_MATCH, zero rows) — count() here executes
+            # only existence probes, never a data-sized pipeline
+            import ray.data as rd
 
-        out = rd.from_arrow(
-            pa.table(
-                {c: pa.array([None] * n, pa.string()) for c in cols}
+            n = out.count()
+            out = rd.from_arrow(
+                pa.table(
+                    {c: pa.array([None] * n, pa.string()) for c in cols}
+                )
             )
-        )
-    if q.project is not None:
-        cols = list(dict.fromkeys(q.project))
-        out = out.select_columns(cols)
+        elif set(cols) <= set(scope_vars):
+            # every projected variable is bindable: a plain (lazy,
+            # schema-preserving) column selection
+            out = out.select_columns(cols)
+        else:
+            # a variable projected but never bound anywhere in the
+            # group (legal SPARQL): batch-wise projection fills it
+            # with an all-NULL string column; bound columns pass
+            # through zero-copy. (Ray never maps a 0-row block, so an
+            # EMPTY result here ends schemaless — acceptable for the
+            # ghost-variable edge only.)
+            def project(t: pa.Table, _cols=tuple(cols)) -> pa.Table:
+                return pa.table(
+                    {
+                        c: (
+                            t.column(c)
+                            if c in t.column_names
+                            else pa.nulls(t.num_rows, pa.string())
+                        )
+                        for c in _cols
+                    }
+                )
+
+            out = out.map_batches(project, batch_format="pyarrow")
         if q.distinct:
             out = distinct_rows(out, cols, num_buckets=num_partitions)
     if apply_modifiers:
@@ -2081,6 +2160,18 @@ def sparql_update(
     }
 
 
+def _stamp_graph_col(t, g):
+    """Overwrite the ``graph`` column with the constant ``g`` (None =
+    default graph) — shared by ADD/COPY/MOVE's destination re-stamp and
+    the constant-GRAPH delta stamp."""
+    import pyarrow as pa
+
+    i = t.schema.get_field_index("graph")
+    return t.set_column(
+        i, "graph", pa.array([g] * t.num_rows, pa.string())
+    )
+
+
 def _apply_one_update(
     u: ParsedUpdate,
     store_dir: str,
@@ -2113,15 +2204,9 @@ def _apply_one_update(
             )
 
         gval = None if dst == "__default__" else dst
-
-        def set_graph(t: pa.Table, _g=gval) -> pa.Table:
-            i = t.schema.get_field_index("graph")
-            return t.set_column(
-                i, "graph", pa.array([_g] * t.num_rows, pa.string())
-            )
-
         delta = store_statements(store_dir, **slice_kw(src)).map_batches(
-            set_graph, batch_format="pyarrow"
+            lambda t, _g=gval: _stamp_graph_col(t, _g),
+            batch_format="pyarrow",
         ).materialize()
         removed = 0
         if u.kind in ("copy", "move"):  # COPY/MOVE replace the dest
@@ -2163,14 +2248,10 @@ def _apply_one_update(
         # (graph-NULL) constructed quads
         if g is None:
             return ds
-
-        def set_graph(t: pa.Table, _g=g) -> pa.Table:
-            i = t.schema.get_field_index("graph")
-            return t.set_column(
-                i, "graph", pa.array([_g] * t.num_rows, pa.string())
-            )
-
-        return ds.map_batches(set_graph, batch_format="pyarrow")
+        return ds.map_batches(
+            lambda t, _g=g: _stamp_graph_col(t, _g),
+            batch_format="pyarrow",
+        )
 
     if u.kind in ("insert_data", "delete_data"):
         one = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int8())}))
@@ -2224,6 +2305,7 @@ def _apply_one_update(
                 **{f"delete_{k}": v for k, v in removed.items()},
                 **{f"insert_{k}": v for k, v in added.items()},
                 "rows_removed": removed.get("rows_removed", 0),
+                "rows_added": added.get("rows_added", 0),
             }
         delta = stamp(
             construct(bindings, u.templates, num_partitions=num_partitions),
@@ -2234,15 +2316,22 @@ def _apply_one_update(
         return merge_triplestore(delta, store_dir, input_fp="sparql-update")
     # lexical identity: bindings carry only (lexical form, kind), so a
     # delta reconstructed from DELETE WHERE solutions has NULL
-    # lang/datatype/graph — matching on the full row would silently
-    # skip every typed / language-tagged / named-graph store row the
-    # pattern matched. The front-end's literal semantics are
-    # lexical+kind throughout (FILTER, joins, aggregation), and DELETE
-    # follows them. A GRAPH-scoped DELETE DATA / WITH-scoped delete adds
-    # the graph column to the identity so only the named context's quad
-    # is removed.
+    # lang/datatype — matching on the full row would silently skip
+    # every typed / language-tagged store row the pattern matched. The
+    # front-end's literal semantics are lexical+kind throughout
+    # (FILTER, joins, aggregation), and DELETE follows them. Graph
+    # identity differs by form:
+    #   * DELETE DATA (ground quads): graph is ALWAYS part of the
+    #     identity — unscoped deletes target the default graph only
+    #     (graph-NULL delta rows match graph-NULL store rows; pandas
+    #     merge and the row hash both treat NULL keys as equal),
+    #     symmetric with INSERT DATA writing the nil context.
+    #   * DELETE WHERE / modify (pattern-derived): unscoped patterns
+    #     match the UNION of graphs (the store's query semantics), so
+    #     the delete sweeps every graph copy the pattern matched —
+    #     graph joins the identity only under GRAPH/WITH scope.
     match = ("subj", "pred", "obj", "obj_kind")
-    if u.graph is not None:
+    if u.kind == "delete_data" or u.graph is not None:
         match = match + ("graph",)
     return delete_triplestore(
         delta, store_dir, input_fp="sparql-update", match_cols=match,

@@ -1656,3 +1656,170 @@ def test_variable_predicate_catalog_prune(ray_session):
         (f"{BASE}region#r_regionkey", 5),
         ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 5),
     ]
+
+
+def test_select_star_no_match_keeps_scope_columns(store, ray_session):
+    """A group that BINDS variables but contains a fully-bound pattern
+    that misses is the EMPTY solution set: SELECT * returns zero rows
+    whose columns are the in-scope variables (regression: the mu0
+    handling raised NotImplementedError on _NO_MATCH's zero-column
+    table, and the message blamed the group for binding nothing)."""
+    got = sparql(
+        store, f"SELECT * WHERE {{ ?s ?p ?o . <{N}a> <{N}p> <{N}nope> }}"
+    )
+    assert _rows(got) == []
+    assert set(got.schema().names) == {"s", "p", "o"}
+    # explicit projection over the same no-match group
+    got = _rows(
+        sparql(
+            store,
+            f"SELECT ?s WHERE {{ ?s ?p ?o . <{N}a> <{N}p> <{N}nope> }}",
+        )
+    )
+    assert got == []
+
+
+def test_select_projected_unbound_variable(store, ray_session):
+    """Projecting a variable the group never binds is legal SPARQL —
+    an all-NULL column (select_columns used to raise on it)."""
+    got = _rows(
+        sparql(store, f'SELECT ?s ?ghost WHERE {{ ?s <{N}tag> "keep" }}')
+    )
+    assert [(r["s"], r["ghost"]) for r in got] == [(N + "a", None)]
+
+
+def test_select_over_fully_bound_group(store, ray_session):
+    """Degenerate group (every pattern fully bound): {mu0} on a hit —
+    one all-NULL row per projected variable — and empty on a miss."""
+    got = _rows(sparql(store, f"SELECT ?x WHERE {{ <{N}a> <{N}p> <{N}b> }}"))
+    assert [r["x"] for r in got] == [None]
+    got = _rows(sparql(store, f"SELECT ?x WHERE {{ <{N}a> <{N}p> <{N}zz> }}"))
+    assert got == []
+
+
+def test_subquery_inherits_constant_graph_scope(quad_store, ray_session):
+    """A {{ SELECT … }} inside GRAPH <g> evaluates against g — the
+    active graph extends into the subquery (SPARQL 13.3). Regression:
+    the nested parse zeroed the scope, so the subquery matched every
+    context (g1+g2+default would add beta/gamma/delta here)."""
+    G1 = N + "g1"
+    got = {
+        r["nm"]
+        for r in _rows(
+            sparql(
+                quad_store,
+                f"""SELECT ?nm WHERE {{ GRAPH <{G1}> {{
+                  {{ SELECT ?nm WHERE {{ ?s <{N}name> ?nm }} }} }} }}""",
+            )
+        )
+    }
+    assert got == {"alpha"}
+
+
+def test_unscoped_delete_data_targets_default_graph(ray_session, tmp_path):
+    """DELETE DATA without GRAPH removes the DEFAULT-graph quad only —
+    symmetric with INSERT DATA writing the nil context (W3C Update
+    §3.1.2); the named-graph copy stays. Pattern-derived DELETE WHERE
+    keeps the documented union sweep (test_update_delete_lexical_match)."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import (
+        read_triplestore,
+        write_triplestore,
+    )
+
+    G1 = N + "g1"
+    L = KIND_LITERAL
+    t = pa.table(
+        {
+            "subj": [N + "d", N + "d"],
+            "pred": [N + "n", N + "n"],
+            "obj": ["5", "5"],
+            "obj_kind": pa.array([L, L], pa.uint8()),
+            "lang": pa.array([None, None], pa.string()),
+            "datatype": pa.array([None, None], pa.string()),
+            "graph": pa.array([None, G1], pa.string()),
+        }
+    )
+    s = str(tmp_path / "deldefault")
+    write_triplestore(rd.from_arrow(t), s, num_buckets=2)
+
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql as _sparql
+
+    m = sparql_update(s, f'DELETE DATA {{ <{N}d> <{N}n> "5" . }}')
+    assert m["rows_removed"] == 1
+    assert read_triplestore(s).count() == 1
+    assert _sparql(s, f'ASK {{ GRAPH <{G1}> {{ <{N}d> <{N}n> "5" }} }}') is True
+    # INSERT DATA ; DELETE DATA round-trips to the starting store
+    m = sparql_update(
+        s,
+        f'INSERT DATA {{ <{N}d> <{N}n> "5" . }} ; '
+        f'DELETE DATA {{ <{N}d> <{N}n> "5" . }}',
+    )
+    assert m["rows_added"] == 1 and m["rows_removed"] == 1
+    assert read_triplestore(s).count() == 1
+
+
+def test_modify_reports_rows_added(ray_session, tmp_path):
+    """DELETE {} INSERT {} WHERE {} surfaces BOTH top-level counters,
+    so ;-sequence totals include the modify's inserts."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    I = KIND_IRI
+    t = pa.table(
+        {
+            "subj": [N + "a", N + "b"],
+            "pred": [N + "p", N + "p"],
+            "obj": [N + "x", N + "y"],
+            "obj_kind": pa.array([I, I], pa.uint8()),
+            "lang": pa.array([None, None], pa.string()),
+            "datatype": pa.array([None, None], pa.string()),
+            "graph": pa.array([None, None], pa.string()),
+        }
+    )
+    s = str(tmp_path / "modcount")
+    write_triplestore(rd.from_arrow(t), s, num_buckets=2)
+    m = sparql_update(
+        s,
+        f"DELETE {{ ?s <{N}p> ?o }} INSERT {{ ?s <{N}q> ?o }} "
+        f"WHERE {{ ?s <{N}p> ?o }}",
+    )
+    assert m["rows_removed"] == 2
+    assert m["rows_added"] == 2
+
+
+def test_filter_unspaced_signed_arithmetic(store, ray_session):
+    """§19.8 NumericLiteralPositive: `?v+1` (no spaces) parses as the
+    addition — the tokenizer folds the sign into the NUMBER and the
+    additive grammar consumes it (the `-` twin already worked)."""
+    got = _rows(
+        sparql(
+            store,
+            f"SELECT ?s WHERE {{ ?s <{N}score> ?v . FILTER(?v+1 > 7) }}",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "b", N + "c"}
+    got = _rows(
+        sparql(
+            store,
+            f"SELECT ?s WHERE {{ ?s <{N}score> ?v . FILTER(?v-1 > 5) }}",
+        )
+    )
+    assert {r["s"] for r in got} == {N + "b", N + "c"}
+    # BIND form: spaced and unspaced agree
+    a = _rows(
+        sparql(
+            store,
+            f"SELECT ?s ?w WHERE {{ ?s <{N}score> ?v . "
+            f"BIND(?v+1 AS ?w) }} ORDER BY ?s",
+        )
+    )
+    b = _rows(
+        sparql(
+            store,
+            f"SELECT ?s ?w WHERE {{ ?s <{N}score> ?v . "
+            f"BIND(?v + 1 AS ?w) }} ORDER BY ?s",
+        )
+    )
+    assert [(r["s"], r["w"]) for r in a] == [(r["s"], r["w"]) for r in b]
+    assert [r["w"] for r in a] == ["4", "8", "8"]
