@@ -1279,6 +1279,7 @@ def _bgp_left_join(
     num_partitions: int,
     broadcast_limit: int,
     graph_var: str | None = None,
+    filters: list | None = None,
 ):
     """ONE left-outer (OPTIONAL) group joined into the accumulator
     [SPARQL 1.1 §6 LeftJoin]: required solutions keep their row when
@@ -1296,6 +1297,20 @@ def _bgp_left_join(
         stmt_fn, optional or [], num_partitions, optional_units,
         broadcast_limit, graph_var=graph_var,
     )
+    if filters:
+        # the LeftJoin condition F, restricted to the group's OWN
+        # variables (callers enforce it): LeftJoin(A, B, F) =
+        # LeftJoin(A, Filter(F, B)) under that restriction, so the
+        # filter applies to the group's solutions BEFORE the join —
+        # required rows the filtered group no longer matches survive
+        # as left-only rows with NULL extensions, exactly §6
+        if oacc is None:
+            raise ValueError(
+                "FILTER on a fully-bound OPTIONAL group can only read "
+                "unbound variables — move it outside the OPTIONAL"
+            )
+        if oacc is not _NO_MATCH:
+            oacc = _apply_binding_filters(oacc, filters)
     if oacc is _NO_MATCH:
         # a fully-bound pattern in the group matched nothing → the
         # whole group is unmatched for every required solution: its
@@ -1423,7 +1438,7 @@ def _bgp_join(
     filters: list[tuple] | None = None,
     units: list[tuple[rd.Dataset, list[str], set[str]]] | None = None,
     broadcast_limit: int = 1_000_000,
-    optional_groups: list[tuple[list[tuple], list]] | None = None,
+    optional_groups: list[tuple[list[tuple], list, list]] | None = None,
     negations: list[tuple[str, list[tuple], list | None]] | None = None,
     bind: list[tuple] | None = None,
     keep_kinds: bool = False,
@@ -1444,7 +1459,8 @@ def _bgp_join(
     semi-join) — see :func:`_bgp_anti` for the SPARQL 1.1 §8 semantics
     and the anti/semi-join distribution strategy.
 
-    ``optional_groups`` is a list of ``(patterns, units)`` left-outer
+    ``optional_groups`` is a list of ``(patterns, units, filters)``
+    left-outer
     groups applied SEQUENTIALLY — left-associative LeftJoin composition,
     exactly SPARQL 1.1 §5.2's algebra for sibling OPTIONALs [graft
     extension beyond the reference Store's BGP surface]. See
@@ -1470,7 +1486,7 @@ def _bgp_join(
         for _ds, names, _kinds in units or []:
             for v in names:
                 scope.setdefault(v)
-        for o_pats, o_units in optional_groups or []:
+        for o_pats, o_units, *_ofilters in optional_groups or []:
             for pat in o_pats:
                 for term in pat:
                     if isinstance(term, str) and term.startswith("?"):
@@ -1503,10 +1519,14 @@ def _bgp_join(
             )
         return rd.from_arrow(pa.table({"__mu0": pa.array([True])}))
 
-    for o_pats, o_units in optional_groups or []:
+    for o_pats, o_units, *o_rest in optional_groups or []:
+        # (patterns, units) legacy 2-tuples and (patterns, units,
+        # filters) 3-tuples both accepted — the filters entry is the
+        # LeftJoin condition over the group's OWN variables
         acc, acc_vars, acc_kinds = _bgp_left_join(
             acc, acc_vars, acc_kinds, stmt_fn, o_pats, o_units,
             num_partitions, broadcast_limit, graph_var=graph_var,
+            filters=(o_rest[0] or None) if o_rest else None,
         )
 
     for mode, n_pats, n_units in negations or []:

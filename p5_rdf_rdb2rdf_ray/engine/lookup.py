@@ -254,16 +254,26 @@ def count_statements(
     ).count()
 
 
-def _optional_as_groups(optional) -> list[list[tuple]]:
+def _optional_as_groups(optional) -> list[tuple[list, list]]:
     """``optional`` accepts ONE group (a list of ``(s, p, o)`` pattern
-    TUPLES — the historical surface) or a list of GROUPS (list of
+    TUPLES — the historical surface), a list of GROUPS (list of
     lists — sibling OPTIONALs, applied as sequential LeftJoins per
-    SPARQL 1.1 §5.2). Normalize to a list of groups."""
+    SPARQL 1.1 §5.2), or a list of ``(patterns, filters)`` 2-tuples
+    (the SPARQL front-end's form: the filters are the LeftJoin
+    condition, over the group's OWN variables only). Normalize to a
+    list of ``(patterns, filters)`` pairs."""
     if not optional:
         return []
-    if isinstance(optional[0], list):
-        return list(optional)
-    return [list(optional)]
+    first = optional[0]
+    if (
+        isinstance(first, tuple)
+        and len(first) == 2
+        and isinstance(first[0], list)
+    ):
+        return [(list(p), list(f or [])) for p, f in optional]
+    if isinstance(first, list):
+        return [(list(g), []) for g in optional]
+    return [(list(optional), [])]
 
 
 def get_pattern(
@@ -347,9 +357,9 @@ def get_pattern(
         # sides through the driver collect instead
         units = list(units) + [_values_unit(*values)]
     optional_groups = []
-    for grp in _optional_as_groups(optional):
+    for grp, o_filters in _optional_as_groups(optional):
         o_units, o_rest = _star_groups(catalog, grp, base)
-        optional_groups.append((o_rest, o_units))
+        optional_groups.append((o_rest, o_units, o_filters))
     negs = [
         (mode, *reversed(_star_groups(catalog, grp, base)))
         for mode, grp in (
@@ -610,17 +620,17 @@ def get_pattern_store(
     if values:
         units = list(units) + [_values_unit(*values)]  # fold LAST (tiny)
     optional_groups = []
-    for grp in _optional_as_groups(optional):
+    for grp, o_filters in _optional_as_groups(optional):
         if graph_var is not None:
             # quad patterns bypass star fusion (see above); the group
             # binds the context var itself, so the left join is
             # per-named-graph
-            optional_groups.append((list(grp), []))
+            optional_groups.append((list(grp), [], o_filters))
         else:
             o_units, o_rest = _store_star_groups(
                 store_dir, grp, graph=graph, default_graph=default_graph
             )
-            optional_groups.append((o_rest, o_units))
+            optional_groups.append((o_rest, o_units, o_filters))
     negs = [
         (
             mode,

@@ -726,12 +726,17 @@ class _Parser:
                     else:
                         wc.filters.append(e)
             elif self.at_kw("optional"):
+                pos = self.peek().pos
                 self.next()
                 sub = self.group()
-                self._require_plain(sub, "OPTIONAL")
+                self._require_optional(sub, pos)
                 # sibling OPTIONALs compose as sequential LeftJoins
-                # (SPARQL 1.1 §5.2); kept as a list of GROUPS
-                wc.optional = (wc.optional or []) + [sub.patterns]
+                # (SPARQL 1.1 §5.2); kept as a list of (patterns,
+                # filters) GROUPS — the filters are the LeftJoin's
+                # condition, applied to the group's own solutions
+                wc.optional = (wc.optional or []) + [
+                    (sub.patterns, sub.filters)
+                ]
             elif self.at_kw("minus"):
                 self.next()
                 sub = self.group()
@@ -753,11 +758,21 @@ class _Parser:
             elif self.at_punct("{"):
                 t1 = self.peek(1)
                 if not (t1.kind == "KW" and t1.val == "select"):
-                    raise ValueError(
-                        "nested group graph patterns are not supported "
-                        "(only { SELECT … } subqueries and top-level "
-                        f"UNION); at char {self.peek().pos}"
-                    )
+                    # nested CONJUNCTIVE group: Join(outer, group) —
+                    # fold its triples/paths/FILTERs into the
+                    # enclosing group (exactly equivalent; see
+                    # _fold_nested for the soundness conditions)
+                    pos = self.peek().pos
+                    sub = self.group()
+                    if self.at_kw("union"):
+                        raise ValueError(
+                            "UNION is supported at the top level of "
+                            f"WHERE only; at char {self.peek().pos}"
+                        )
+                    self._fold_nested(wc, sub, pos)
+                    if self.at_punct("."):
+                        self.next()
+                    continue
                 # SPARQL 11.2 subquery: evaluated independently, its
                 # PROJECTED bindings join the outer group on shared
                 # variables. A constant GRAPH <g> scope is the ACTIVE
@@ -796,6 +811,96 @@ class _Parser:
             raise ValueError(
                 f"{ctx} groups support plain triple patterns only"
             )
+
+    @staticmethod
+    def _group_own_vars(sub: WhereClause) -> set:
+        """Variables the group's own patterns/paths bind."""
+        out: set = set()
+
+        def walk(o):
+            if isinstance(o, str):
+                if o.startswith("?"):
+                    out.add(o[1:])
+            elif isinstance(o, (list, tuple)):
+                for x in o:
+                    walk(x)
+
+        walk(sub.patterns)
+        walk(sub.paths)
+        return out
+
+    @staticmethod
+    def _filter_vars(filters) -> set:
+        """Variables a FILTER expression list reads (the ``?``-prefixed
+        strings anywhere in the tuple ASTs)."""
+        out: set = set()
+
+        def walk(o):
+            if isinstance(o, str):
+                if o.startswith("?"):
+                    out.add(o[1:])
+            elif isinstance(o, (list, tuple)):
+                for x in o:
+                    walk(x)
+
+        walk(filters)
+        return out
+
+    def _require_optional(self, sub: WhereClause, pos: int):
+        """OPTIONAL groups: plain triple patterns plus FILTERs whose
+        variables the group ITSELF binds. Under that restriction
+        ``LeftJoin(A, B, F)`` equals ``LeftJoin(A, Filter(F, B))`` —
+        F(merge(mu1, mu2)) depends only on mu2 — which is how the
+        planner executes it. A filter reading an OUTER variable would
+        see it unbound inside the group (different answers), so it
+        fails loud instead."""
+        if (
+            sub.paths or sub.optional or sub.minus or sub.not_exists
+            or sub.exists or sub.values or sub.bind or sub.subqueries
+        ):
+            raise ValueError(
+                "OPTIONAL groups support plain triple patterns (with "
+                f"FILTERs over their own variables); at char {pos}"
+            )
+        if sub.filters:
+            extra = self._filter_vars(sub.filters) - self._group_own_vars(sub)
+            if extra:
+                raise ValueError(
+                    "FILTER inside OPTIONAL reads variables the group "
+                    f"does not bind ({sorted(extra)}) — the LeftJoin "
+                    "condition would see them unbound; move the FILTER "
+                    f"outside the OPTIONAL; at char {pos}"
+                )
+
+    def _fold_nested(self, wc: WhereClause, sub: WhereClause, pos: int):
+        """Fold a nested conjunctive group into the enclosing one.
+        Join is commutative/associative over triples and path units,
+        and ``Filter(F, Join(A, B)) = Join(A, Filter(F, B))`` whenever
+        F's variables are bound by B itself — so a group carrying only
+        triples, paths and such FILTERs flattens exactly. Anything
+        whose semantics depend on the group BOUNDARY (OPTIONAL, MINUS,
+        EXISTS, VALUES, BIND, subqueries) fails loud."""
+        if (
+            sub.optional or sub.minus or sub.not_exists or sub.exists
+            or sub.values or sub.bind or sub.subqueries
+        ):
+            raise ValueError(
+                "nested groups fold only when conjunctive (triples, "
+                "property paths, FILTERs over the group's own "
+                "variables); OPTIONAL/MINUS/EXISTS/VALUES/BIND/"
+                f"subqueries keep group scope — at char {pos}"
+            )
+        if sub.filters:
+            extra = self._filter_vars(sub.filters) - self._group_own_vars(sub)
+            if extra:
+                raise ValueError(
+                    "FILTER in a nested group reads variables the "
+                    f"group does not bind ({sorted(extra)}); move it "
+                    f"to the outer group; at char {pos}"
+                )
+        wc.patterns.extend(sub.patterns)
+        wc.paths.extend(sub.paths)
+        wc.filters.extend(sub.filters)
 
     def values_clause(self) -> tuple:
         if self.peek().kind == "VAR":
@@ -865,25 +970,37 @@ class _Parser:
         if self.at_punct("{") and not (
             self.peek(1).kind == "KW" and self.peek(1).val == "select"
         ):
-            groups = [self.group()]
-            while self.eat_kw("union"):
-                groups.append(self.group())
+            pos = self.peek().pos
+            head = self.group()
+            if self.at_kw("union"):
+                groups = [head]
+                while self.eat_kw("union"):
+                    groups.append(self.group())
+                self.expect("PUNCT", "}")
+                for g in groups:
+                    if (
+                        g.paths or g.optional or g.minus or g.not_exists
+                        or g.exists or g.values or g.bind or g.filters
+                        or g.subqueries
+                    ):
+                        raise ValueError(
+                            "UNION branches support plain triple patterns "
+                            "only (the union planner's surface); move "
+                            "FILTERs outside or use the programmatic API"
+                        )
+                return None, groups
+            if self.at_punct("}"):
+                # WHERE { { g } } is exactly g — any group content
+                self.next()
+                return head, None
+            # nested group followed by more body: Join(head, rest) —
+            # fold the (conjunctive) head into the rest
+            if self.at_punct("."):
+                self.next()
+            rest = self.group_body()
             self.expect("PUNCT", "}")
-            for g in groups:
-                if (
-                    g.paths or g.optional or g.minus or g.not_exists
-                    or g.exists or g.values or g.bind or g.filters
-                    or g.subqueries
-                ):
-                    raise ValueError(
-                        "UNION branches support plain triple patterns "
-                        "only (the union planner's surface); move FILTERs "
-                        "outside or use the programmatic API"
-                    )
-            if len(groups) == 1:
-                # a plain nested group, not a union — fold up
-                return groups[0], None
-            return None, groups
+            self._fold_nested(rest, head, pos)
+            return rest, None
         first = self.group_body()
         self.expect("PUNCT", "}")
         return first, None

@@ -1732,6 +1732,41 @@ LEFT JOIN orders p ON p.o_custkey = c_custkey AND p.o_orderstatus = 'P'
 """
 
 
+def q_sparql_optional_filter(sf_dir: str) -> rd.Dataset:
+    """OPTIONAL with an inner FILTER (the LeftJoin CONDITION, SPARQL
+    1.1 §6: a customer whose orders all miss the price bar keeps its
+    row with ?onum NULL — different from filtering AFTER the join,
+    which would drop it) plus a nested conjunctive group wrapping the
+    required pattern (folds into the outer group exactly, §18.2 Join).
+    SQL twin: the filter rides the LEFT JOIN's ON clause."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?k ?seg ?onum WHERE {{
+          {{ ?c <{BASE}customer#c_custkey> ?k .
+             ?c <{BASE}customer#c_mktsegment> ?seg .
+             FILTER(?seg = "MACHINERY") }}
+          OPTIONAL {{ ?o <{BASE}orders#ref-o_custkey> ?c ;
+                         <{BASE}orders#o_orderkey> ?onum ;
+                         <{BASE}orders#o_totalprice> ?tp
+                      FILTER(?tp > 400000) }}
+        }}
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_OPTIONAL_FILTER = """
+SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment AS seg,
+       CAST(o.o_orderkey AS VARCHAR) AS onum
+FROM customer
+LEFT JOIN orders o ON o.o_custkey = c_custkey AND o.o_totalprice > 400000
+WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
 def q_sparql_exists(sf_dir: str) -> rd.Dataset:
     """Textual FILTER EXISTS (SPARQL 1.1 §8.4) — the positive dual of
     `bgp_minus`: customers WITH at least one fulfilled (status-F)

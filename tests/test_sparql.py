@@ -1028,7 +1028,7 @@ def test_graph_var(quad_store, ray_session):
 def test_subquery(store, ray_session):
     """11.2 subqueries: inner aggregate joins the outer patterns on the
     shared variable; subquery LIMIT applies before the outer join;
-    SELECT * inside and bare nested groups reject."""
+    SELECT * inside rejects; bare conjunctive nested groups FOLD."""
     got = sparql(
         store,
         f"""SELECT ?nm ?c WHERE {{
@@ -1054,10 +1054,11 @@ def test_subquery(store, ray_session):
         parse_query(
             f"SELECT ?x WHERE {{ {{ SELECT * WHERE {{ ?x <{N}p> ?y }} }} }}"
         )
-    with pytest.raises(ValueError, match="nested group"):
-        parse_query(
-            f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
-        )
+    # a bare conjunctive nested group folds into the outer BGP
+    q = parse_query(
+        f"SELECT ?x WHERE {{ ?x <{N}q> ?z . {{ ?x <{N}p> ?y }} }}"
+    )
+    assert len(q.where.patterns) == 2 and not q.where.subqueries
 
 
 def test_describe_var(store, ray_session):
@@ -1823,3 +1824,97 @@ def test_filter_unspaced_signed_arithmetic(store, ray_session):
     )
     assert [(r["s"], r["w"]) for r in a] == [(r["s"], r["w"]) for r in b]
     assert [r["w"] for r in a] == ["4", "8", "8"]
+
+
+def test_optional_with_inner_filter(store, ray_session):
+    """FILTER inside OPTIONAL is the LeftJoin CONDITION (SPARQL 1.1
+    §6): a required row whose optional match fails the filter keeps
+    its row with the group's variables NULL — different from filtering
+    after the join, which would drop it."""
+    got = sorted(
+        (r["s"], r["v"])
+        for r in _rows(
+            sparql(
+                store,
+                f"""SELECT ?s ?v WHERE {{ ?s <{N}name> ?nm
+                  OPTIONAL {{ ?s <{N}score> ?v FILTER(?v > 5) }} }}""",
+            )
+        )
+    )
+    # scores: a=3 b=7 c=7 — a fails the bar but keeps its row
+    assert got == [(N + "a", None), (N + "b", "7"), (N + "c", "7")]
+    # a filter no optional row passes: every required row keeps NULL
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?s ?v WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ ?s <{N}score> ?v FILTER(?v > 9) }} }}""",
+        )
+    )
+    assert sorted(r["s"] for r in got) == [N + "a", N + "b", N + "c"]
+    assert {r["v"] for r in got} == {None}
+    # fail loud: the filter reads a variable the group does not bind
+    with pytest.raises(ValueError, match="does not bind"):
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ ?s <{N}score> ?v FILTER(?nm = "x") }} }}""",
+        )
+
+
+def test_nested_conjunctive_groups_fold(store, ray_session):
+    """Nested plain groups are Join(outer, group) — triples, paths and
+    FILTERs over the group's own variables flatten exactly (SPARQL
+    §18.2); group-scoped forms (OPTIONAL/BIND/…) fail loud."""
+    # group leading the body
+    got = sorted(
+        r["nm"]
+        for r in _rows(
+            sparql(
+                store,
+                f"""SELECT ?nm WHERE {{
+                  {{ ?s <{N}name> ?nm . FILTER(?nm != "beta") }}
+                  ?s <{N}score> ?v . FILTER(?v >= 7) }}""",
+            )
+        )
+    )
+    assert got == ["gamma"]
+    # group mid-body
+    got = sorted(
+        r["nm"]
+        for r in _rows(
+            sparql(
+                store,
+                f"""SELECT ?nm WHERE {{ ?s <{N}score> ?v
+                  {{ ?s <{N}name> ?nm }} FILTER(?v > 5) }}""",
+            )
+        )
+    )
+    assert got == ["beta", "gamma"]
+    # WHERE { { g } } is exactly g — OPTIONAL inside is legal
+    got = sorted(
+        (r["s"], r["v"])
+        for r in _rows(
+            sparql(
+                store,
+                f"""SELECT ?s ?v WHERE {{ {{ ?s <{N}tag> ?t
+                  OPTIONAL {{ ?s <{N}score> ?v }} }} }}""",
+            )
+        )
+    )
+    assert got == [(N + "a", "3"), (N + "b", "7")]
+    # fail loud: OPTIONAL inside a folded (non-sole) nested group
+    with pytest.raises(ValueError, match="conjunctive"):
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{
+              {{ ?s <{N}tag> ?t OPTIONAL {{ ?s <{N}score> ?v }} }}
+              ?s <{N}name> ?nm }}""",
+        )
+    # fail loud: nested-group FILTER reading an outer variable
+    with pytest.raises(ValueError, match="does not bind"):
+        sparql(
+            store,
+            f"""SELECT ?s WHERE {{ ?s <{N}score> ?v
+              {{ ?s <{N}name> ?nm . FILTER(?v > 5) }} }}""",
+        )
