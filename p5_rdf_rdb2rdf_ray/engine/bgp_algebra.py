@@ -1297,20 +1297,19 @@ def _bgp_left_join(
         stmt_fn, optional or [], num_partitions, optional_units,
         broadcast_limit, graph_var=graph_var,
     )
-    if filters:
+    if filters and oacc is not None and oacc is not _NO_MATCH:
         # the LeftJoin condition F, restricted to the group's OWN
         # variables (callers enforce it): LeftJoin(A, B, F) =
         # LeftJoin(A, Filter(F, B)) under that restriction, so the
         # filter applies to the group's solutions BEFORE the join —
         # required rows the filtered group no longer matches survive
-        # as left-only rows with NULL extensions, exactly §6
-        if oacc is None:
-            raise ValueError(
-                "FILTER on a fully-bound OPTIONAL group can only read "
-                "unbound variables — move it outside the OPTIONAL"
-            )
-        if oacc is not _NO_MATCH:
-            oacc = _apply_binding_filters(oacc, filters)
+        # as left-only rows with NULL extensions, exactly §6.
+        # (oacc None = the group is fully bound and matched, {mu0}:
+        # the group binds NOTHING, so whether F passes (extend by
+        # nothing) or fails (keep as unmatched) every required row is
+        # returned unchanged — the filter is a no-op by construction
+        # and is skipped, not an error.)
+        oacc = _apply_binding_filters(oacc, filters)
     if oacc is _NO_MATCH:
         # a fully-bound pattern in the group matched nothing → the
         # whole group is unmatched for every required solution: its

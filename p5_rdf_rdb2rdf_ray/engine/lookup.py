@@ -358,7 +358,12 @@ def get_pattern(
         units = list(units) + [_values_unit(*values)]
     optional_groups = []
     for grp, o_filters in _optional_as_groups(optional):
-        o_units, o_rest = _star_groups(catalog, grp, base)
+        # the group's own filters (the LeftJoin condition) push into
+        # its star-group scan exactly like the required side's —
+        # superset contract; _bgp_left_join re-applies them exactly
+        o_units, o_rest = _star_groups(
+            catalog, grp, base, filters=o_filters or None
+        )
         optional_groups.append((o_rest, o_units, o_filters))
     negs = [
         (mode, *reversed(_star_groups(catalog, grp, base)))
@@ -628,7 +633,8 @@ def get_pattern_store(
             optional_groups.append((list(grp), [], o_filters))
         else:
             o_units, o_rest = _store_star_groups(
-                store_dir, grp, graph=graph, default_graph=default_graph
+                store_dir, grp, filters=o_filters or None,
+                graph=graph, default_graph=default_graph,
             )
             optional_groups.append((o_rest, o_units, o_filters))
     negs = [

@@ -255,6 +255,55 @@ class ParsedQuery:
     describe_vars: list = field(default_factory=list)
 
 
+def _pattern_vars_into(o, out: dict) -> None:
+    """Collect variable NAMES from pattern / path / expression tuple
+    ASTs into ``out`` (an ordered dict used as a set). ``?name``
+    strings are variables; ``("lit", value)`` payloads are CONSTANTS
+    and are never entered — a literal that merely spells ``?x`` is not
+    a variable. (Inside raw expression ASTs a bare string constant
+    starting with ``?`` cannot be told apart and collects
+    conservatively; every consumer uses the result for fail-loud scope
+    checks or schema defaults, where the false positive errs strict,
+    never wrong.)"""
+    if isinstance(o, str):
+        if o.startswith("?"):
+            out.setdefault(o[1:])
+    elif isinstance(o, tuple) and len(o) == 2 and o[0] == "lit":
+        return
+    elif isinstance(o, (list, tuple)):
+        for x in o:
+            _pattern_vars_into(x, out)
+
+
+def _filter_vars_into(f, out: dict) -> None:
+    """Variables a FILTER AST reads — SHAPE-AWARE, unlike a generic
+    ``?``-prefix walk: in a comparison atom ``(left, op, right)`` the
+    right side is a variable only in its ``("var", name)`` form; bare
+    string right sides (regex patterns, literal constants) are skipped
+    even when they spell ``?x``."""
+    if isinstance(f, list):
+        for x in f:
+            _filter_vars_into(x, out)
+        return
+    if not isinstance(f, tuple):
+        return
+    if len(f) == 2 and f[0] in ("and", "or", "not"):
+        for x in f[1]:
+            _filter_vars_into(x, out)
+        return
+    if len(f) == 3:
+        left, _op, right = f
+        _pattern_vars_into(left, out)
+        if (
+            isinstance(right, tuple)
+            and len(right) == 2
+            and right[0] == "var"
+        ):
+            out.setdefault(right[1])
+        return
+    _pattern_vars_into(f, out)  # unknown shape: conservative
+
+
 class _Parser:
     def __init__(self, text: str):
         self.text = text
@@ -815,36 +864,18 @@ class _Parser:
     @staticmethod
     def _group_own_vars(sub: WhereClause) -> set:
         """Variables the group's own patterns/paths bind."""
-        out: set = set()
-
-        def walk(o):
-            if isinstance(o, str):
-                if o.startswith("?"):
-                    out.add(o[1:])
-            elif isinstance(o, (list, tuple)):
-                for x in o:
-                    walk(x)
-
-        walk(sub.patterns)
-        walk(sub.paths)
-        return out
+        out: dict = {}
+        _pattern_vars_into(sub.patterns, out)
+        _pattern_vars_into(sub.paths, out)
+        return set(out)
 
     @staticmethod
     def _filter_vars(filters) -> set:
-        """Variables a FILTER expression list reads (the ``?``-prefixed
-        strings anywhere in the tuple ASTs)."""
-        out: set = set()
-
-        def walk(o):
-            if isinstance(o, str):
-                if o.startswith("?"):
-                    out.add(o[1:])
-            elif isinstance(o, (list, tuple)):
-                for x in o:
-                    walk(x)
-
-        walk(filters)
-        return out
+        """Variables a FILTER expression list reads (shape-aware —
+        see :func:`_filter_vars_into`)."""
+        out: dict = {}
+        _filter_vars_into(filters, out)
+        return set(out)
 
     def _require_optional(self, sub: WhereClause, pos: int):
         """OPTIONAL groups: plain triple patterns plus FILTERs whose
@@ -1479,22 +1510,16 @@ def _eval_query(
         # other subqueries' projections (FILTER/BIND only READ the
         # joined column, so they are not join sites and stay legal over
         # aggregate outputs)
-        def _walk_vars(o, out: set):
-            if isinstance(o, str):
-                if o.startswith("?"):
-                    out.add(o[1:])
-            elif isinstance(o, (list, tuple)):
-                for x in o:
-                    _walk_vars(x, out)
-            return out
-
-        outer_vars: set = set()
+        seen: dict = {}
         for part in (
-            wc.patterns, wc.paths, wc.optional, wc.minus,
+            wc.patterns, wc.paths, wc.minus,
             wc.not_exists, wc.exists, wc.values,
         ):
             if part:
-                _walk_vars(part, outer_vars)
+                _pattern_vars_into(part, seen)
+        for opt in wc.optional or []:
+            _pattern_vars_into(_optional_patterns(opt), seen)
+        outer_vars: set = set(seen)
         sub_units = []
         for sq in wc.subqueries:
             sub_ds, sub_kinds = _eval_query(
@@ -1665,31 +1690,39 @@ def _scope_vars(q: ParsedQuery) -> list[str]:
     of every BGP defeats its ``limit(1)``)."""
     seen: dict[str, None] = {}
 
-    def walk(o):
-        if isinstance(o, str):
-            if o.startswith("?"):
-                seen.setdefault(o[1:])
-        elif isinstance(o, (list, tuple)):
-            for x in o:
-                walk(x)
-
     if q.union_groups is not None:
         for g in q.union_groups:
-            walk(g.patterns)
+            _pattern_vars_into(g.patterns, seen)
     elif q.where is not None:
         wc = q.where
-        walk(wc.patterns)
-        walk(wc.paths)
-        walk(wc.optional)
-        walk(wc.values)
+        _pattern_vars_into(wc.patterns, seen)
+        _pattern_vars_into(wc.paths, seen)
+        for opt in wc.optional or []:
+            _pattern_vars_into(_optional_patterns(opt), seen)
+        _pattern_vars_into(wc.values, seen)
         for alias, _expr in wc.bind or []:
-            walk(alias)  # only the alias binds; expr vars merely read
+            # only the alias binds; expression vars merely read
+            _pattern_vars_into(alias, seen)
         for sq in wc.subqueries:
             for v in sq.project or []:
                 seen.setdefault(v)
     if q.graph_var is not None:
         seen.setdefault(q.graph_var)
     return list(seen)
+
+
+def _optional_patterns(opt) -> list:
+    """The pattern list of ONE optional group, whichever surface form
+    it arrived in: a bare pattern list or the front-end's
+    ``(patterns, filters)`` pair (whose filters only READ variables
+    the patterns already bind — never walked for scope)."""
+    if (
+        isinstance(opt, tuple)
+        and len(opt) == 2
+        and isinstance(opt[0], list)
+    ):
+        return opt[0]
+    return opt
 
 
 def _project(bindings, q: ParsedQuery, apply_modifiers: bool,

@@ -1918,3 +1918,83 @@ def test_nested_conjunctive_groups_fold(store, ray_session):
             f"""SELECT ?s WHERE {{ ?s <{N}score> ?v
               {{ ?s <{N}name> ?nm . FILTER(?v > 5) }} }}""",
         )
+
+
+def test_filter_var_walkers_shape_aware(ray_session, tmp_path):
+    """The scope walkers are AST-shape-aware (regression ×3): a
+    var-vs-var FILTER right side (('var', name)) counts as a read, so
+    an outer-variable reference inside OPTIONAL fails at PARSE time
+    instead of a KeyError inside a Ray task; a string constant that
+    merely spells '?a' is NOT a variable; and a pattern literal
+    spelling '?ghost' does not enter the scope set."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    L = KIND_LITERAL
+    rows = [
+        (N + "a", N + "name", "alpha"), (N + "b", N + "name", "beta"),
+        (N + "a", N + "score", "3"), (N + "b", N + "score", "7"),
+        (N + "b", N + "alias", "7"),
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([L] * len(rows), pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    s = str(tmp_path / "walkers")
+    write_triplestore(rd.from_arrow(t), s, num_buckets=2)
+
+    # var-vs-var right side reading an OUTER var: parse-time rejection
+    with pytest.raises(ValueError, match="does not bind"):
+        parse_query(
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ ?s <{N}score> ?v FILTER(?v = ?nm) }} }}"""
+        )
+    # ... but var-vs-var with BOTH vars group-bound works
+    got = sorted(
+        (r["s"], r["v"])
+        for r in sparql(
+            s,
+            f"""SELECT ?s ?v WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ ?s <{N}score> ?v . ?s <{N}alias> ?al
+                          FILTER(?v = ?al) }} }}""",
+        ).take_all()
+    )
+    assert got == [(N + "a", None), (N + "b", "7")]
+    # a string constant spelling '?a' is not a variable
+    got = sorted(
+        r["s"]
+        for r in sparql(
+            s,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ ?s <{N}score> ?v
+                          FILTER(STRSTARTS(?v, "?a")) }} }}""",
+        ).take_all()
+    )
+    assert got == [N + "a", N + "b"]
+    # a pattern LITERAL spelling '?ghost' stays out of scope: the
+    # projection falls to the NULL-column path instead of KeyError
+    got = sparql(
+        s,
+        f'SELECT ?s ?ghost WHERE {{ ?s <{N}name> "alpha" . '
+        f"?s <{N}score> ?v }}",
+    ).take_all()
+    assert got == [{"s": N + "a", "ghost": None}]
+    # a constant FILTER on a fully-bound OPTIONAL group is a no-op
+    # (the group binds nothing, so pass or fail returns every
+    # required row unchanged), not an error
+    got = sorted(
+        r["s"]
+        for r in sparql(
+            s,
+            f"""SELECT ?s WHERE {{ ?s <{N}name> ?nm
+              OPTIONAL {{ <{N}b> <{N}alias> "7"
+                          FILTER(STRLEN("x") > 0) }} }}""",
+        ).take_all()
+    )
+    assert got == [N + "a", N + "b"]
