@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "sparql_filter_in",
     "sparql_var_pred",
     "sparql_graph_var",
+    "sparql_optional_filter",
 ]
 
 
