@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "sparql_var_pred",
     "sparql_graph_var",
     "sparql_optional_filter",
+    "sparql_datetime",
+    "sparql_hash",
+    "sparql_bnode",
 ]
 
 

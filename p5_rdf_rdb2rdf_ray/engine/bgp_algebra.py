@@ -385,7 +385,26 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
 #   ("if", ("?v", cmp, val), then, else) -> SPARQL IF (FILTER-semantics
 #                                  condition; erroring condition -> unbound)
 #   ("coalesce", a, b, ...)     -> first non-unbound value
+#   ("year"|"month"|"day"|"hours"|"minutes"|"seconds", a)
+#                               -> §17.4.5 accessors over xsd:dateTime /
+#                                  xsd:date LEXICAL forms (numeric; a
+#                                  non-date/dateTime binding -> unbound)
+#   ("tz", a)                   -> §17.4.5.8 timezone designator as a
+#                                  string ("" when the form carries none)
+#   ("md5"|"sha1"|"sha256", a)  -> §17.4.6 lowercase hex digest of the
+#                                  UTF-8 lexical form
 _BIND_ARITH = {"+", "-", "*", "/"}
+
+# xsd:dateTime / xsd:date lexical shape; the time block is optional so
+# YEAR/MONTH/DAY also work over xsd:date (HOURS/… over a date-only form
+# extract nothing -> the SPARQL expression-error -> unbound rule)
+_DT_LEXICAL = (
+    r"^(-?\d{4,})-(\d{2})-(\d{2})"
+    r"(?:T(\d{2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?)?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+_DT_GROUP = {"year": 0, "month": 1, "day": 2,
+             "hours": 3, "minutes": 4, "seconds": 5}
 
 
 def _bind_vars_of(expr) -> set[str]:
@@ -562,6 +581,35 @@ def _compile_bind(expr):
             return s
 
         return enc
+    if op in _DT_GROUP or op == "tz":
+        # §17.4.5 date/time accessors, evaluated over the binding's
+        # lexical form with ONE vectorized regex extract per batch (the
+        # engine's bindings are lexical forms already — no datetime
+        # object round-trip). Non-matching forms and unbound inputs
+        # leave the variable unbound.
+        def dtacc(df, _op=op):
+            s = fns[0](df).astype("string")
+            m = s.str.extract(_DT_LEXICAL)
+            if _op == "tz":
+                return m[6].fillna("").mask(m[0].isna())
+            return pd.to_numeric(m[_DT_GROUP[_op]], errors="coerce")
+
+        return dtacc
+    if op in ("md5", "sha1", "sha256"):
+        # §17.4.6 hash functions: cryptographic digests are inherently
+        # per-value; the map stays inside the batch (row-local, no
+        # Python loop over the Dataset)
+        def digest(df, _op=op):
+            import hashlib
+
+            h = getattr(hashlib, _op)
+            s = fns[0](df).astype("string")
+            return s.map(
+                lambda v: h(v.encode("utf-8")).hexdigest(),
+                na_action="ignore",
+            ).astype("string")
+
+        return digest
     if op in _BIND_ARITH:
         def arith(df, _op=op):
             a = pd.to_numeric(fns[0](df), errors="coerce")

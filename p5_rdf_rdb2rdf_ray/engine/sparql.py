@@ -62,7 +62,8 @@ _KEYWORDS = {
     "in", "bound", "str", "strbefore", "strafter", "abs", "ceil",
     "floor", "round", "encode_for_uri", "isiri", "isuri", "isblank",
     "isliteral", "isnumeric", "clear", "drop", "named", "default", "all",
-    "with",
+    "with", "year", "month", "day", "hours", "minutes", "seconds", "tz",
+    "md5", "sha1", "sha256",
 }
 
 _ESCAPES = {
@@ -118,6 +119,14 @@ def _tokenize(text: str) -> list[_Tok]:
         if c in "?$":
             m = re.match(r"[?$]([A-Za-z_][A-Za-z0-9_]*)", text[i:])
             if m:
+                if m.group(1).startswith("__"):
+                    # the engine reserves the ``__`` namespace for
+                    # internal columns (``__k_…`` kinds, ``__bn_…``
+                    # blank-node variables)
+                    raise ValueError(
+                        f"variable names starting with '__' are "
+                        f"reserved (char {i})"
+                    )
                 toks.append(_Tok("VAR", m.group(1), i))
                 i += m.end()
             else:
@@ -212,7 +221,7 @@ def _tokenize(text: str) -> list[_Tok]:
                 i += len(op)
                 break
         else:
-            if c in "{}().;,*/|^+-?!=<>":
+            if c in "{}()[].;,*/|^+-?!=<>":
                 toks.append(_Tok("PUNCT", c, i))
                 i += 1
             else:
@@ -310,6 +319,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
+        self._anon = 0  # fresh-label counter for [ … ] blank nodes
 
     def _signed_num(self, t: _Tok) -> bool:
         """True when a NUMBER token carries an EXPLICIT sign in the
@@ -363,7 +373,15 @@ class _Parser:
             raise ValueError(f"undeclared prefix {pfx!r}: at char {tok.pos}")
         return self.prefixes[pfx] + local
 
-    def term(self, *, as_subject: bool = False):
+    def term(self, *, as_subject: bool = False, wc=None, bnodes=False):
+        """One RDF term. ``bnodes=True`` (triple-pattern context only)
+        additionally accepts blank nodes, which SPARQL §4.1.4 scopes as
+        NON-DISTINGUISHED variables: ``_:label`` maps to the reserved
+        variable ``?__bn_l_<label>`` (same label = same variable within
+        the query), ``[]`` / ``[ po-list ]`` to a fresh one; a bracketed
+        property list parses its triples straight into ``wc``. The
+        ``__bn_`` columns join like any variable and are excluded from
+        ``SELECT *`` projection (see ``_project``)."""
         t = self.peek()
         if t.kind == "VAR":
             self.next()
@@ -372,8 +390,23 @@ class _Parser:
             self.next()
             return t.val
         if t.kind == "PNAME":
+            if t.val[0] == "_":
+                if not bnodes:
+                    raise ValueError(
+                        f"blank nodes are not allowed here (char {t.pos})"
+                    )
+                self.next()
+                return "?__bn_l_" + t.val[1]
             self.next()
             return self.expand(t)
+        if t.kind == "PUNCT" and t.val == "[" and bnodes:
+            self.next()
+            self._anon += 1
+            v = f"?__bn_a{self._anon}"
+            if not self.at_punct("]"):
+                self._property_list(v, wc)
+            self.expect("PUNCT", "]")
+            return v
         if t.kind == "STRING":
             self.next()
             return ("lit", t.val)
@@ -385,7 +418,7 @@ class _Parser:
             return ("lit", t.val)
         raise ValueError(
             f"SPARQL syntax: unsupported term {t.kind}:{t.val!r} at char "
-            f"{t.pos} (blank-node labels: use variables)"
+            f"{t.pos}"
         )
 
     # -- property paths --------------------------------------------------
@@ -497,7 +530,8 @@ class _Parser:
         if t.kind == "KW" and t.val in (
             "concat", "strlen", "ucase", "lcase", "coalesce", "str",
             "strbefore", "strafter", "abs", "ceil", "floor", "round",
-            "encode_for_uri",
+            "encode_for_uri", "year", "month", "day", "hours", "minutes",
+            "seconds", "tz", "md5", "sha1", "sha256",
         ):
             self.next()
             self.expect("PUNCT", "(")
@@ -715,7 +749,22 @@ class _Parser:
 
     # -- group graph pattern ----------------------------------------------
     def triples_block(self, wc: WhereClause):
-        subj = self.term(as_subject=True)
+        subj = self.term(as_subject=True, wc=wc, bnodes=True)
+        if (
+            isinstance(subj, str)
+            and subj.startswith("?__bn_a")
+            and (self.at_punct(".") or self.at_punct("}"))
+        ):
+            # a bare "[ po-list ]" IS a whole triples block (§19.8
+            # TriplesBlock := TriplesSameSubjectPath with a
+            # BlankNodePropertyListPath and empty PropertyListPath)
+            return
+        self._property_list(subj, wc)
+
+    def _property_list(self, subj, wc: WhereClause):
+        """The verb/object-list loop shared by top-level triple blocks
+        and ``[ po-list ]`` blank-node property lists (whose trailing
+        ``;`` terminator is ``]``)."""
         while True:
             t = self.peek()
             if t.kind == "VAR":
@@ -726,10 +775,10 @@ class _Parser:
                 verb = ("pred", "?" + t.val)
             else:
                 verb = self.path()
-            objs = [self.term()]
+            objs = [self.term(wc=wc, bnodes=True)]
             while self.at_punct(","):
                 self.next()
-                objs.append(self.term())
+                objs.append(self.term(wc=wc, bnodes=True))
             for o in objs:
                 if verb[0] == "pred":
                     wc.patterns.append((subj, verb[1], o))
@@ -737,7 +786,11 @@ class _Parser:
                     wc.paths.append((subj, verb, o))
             if self.at_punct(";"):
                 self.next()
-                if self.at_punct(".") or self.at_punct("}"):
+                if (
+                    self.at_punct(".")
+                    or self.at_punct("}")
+                    or self.at_punct("]")
+                ):
                     break  # trailing ';'
                 continue
             break
@@ -1733,6 +1786,19 @@ def _project(bindings, q: ParsedQuery, apply_modifiers: bool,
     from .lookup import apply_solution_modifiers
 
     out = bindings
+    if q.project is None and any(v.startswith("__bn_") for v in scope_vars):
+        # blank nodes in the patterns are non-distinguished variables
+        # (§4.1.4): SELECT * projects every IN-SCOPE variable, which
+        # excludes them — rewrite to an explicit projection (a COPY;
+        # ParsedQuery objects may be reused by callers)
+        from dataclasses import replace as _dc_replace
+
+        cols = [v for v in scope_vars if not v.startswith("__bn_")]
+        if not cols:
+            raise NotImplementedError(
+                "SELECT * over a group that binds only blank nodes"
+            )
+        q = _dc_replace(q, project=cols)
     if q.project is None:
         # SELECT *: the planner's columns ARE the projection. With a
         # non-empty scope the plan never yields the mu0 marker, and

@@ -1461,6 +1461,89 @@ FROM nation ORDER BY nm
 """
 
 
+def q_sparql_datetime(sf_dir: str) -> rd.Dataset:
+    """§17.4.5 date/time accessors (YEAR/MONTH/DAY/HOURS/MINUTES) in
+    BIND over the events ``ts`` dateTime literals of the DM virtual
+    graph — the accessor family a transcript pipeline uses to bucket
+    turns by wall-clock. Evaluated on the LEXICAL form (one vectorized
+    regex per batch), no datetime-object round-trip."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?e ?y ?mo ?d ?h WHERE {{
+          ?e <{BASE}events#ts> ?ts ;
+             <{BASE}events#event_type> "purchase" .
+          BIND(YEAR(?ts) AS ?y) BIND(MONTH(?ts) AS ?mo)
+          BIND(DAY(?ts) AS ?d) BIND(HOURS(?ts) AS ?h)
+        }}
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_DATETIME = f"""
+SELECT '{BASE}events/event_id=' || event_id AS e,
+       CAST(EXTRACT(YEAR FROM ts) AS VARCHAR) AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS VARCHAR) AS mo,
+       CAST(EXTRACT(DAY FROM ts) AS VARCHAR) AS d,
+       CAST(EXTRACT(HOUR FROM ts) AS VARCHAR) AS h
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_sparql_hash(sf_dir: str) -> rd.Dataset:
+    """§17.4.6 hash built-ins MD5 / SHA256 in BIND (content
+    fingerprinting at the SPARQL surface); digests are of the UTF-8
+    lexical form, row-local inside each batch."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm ?h5 ?h256 WHERE {{
+          ?n <{BASE}nation#n_name> ?nm .
+          BIND(MD5(?nm) AS ?h5) BIND(SHA256(?nm) AS ?h256)
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_HASH = """
+SELECT n_name AS nm, md5(n_name) AS h5, sha256(n_name) AS h256
+FROM nation ORDER BY nm
+"""
+
+
+def q_sparql_bnode(sf_dir: str) -> rd.Dataset:
+    """Blank nodes in triple patterns (§4.1.4 — non-distinguished
+    variables): a nested ``[ … ]`` property list spanning the
+    nation→region FK join. The two anonymous nodes join like variables
+    and stay out of the projection."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm ?rn WHERE {{
+          [ <{BASE}nation#n_name> ?nm ;
+            <{BASE}nation#ref-n_regionkey>
+              [ <{BASE}region#r_name> ?rn ] ] .
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_BNODE = """
+SELECT n_name AS nm, r_name AS rn
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY nm
+"""
+
+
 def q_sparql_var_pred(sf_dir: str) -> rd.Dataset:
     """Textual VARIABLE-PREDICATE pattern (``?s ?p ?o`` — SPARQL §19.8
     Verb := VarOrIri): per-predicate triple counts over the nation

@@ -403,7 +403,9 @@ def test_fail_loud():
             "DESCRIBE <http://n/a> ?who WHERE { ?who <http://p> ?o }",
             "mixes explicit IRIs and variables",
         ),
-        ("SELECT ?s WHERE { _:b <http://p> ?s }", "blank-node"),
+        # blank nodes are variables in PATTERNS now (test_bnode_patterns)
+        # but stay forbidden in VALUES
+        ("SELECT ?s WHERE { VALUES ?s { _:b } }", "blank nodes"),
     ]:
         with pytest.raises(ValueError, match=".*"):
             parse_query(bad)
@@ -1998,3 +2000,143 @@ def test_filter_var_walkers_shape_aware(ray_session, tmp_path):
         ).take_all()
     )
     assert got == [N + "a", N + "b"]
+
+
+def _tiny_store(tmp_path, name, rows, kinds=None):
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    kinds = kinds or [KIND_LITERAL] * len(rows)
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array(kinds, pa.uint8()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "datatype": pa.array([None] * len(rows), pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    s = str(tmp_path / name)
+    write_triplestore(rd.from_arrow(t), s, num_buckets=2)
+    return s
+
+
+def test_datetime_accessors(ray_session, tmp_path):
+    """§17.4.5 YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ over lexical
+    xsd:dateTime / xsd:date forms: date-only binds the date accessors
+    and leaves the time ones UNBOUND; a non-date form leaves everything
+    unbound (expression error -> unbound); TZ is "" without a zone."""
+    s = _tiny_store(
+        tmp_path,
+        "dt",
+        [
+            (N + "a", N + "ts", "2024-03-01T12:34:56.500-05:00"),
+            (N + "b", N + "ts", "2023-11-30T23:05:09Z"),
+            (N + "c", N + "ts", "2022-01-02"),
+            (N + "d", N + "ts", "not-a-date"),
+        ],
+    )
+    got = {
+        r["s"]: (r["y"], r["mo"], r["d"], r["h"], r["mi"], r["sec"], r["z"])
+        for r in sparql(
+            s,
+            f"""SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?z WHERE {{
+              ?s <{N}ts> ?ts .
+              BIND(YEAR(?ts) AS ?y) BIND(MONTH(?ts) AS ?mo)
+              BIND(DAY(?ts) AS ?d) BIND(HOURS(?ts) AS ?h)
+              BIND(MINUTES(?ts) AS ?mi) BIND(SECONDS(?ts) AS ?sec)
+              BIND(TZ(?ts) AS ?z)
+            }}""",
+        ).take_all()
+    }
+    assert got[N + "a"] == ("2024", "3", "1", "12", "34", "56.5", "-05:00")
+    assert got[N + "b"] == ("2023", "11", "30", "23", "5", "9", "Z")
+    assert got[N + "c"] == ("2022", "1", "2", None, None, None, "")
+    assert got[N + "d"] == (None,) * 7
+
+
+def test_hash_builtins(ray_session, tmp_path):
+    """§17.4.6 MD5/SHA1/SHA256 equal hashlib digests of the UTF-8
+    lexical form; unbound input stays unbound."""
+    import hashlib
+
+    s = _tiny_store(
+        tmp_path, "hash",
+        [(N + "a", N + "v", "abc"), (N + "b", N + "v", "héllo")],
+    )
+    got = {
+        r["v"]: (r["m"], r["s1"], r["s2"])
+        for r in sparql(
+            s,
+            f"""SELECT ?v ?m ?s1 ?s2 WHERE {{
+              ?x <{N}v> ?v .
+              BIND(MD5(?v) AS ?m) BIND(SHA1(?v) AS ?s1)
+              BIND(SHA256(?v) AS ?s2)
+            }}""",
+        ).take_all()
+    }
+    for lex in ("abc", "héllo"):
+        b = lex.encode("utf-8")
+        assert got[lex] == (
+            hashlib.md5(b).hexdigest(),
+            hashlib.sha1(b).hexdigest(),
+            hashlib.sha256(b).hexdigest(),
+        )
+
+
+def test_bnode_patterns(ray_session, tmp_path):
+    """Blank nodes in patterns are non-distinguished variables
+    (§4.1.4): a `_:label` joins across patterns like a variable, a
+    nested `[ po-list ]` expands with fresh labels, a bare
+    `[ po-list ]` is a whole triples block, and SELECT * excludes the
+    blank-node columns from the projection."""
+    I = KIND_IRI
+    rows = [
+        (N + "a", N + "p", N + "m", I),
+        (N + "m", N + "q", "one", KIND_LITERAL),
+        (N + "b", N + "p", N + "n", I),
+        (N + "n", N + "q", "two", KIND_LITERAL),
+    ]
+    s = _tiny_store(tmp_path, "bn", rows, kinds=[r[3] for r in rows])
+
+    # _:label joins the two patterns; SELECT * hides it
+    got = sorted(
+        tuple(sorted(r.items()))
+        for r in sparql(
+            s,
+            f"SELECT * WHERE {{ ?s <{N}p> _:m . _:m <{N}q> ?v }}",
+        ).take_all()
+    )
+    assert got == [
+        (("s", N + "a"), ("v", "one")),
+        (("s", N + "b"), ("v", "two")),
+    ]
+    # nested anonymous property list == the same join
+    got2 = sorted(
+        r["v"]
+        for r in sparql(
+            s, f"SELECT ?v WHERE {{ ?s <{N}p> [ <{N}q> ?v ] }}"
+        ).take_all()
+    )
+    assert got2 == ["one", "two"]
+    # bare [ po-list ] as a whole block, with a trailing ';'
+    got3 = sorted(
+        r["v"]
+        for r in sparql(
+            s, f"SELECT ?v WHERE {{ [ <{N}p> ?o ; <{N}p> ?o2 ] . "
+               f"?o <{N}q> ?v . }}"
+        ).take_all()
+    )
+    assert got3 == ["one", "two"]
+    # ASK with only blank nodes
+    assert sparql(s, f"ASK {{ [ <{N}q> 'one' ] }}") is True
+    assert sparql(s, f"ASK {{ [ <{N}q> 'nope' ] }}") is False
+    # blank nodes stay rejected where SPARQL forbids them
+    with pytest.raises(ValueError, match="blank nodes"):
+        parse_query(f"SELECT ?v WHERE {{ VALUES ?v {{ _:x }} }}")
+    with pytest.raises(ValueError, match="reserved"):
+        parse_query("SELECT ?__bn_a1 WHERE { ?s ?p ?__bn_a1 }")
+    # SELECT * over a group binding ONLY blank nodes fails loud
+    with pytest.raises(NotImplementedError, match="only blank"):
+        sparql(s, f"SELECT * WHERE {{ [ <{N}q> 'one' ] }}").take_all()
