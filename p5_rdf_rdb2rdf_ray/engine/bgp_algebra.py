@@ -158,6 +158,20 @@ def _validate_filter(flt: tuple) -> None:
         return
     if op == "bound" or op in _TERM_TEST_OPS:
         return
+    if op == "sameterm":
+        # §17.4.1.8 over the engine's (lexical, kind) term model —
+        # evaluated in _atomic_mask; needs a variable right side
+        if not (isinstance(val, tuple) and len(val) == 2
+                and val[0] == "var"):
+            raise ValueError("sameTerm needs a variable right side")
+        return
+    if op in ("lang_eq", "langmatches", "dt_eq"):
+        raise ValueError(
+            f"{op!r}: LANG()/DATATYPE() filters are consumed at store "
+            f"star scans (get_pattern_store over a materialized store, "
+            f"single-binder variable) — binding columns carry lexical "
+            f"forms only, so they cannot evaluate here"
+        )
     if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
         raise ValueError(f"unsupported filter op {op!r}")
     if isinstance(val, tuple):
@@ -259,6 +273,39 @@ def _atomic_mask(t: pa.Table, var: str, op: str, val):
             pc.fill_null(m, False).to_numpy(zero_copy_only=False),
             pc.is_valid(col).to_numpy(zero_copy_only=False),
         )
+    if op == "sameterm":
+        # §17.4.1.8 sameTerm(?a, ?b) under the engine's term model:
+        # lexical equality AND term-kind equality (an IRI and a literal
+        # spelled the same are different terms; datatype/language
+        # distinctions are out of scope — bindings drop them, see the
+        # module docstring's deviation notes). Unbound either side is a
+        # type error (never passes; `!sameTerm` drops it too).
+        from ..terms import derive_term_kind
+
+        b_name = str(val[1]).lstrip("?")
+        if b_name not in t.column_names:
+            z = np.zeros(t.num_rows, dtype=bool)
+            return z, z.copy()
+        a = t.column(name).combine_chunks()
+        b = t.column(b_name).combine_chunks()
+
+        def kind_of(col, nm):
+            kn = f"__k_{nm}"
+            return (
+                t.column(kn).combine_chunks()
+                if kn in t.column_names
+                else derive_term_kind(col)
+            )
+
+        valid = pc.and_(pc.is_valid(a), pc.is_valid(b)).to_numpy(
+            zero_copy_only=False
+        )
+        eq = pc.and_(
+            pc.equal(a, b), pc.equal(kind_of(a, name), kind_of(b, b_name))
+        )
+        keep = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        return valid & keep, valid
+
     if isinstance(val, tuple) and len(val) == 2 and val[0] == "var":
         # variable-vs-variable comparison: term (lexical) equality for
         # == / !=, numeric for the order ops (either side non-numeric

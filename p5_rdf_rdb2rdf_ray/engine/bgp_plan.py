@@ -143,6 +143,52 @@ def _group_star_patterns(patterns: list[tuple], resolve) -> tuple[list, list]:
 
 _PUSH_OPS = {"==", "!=", "<", "<=", ">", ">="}
 
+# FILTER atoms over a literal's TERM METADATA (language tag / datatype
+# IRI).  Binding columns carry lexical forms only (`terms.py` drops the
+# suffixes), so unlike _PUSH_OPS these are not pruning hints: they are
+# CONSUMED at the store scan, and `get_pattern_store` guards that the
+# consumption is exact (single-binder variable under a uniquely-used
+# predicate inside a fused star group).
+LANG_FILTER_OPS = {"lang_eq", "langmatches", "dt_eq"}
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _lang_term_expr(op: str, val: str):
+    """Store-scan expression for one LANG()/DATATYPE() FILTER atom over
+    a triple row's ``lang`` / ``datatype`` columns (SPARQL §17.4.4.x
+    evaluated against the store's term metadata). LANG of a non-literal
+    is a type error — the row drops, hence the ``obj_kind`` conjunct.
+    A plain literal has LANG ``""`` (``lang_eq ""`` matches it); its
+    DATATYPE is xsd:string and a tagged literal's is rdf:langString
+    (RDF 1.1 §3.3). LANGMATCHES implements RFC 4647 basic ranges:
+    case-insensitive (tags are ASCII per BCP 47), ``"*"`` matches any
+    non-empty tag, a range matches the tag exactly or as a
+    ``-``-delimited prefix."""
+    from ..terms import KIND_LITERAL
+
+    lit = pc.field("obj_kind") == KIND_LITERAL
+    lang = pc.field("lang")
+    if op == "lang_eq":
+        if val == "":
+            return lit & lang.is_null()
+        return lit & (lang == val)
+    if op == "langmatches":
+        if val == "*":
+            return lit & ~lang.is_null()
+        low = pc.ascii_lower(lang)
+        v = val.lower()
+        return lit & ((low == v) | pc.starts_with(low, v + "-"))
+    if op == "dt_eq":
+        dt = pc.field("datatype")
+        if val == XSD_STRING:
+            return lit & dt.is_null() & lang.is_null()
+        if val == RDF_LANGSTRING:
+            return lit & ~lang.is_null()
+        return lit & (dt == val)
+    raise ValueError(f"not a LANG/DATATYPE filter op: {op!r}")
+
 
 def _cmp_expr(f, op: str, val):
     """One pyarrow comparison expression for a _PUSH_OPS operator —
@@ -410,9 +456,14 @@ def _store_filter_pushdown_expr(
         if not isinstance(var, str):
             return None  # computed left side: binding-level only
         p = var_pred.get(var.lstrip("?"))
+        if p is None:
+            return None
+        if op in LANG_FILTER_OPS:
+            # term-metadata atom: consumed here (get_pattern_store
+            # guarantees the single-binder shape before planning)
+            return p, _lang_term_expr(op, str(val))
         if (
-            p is None
-            or op not in _PUSH_OPS
+            op not in _PUSH_OPS
             or not isinstance(val, str)
             or isinstance(val, bool)
         ):

@@ -40,11 +40,87 @@ from .bgp_plan import (  # noqa: F401
     _star_groups,
     _star_pivot,
     _store_star_groups,
+    LANG_FILTER_OPS,
     subject_tables,
     decode_predicate,
     decode_ref_predicate,
     decode_subject,
 )
+
+
+def _lang_filter_guard(
+    lang_filters: list[tuple],
+    patterns: list[tuple],
+    *,
+    paths=None,
+    optional=None,
+    minus=None,
+    not_exists=None,
+    exists=None,
+    values=None,
+    bind=None,
+    graph_var=None,
+) -> None:
+    """Fail loud unless every LANG()/DATATYPE() FILTER atom is exactly
+    consumable at a store star scan: its variable's ONLY binder in the
+    whole query is one ``?s <pred> ?v`` pattern whose bound predicate
+    no other pattern uses (then restricting that pattern's scan IS the
+    solution filter — the pattern is the sole source of ``?v``
+    bindings). Any other shape — a second binder, a variable/bound
+    subject or predicate, the variable reappearing in an
+    OPTIONAL/MINUS/(NOT) EXISTS group, a path endpoint, VALUES or BIND
+    — would make the scan restriction diverge from SPARQL's
+    filter-after-join semantics, so it raises instead."""
+    from collections import Counter
+
+    def err(v: str, why: str):
+        raise NotImplementedError(
+            f"LANG()/DATATYPE() FILTER on {v} needs exactly one binding "
+            f"pattern `?s <pred> {v}` whose predicate no other pattern "
+            f"uses (the filter is consumed at that pattern's store "
+            f"scan); got: {why}"
+        )
+
+    group_vars: set[str] = set()
+    for grp in (minus, not_exists, exists):
+        for p in grp or []:
+            group_vars.update(x for x in p if isinstance(x, str)
+                              and x.startswith("?"))
+    for pats, _f in _optional_as_groups(optional):
+        for p in pats:
+            group_vars.update(x for x in p if isinstance(x, str)
+                              and x.startswith("?"))
+    pred_uses = Counter(
+        p for _s, p, _o in patterns
+        if isinstance(p, str) and not p.startswith("?")
+    )
+    for v, _op, _val in lang_filters:
+        if graph_var is not None:
+            err(v, "GRAPH ?var bypasses star fusion")
+        binders = [pt for pt in patterns if pt[2] == v]
+        if len(binders) != 1:
+            err(v, f"{len(binders)} object bindings in the group")
+        s, p, _o = binders[0]
+        if not (isinstance(p, str) and not p.startswith("?")):
+            err(v, "variable predicate")
+        if pred_uses[p] != 1:
+            err(v, f"predicate used by {pred_uses[p]} patterns")
+        if not (isinstance(s, str) and s.startswith("?")):
+            err(v, "bound subject (the pattern will not star-fuse)")
+        if any(pt[0] == v or pt[1] == v for pt in patterns):
+            err(v, "also bound in a subject/predicate position")
+        if any(v in (ps, po) for (ps, _pp, po) in (paths or [])):
+            err(v, "also a property-path endpoint")
+        if v in group_vars:
+            err(v, "also used inside OPTIONAL/MINUS/(NOT) EXISTS")
+        if values and v.lstrip("?") in [
+            str(x).lstrip("?") for x in values[0]
+        ]:
+            err(v, "also bound by VALUES")
+        if bind and any(
+            str(b[-1]).lstrip("?") == v.lstrip("?") for b in bind
+        ):
+            err(v, "also bound by BIND")
 
 
 
@@ -252,6 +328,47 @@ def count_statements(
         base=base,
         distinct_buckets=2,
     ).count()
+
+
+def _lang_pattern_unit(
+    dirs: list[str],
+    pattern: tuple,
+    expr,
+    graph: str | None = None,
+    default_graph: bool = False,
+) -> tuple[rd.Dataset, list[str], set[str]]:
+    """Binding unit for one ``?s <p> ?v`` pattern whose LANG()/
+    DATATYPE() FILTER atoms are CONSUMED in the store read's row filter
+    (``expr`` — built by ``bgp_plan._lang_term_expr``); the non-star
+    twin of the fused-scan consumption. Exactness is guaranteed by
+    ``_lang_filter_guard``: the pattern is the variable's only binder,
+    so restricting its scan equals filtering the final solutions."""
+    from ..sinks.triplestore import store_statements
+
+    s, p, o = pattern
+    sv, ov = s[1:], o[1:]
+    out = store_statements(
+        dirs[0], predicate=p, graph=graph,
+        default_graph=default_graph, extra_filter=expr,
+    )
+    for d in dirs[1:]:
+        out = out.union(store_statements(
+            d, predicate=p, graph=graph,
+            default_graph=default_graph, extra_filter=expr,
+        ))
+
+    def project(t: pa.Table, _sv=sv, _ov=ov) -> pa.Table:
+        return pa.table({
+            _sv: t.column("subj"),
+            _ov: t.column("obj"),
+            f"__k_{_ov}": t.column("obj_kind"),
+        })
+
+    return (
+        out.map_batches(project, batch_format="pyarrow"),
+        [sv, ov],
+        {ov},
+    )
 
 
 def _optional_as_groups(optional) -> list[tuple[list, list]]:
@@ -571,6 +688,24 @@ def get_pattern_store(
     if not dirs:
         raise ValueError("get_pattern_store needs at least one store dir")
 
+    # LANG()/DATATYPE() FILTER atoms [SPARQL §17.4.4.x]: binding columns
+    # carry lexical forms only, so these are consumed at the store star
+    # SCAN (a row filter over the lang/datatype columns) — exact when
+    # the variable's ONLY binder is the scanned pattern; the guard
+    # fails loud on every other shape
+    lang_filters = [
+        f for f in (filters or [])
+        if len(f) == 3 and isinstance(f[0], str) and f[1] in LANG_FILTER_OPS
+    ]
+    binding_filters = filters
+    if lang_filters:
+        _lang_filter_guard(
+            lang_filters, patterns, paths=paths, optional=optional,
+            minus=minus, not_exists=not_exists, exists=exists,
+            values=values, bind=bind, graph_var=graph_var,
+        )
+        binding_filters = [f for f in filters if f not in lang_filters]
+
     # a CONSTANT graph scope composes with paths: every edge read (and
     # the §18.4 zero-length term domain) restricts to that context via
     # the scoped-source wrapper consumed by stages.paths
@@ -612,6 +747,30 @@ def get_pattern_store(
             store_dir, patterns, filters=filters,
             graph=graph, default_graph=default_graph,
         )
+    units = list(units)
+    if lang_filters:
+        from .bgp_plan import _lang_term_expr
+
+        # a binder that star-FUSED had its atoms consumed by the group
+        # scan (_store_filter_pushdown_expr); a binder left in `rest`
+        # (single-pattern group, or a federated fallback) gets a
+        # dedicated unit whose store read consumes them instead
+        by_binder: dict[tuple, list[tuple]] = {}
+        for v, op, val in lang_filters:
+            binder = next(pt for pt in patterns if pt[2] == v)
+            by_binder.setdefault(binder, []).append((op, str(val)))
+        for binder, atoms in by_binder.items():
+            if binder not in rest:
+                continue
+            rest = [pt for pt in rest if pt != binder]
+            expr = None
+            for op, val in atoms:
+                e = _lang_term_expr(op, val)
+                expr = e if expr is None else expr & e
+            units.append(_lang_pattern_unit(
+                dirs, binder, expr, graph=graph,
+                default_graph=default_graph,
+            ))
     units = list(units) + extra_units
     if paths:
         # §9.1 property-path items: each becomes one binding unit whose
@@ -655,7 +814,8 @@ def get_pattern_store(
         if grp
     ]
     out = _bgp_join(
-        stmt_fn, rest, num_partitions, filters=filters, units=units,
+        stmt_fn, rest, num_partitions, filters=binding_filters,
+        units=units,
         optional_groups=optional_groups or None, negations=negs,
         bind=bind, broadcast_limit=broadcast_limit, keep_kinds=keep_kinds,
         graph_var=graph_var,

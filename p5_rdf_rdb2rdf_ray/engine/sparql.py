@@ -63,7 +63,8 @@ _KEYWORDS = {
     "floor", "round", "encode_for_uri", "isiri", "isuri", "isblank",
     "isliteral", "isnumeric", "clear", "drop", "named", "default", "all",
     "with", "year", "month", "day", "hours", "minutes", "seconds", "tz",
-    "md5", "sha1", "sha256",
+    "md5", "sha1", "sha256", "lang", "langmatches", "datatype",
+    "sameterm",
 }
 
 _ESCAPES = {
@@ -664,6 +665,57 @@ class _Parser:
             var = self.expect("VAR").val
             self.expect("PUNCT", ")")
             return ("?" + var, {"isuri": "isiri"}.get(fn, fn), True)
+        if t0.kind == "KW" and t0.val == "sameterm":
+            # §17.4.1.8 sameTerm(?a, ?b) — binding-level term equality
+            # (lexical + term kind) in the filter algebra
+            self.next()
+            self.expect("PUNCT", "(")
+            a = self.expect("VAR").val
+            self.expect("PUNCT", ",")
+            b = self.expect("VAR").val
+            self.expect("PUNCT", ")")
+            return ("?" + a, "sameterm", ("var", b))
+        if t0.kind == "KW" and t0.val == "langmatches":
+            # §17.4.4.2 LANGMATCHES(LANG(?v), "range") — consumed at the
+            # store star scan (the binding carries no language tag)
+            self.next()
+            self.expect("PUNCT", "(")
+            self.expect("KW", "lang")
+            self.expect("PUNCT", "(")
+            var = self.expect("VAR").val
+            self.expect("PUNCT", ")")
+            self.expect("PUNCT", ",")
+            rng = self.expect("STRING").val
+            self.expect("PUNCT", ")")
+            return ("?" + var, "langmatches", rng)
+        if t0.kind == "KW" and t0.val in ("lang", "datatype"):
+            # §17.4.4.1/.3 LANG(?v) = "tag" / DATATYPE(?v) = <iri> —
+            # scan-consumed term-metadata atoms; '=' only (a '!=' form
+            # cannot be consumed exactly at one pattern's scan)
+            fn = self.next().val
+            self.expect("PUNCT", "(")
+            var = self.expect("VAR").val
+            self.expect("PUNCT", ")")
+            op_t = self.next()
+            if op_t.val != "=":
+                raise ValueError(
+                    f"{fn.upper()}() filters support '=' only, got "
+                    f"{op_t.val!r} at char {op_t.pos}"
+                )
+            if fn == "lang":
+                tag = self.expect("STRING").val
+                return ("?" + var, "lang_eq", tag)
+            v = self.next()
+            if v.kind == "IRI":
+                dt = v.val
+            elif v.kind == "PNAME":
+                dt = self.expand(v)
+            else:
+                raise ValueError(
+                    f"DATATYPE() filters compare against an IRI, got "
+                    f"{v.kind}:{v.val!r} at char {v.pos}"
+                )
+            return ("?" + var, "dt_eq", dt)
         if t0.kind == "KW" and t0.val in _EXPR_FN_KWS:
             # computed left side: FILTER(STRLEN(?nm) > 5) — the BIND
             # expression grammar, compared against a constant

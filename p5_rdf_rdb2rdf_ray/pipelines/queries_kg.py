@@ -2150,3 +2150,115 @@ def q_federated_store(sf_dir: str) -> rd.Dataset:
 
 
 SQL_FEDERATED_STORE = SQL_BGP_NATION_REGION
+
+
+def _lang_literal_store(sf_dir: str) -> str:
+    """Materialize (resumably) a store with LANGUAGE-TAGGED and TYPED
+    literals — the term metadata the LANG()/LANGMATCHES()/DATATYPE()
+    filters consume at the star scan. R2RML-style spec over nation
+    [W3C-R2RML §7.4 rr:language / rr:datatype]: one predicate with two
+    language variants of the label (``n_name``@en and a derived
+    ``{n_name}-fr``@fr), one predicate with a typed integer next to a
+    plain string — so each filter's answer is a strict subset."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sinks.triplestore import fingerprint_files, write_triplestore
+
+    cat = catalog_for(sf_dir)
+    tm = TriplesMapSpec(
+        name="nation_lang",
+        table="nation",
+        subject=TermMapSpec(
+            kind=IRI, template=BASE + "nation/n_nationkey={n_nationkey}"
+        ),
+        pos=(
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "label"),
+                obj=TermMapSpec(kind=LITERAL, column="n_name", lang="en"),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "label"),
+                obj=TermMapSpec(
+                    kind=LITERAL, template="{n_name}-fr", lang="fr"
+                ),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "val"),
+                obj=TermMapSpec(
+                    kind=LITERAL, column="n_nationkey", datatype=XSD_INT
+                ),
+            ),
+            PredObjSpec(
+                pred=TermMapSpec(kind=IRI, constant=BASE + "val"),
+                obj=TermMapSpec(kind=LITERAL, template="{n_name}"),
+            ),
+        ),
+    )
+    spec = MappingSpec(maps={"nation_lang": tm}, base=BASE)
+    fp = fingerprint_files(cat.files("nation"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "p5kg_lang_store_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    write_triplestore(
+        run_mapping(spec, cat, distinct=False, only_maps=["nation_lang"]),
+        out,
+        num_buckets=8,
+        input_fp=fp,
+    )
+    return out
+
+
+def q_sparql_lang_filter(sf_dir: str) -> rd.Dataset:
+    """FILTER(LANGMATCHES(LANG(?v), "EN")) over a store with @en and
+    @fr variants of one predicate — the atom is consumed at the fused
+    star scan as a row filter on the store's ``lang`` column
+    (case-insensitive RFC 4647 basic range; binding columns carry
+    lexical forms only, so scan consumption is the only exact plan).
+    Picks the @en labels; the @fr derived labels prove discrimination."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        _lang_literal_store(sf_dir),
+        f"""
+        SELECT ?s ?v WHERE {{
+          ?s <{BASE}label> ?v .
+          FILTER(LANGMATCHES(LANG(?v), "EN"))
+        }}
+        """,
+    )
+
+
+SQL_SPARQL_LANG_FILTER = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS s, n_name AS v
+FROM nation
+"""
+
+
+def q_sparql_datatype_filter(sf_dir: str) -> rd.Dataset:
+    """FILTER(DATATYPE(?v) = xsd:string) over a predicate bound to both
+    a typed integer and a plain string — pins the RDF 1.1 rule that a
+    PLAIN literal's datatype is xsd:string (store rows with NULL
+    datatype and NULL lang), consumed at the star scan like the LANG
+    atoms."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        _lang_literal_store(sf_dir),
+        f"""
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s ?v WHERE {{
+          ?s <{BASE}val> ?v .
+          FILTER(DATATYPE(?v) = xsd:string)
+        }}
+        """,
+    )
+
+
+SQL_SPARQL_DATATYPE_FILTER = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS s, n_name AS v
+FROM nation
+"""

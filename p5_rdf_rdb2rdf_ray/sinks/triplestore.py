@@ -1093,6 +1093,7 @@ def store_statements(
     graph: str | None = None,
     default_graph: bool = False,
     named_only: bool = False,
+    extra_filter=None,
 ) -> rd.Dataset:
     """Lazy Dataset of store triples matching the bound terms — the
     Store ``get_statements($s,$p,$o,$g)`` surface served from the
@@ -1106,7 +1107,10 @@ def store_statements(
     bound term]; ``named_only=True`` restricts to quads with ANY named
     context (graph IS NOT NULL) — the statement source for
     ``GRAPH ?var`` [SPARQL §13.3], where the graph column itself
-    becomes a binding)."""
+    becomes a binding). ``extra_filter`` is an additional pyarrow
+    dataset expression conjoined into the pushed row filter (the
+    LANG()/DATATYPE() FILTER consumption path — see
+    ``engine.lookup._lang_pattern_unit``)."""
     import pyarrow.compute as pc
 
     from ..terms import KIND_LITERAL, TRIPLE_SCHEMA
@@ -1150,4 +1154,6 @@ def store_statements(
         conj(pc.field("graph").is_null())
     elif named_only:
         conj(pc.field("graph").is_valid())
+    if extra_filter is not None:
+        conj(extra_filter)
     return rd.read_parquet(parts, filter=flt)

@@ -2140,3 +2140,176 @@ def test_bnode_patterns(ray_session, tmp_path):
     # SELECT * over a group binding ONLY blank nodes fails loud
     with pytest.raises(NotImplementedError, match="only blank"):
         sparql(s, f"SELECT * WHERE {{ [ <{N}q> 'one' ] }}").take_all()
+
+
+@pytest.fixture(scope="module")
+def lang_store(ray_session, tmp_path_factory):
+    """Store with language-tagged + typed literals: the term metadata
+    the LANG()/LANGMATCHES()/DATATYPE() filters consume at the scan."""
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import write_triplestore
+
+    L = KIND_LITERAL
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # (subj, pred, obj, kind, lang, datatype)
+        (N + "a", N + "label", "apple", L, "en", None),
+        (N + "a", N + "label", "pomme", L, "fr", None),
+        (N + "a", N + "label", "Apfel", L, "de-AT", None),
+        (N + "b", N + "label", "bare", L, None, None),
+        (N + "b", N + "label", "ball", L, "EN-us", None),
+        (N + "a", N + "v", "5", L, None, X + "integer"),
+        (N + "b", N + "v", "plain", L, None, None),
+        (N + "c", N + "v", "tagged", L, "en", None),
+        (N + "c", N + "v", N + "iriobj", KIND_IRI, None, None),
+    ]
+    t = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "obj_kind": pa.array([r[3] for r in rows], pa.uint8()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+            "datatype": pa.array([r[5] for r in rows], pa.string()),
+            "graph": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("langstore") / "store")
+    write_triplestore(rd.from_arrow(t), out, num_buckets=4)
+    return out
+
+
+def test_lang_filters(lang_store):
+    def vals(q):
+        return sorted(r["v"] for r in sparql(lang_store, q).take_all())
+
+    # exact tag (case-sensitive on the stored tag)
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}label> ?v FILTER(LANG(?v) = "en") }}'
+    ) == ["apple"]
+    # LANG(x) = "" matches untagged literals only
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}label> ?v FILTER(LANG(?v) = "") }}'
+    ) == ["bare"]
+    # LANGMATCHES: case-insensitive + "-" prefix ranges (RFC 4647)
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}label> ?v '
+        f'FILTER(LANGMATCHES(LANG(?v), "EN")) }}'
+    ) == ["apple", "ball"]
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}label> ?v '
+        f'FILTER(LANGMATCHES(LANG(?v), "de")) }}'
+    ) == ["Apfel"]
+    # "*" = any tagged literal
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}label> ?v '
+        f'FILTER(LANGMATCHES(LANG(?v), "*")) }}'
+    ) == ["Apfel", "apple", "ball", "pomme"]
+    # LANG of a non-literal is a type error: the IRI object row drops
+    assert vals(
+        f'SELECT ?v WHERE {{ ?s <{N}v> ?v '
+        f'FILTER(LANGMATCHES(LANG(?v), "*")) }}'
+    ) == ["tagged"]
+
+
+def test_datatype_filters(lang_store):
+    X = "http://www.w3.org/2001/XMLSchema#"
+
+    def vals(q):
+        return sorted(r["v"] for r in sparql(lang_store, q).take_all())
+
+    # explicit datatype IRI
+    assert vals(
+        f"SELECT ?v WHERE {{ ?s <{N}v> ?v "
+        f"FILTER(DATATYPE(?v) = <{X}integer>) }}"
+    ) == ["5"]
+    # RDF 1.1: a plain literal's datatype is xsd:string...
+    assert vals(
+        f"PREFIX xsd: <{X}> SELECT ?v WHERE {{ ?s <{N}v> ?v "
+        f"FILTER(DATATYPE(?v) = xsd:string) }}"
+    ) == ["plain"]
+    # ...and a language-tagged literal's is rdf:langString
+    assert vals(
+        f"SELECT ?v WHERE {{ ?s <{N}v> ?v FILTER(DATATYPE(?v) = "
+        f"<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }}"
+    ) == ["tagged"]
+
+
+def test_lang_filter_composes_with_join(lang_store):
+    # the lang-filtered pattern folds into the BGP like any unit: only
+    # subjects with an @en label survive the join with <v>
+    got = sorted(
+        (r["l"], r["v"])
+        for r in sparql(
+            lang_store,
+            f'SELECT ?l ?v WHERE {{ ?s <{N}label> ?l ; <{N}v> ?v . '
+            f'FILTER(LANG(?l) = "en") }}',
+        ).take_all()
+    )
+    assert got == [("apple", "5")]
+
+
+def test_lang_filter_fail_loud(lang_store, store):
+    # two binders for the filtered variable → not scan-consumable
+    with pytest.raises(NotImplementedError, match="LANG"):
+        sparql(
+            lang_store,
+            f'SELECT ?v WHERE {{ ?a <{N}label> ?v . ?b <{N}alt> ?v . '
+            f'FILTER(LANG(?v) = "en") }}',
+        )
+    # variable also used inside OPTIONAL → reject
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql(
+            lang_store,
+            f'SELECT ?v WHERE {{ ?s <{N}label> ?v . '
+            f'OPTIONAL {{ ?x <{N}alt> ?v }} FILTER(LANG(?v) = "en") }}',
+        )
+    # != is not consumable at one scan
+    with pytest.raises(ValueError, match="'='"):
+        parse_query(
+            f'SELECT ?v WHERE {{ ?s <{N}label> ?v '
+            f'FILTER(LANG(?v) != "en") }}'
+        )
+    # the DM virtual-graph source has no term-metadata scan path
+    from p5_rdf_rdb2rdf_ray.engine.lookup import get_pattern
+
+    with pytest.raises(ValueError, match="store"):
+        from p5_rdf_rdb2rdf_ray.pipelines.queries_kg import catalog_for
+
+        sparql(
+            catalog_for("/root/testdata/sf0.001"),
+            f'SELECT ?v WHERE {{ ?s <{N}label> ?v '
+            f'FILTER(LANG(?v) = "en") }}',
+            base="http://example.com/base/",
+        ).take_all()
+
+
+def test_sameterm(lang_store):
+    # "5"^^xsd:integer vs <http://n/iriobj>: sameTerm needs kind match
+    got = sorted(
+        r["s"]
+        for r in sparql(
+            lang_store,
+            f"SELECT ?s WHERE {{ ?s <{N}label> ?l ; <{N}v> ?v . "
+            f"FILTER(sameTerm(?l, ?v)) }}",
+        ).take_all()
+    )
+    assert got == []  # no label ever equals a v object
+    # self-join via sameTerm: ?a <v> ?x, ?b <v> ?y, sameTerm(?x, ?y)
+    got2 = sorted(
+        (r["a"], r["b"])
+        for r in sparql(
+            lang_store,
+            f"SELECT ?a ?b WHERE {{ ?a <{N}v> ?x . ?b <{N}v> ?y . "
+            f"FILTER(sameTerm(?x, ?y)) FILTER(?a != ?b) }}",
+        ).take_all()
+    )
+    assert got2 == []  # all v objects are distinct terms
+    # and a positive case: same subject's x/y bind the same term
+    got3 = sparql(
+        lang_store,
+        f"SELECT ?a WHERE {{ ?a <{N}v> ?x ; <{N}v> ?y . "
+        f"FILTER(sameTerm(?x, ?y)) }}",
+    ).take_all()
+    assert sorted(r["a"] for r in got3) == sorted(
+        [N + "a", N + "b", N + "c", N + "c"]
+    )
