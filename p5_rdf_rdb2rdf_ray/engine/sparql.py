@@ -2153,6 +2153,8 @@ class ParsedUpdate:
     graph: str | None = None
     # ADD/COPY/MOVE: the DESTINATION graph (IRI or "__default__")
     graph_to: str | None = None
+    # LOAD: the document IRI (file: scheme or a bare local path)
+    source: str | None = None
 
 
 def parse_update(text: str) -> ParsedUpdate:
@@ -2174,7 +2176,10 @@ def parse_update_ops(text: str) -> list[ParsedUpdate]:
     ``INSERT/DELETE { template } WHERE { group }``, the combined
     §3.1.3 Modify ``DELETE { t1 } INSERT { t2 } WHERE { group }``,
     ``CLEAR/DROP GRAPH <g> | DEFAULT | NAMED | ALL`` (§3.2.2/3.2.3 —
-    identical here: the bucket store has no empty-graph existence), and
+    identical here: the bucket store has no empty-graph existence),
+    ``LOAD [SILENT] <docIRI> [INTO GRAPH <g>]`` (§3.1.4 — local
+    N-Triples/N-Quads documents; bootstraps a store at a fresh
+    location), and
     ``;``-separated sequences of those (applied in order, each against
     the store state the previous left — §3.1). ``WITH <g>`` before a
     template-form operation scopes BOTH the WHERE matching and the
@@ -2236,6 +2241,35 @@ def _parse_one_update(p: _Parser) -> ParsedUpdate:
             f"CLEAR/DROP needs GRAPH <iri>, DEFAULT, NAMED or ALL at "
             f"char {tk.pos}"
         )
+    if t.kind == "IDENT" and str(t.val).lower() == "load":
+        # §3.1.4 LOAD [SILENT] <docIRI> [INTO GRAPH <g>] — the document
+        # is an N-Triples/N-Quads file on LOCAL storage (offline
+        # sandbox: file: scheme or a bare path IRI; http: rejected).
+        # SILENT accepted and ignored (a missing file still raises —
+        # silently skipping data loss is worse than the spec's lenience).
+        p.next()
+        if p.peek().kind == "IDENT" and str(p.peek().val).lower() == "silent":
+            p.next()
+        tk = p.peek()
+        if tk.kind != "IRI":
+            raise ValueError(
+                f"LOAD needs a document IRI at char {tk.pos}"
+            )
+        src = p.next().val
+        g = None
+        if p.peek().kind == "IDENT" and str(p.peek().val).lower() == "into":
+            p.next()
+            p.expect("KW", "graph")
+            tk = p.peek()
+            if tk.kind == "IRI":
+                g = p.next().val
+            elif tk.kind == "PNAME":
+                g = p.expand(p.next())
+            else:
+                raise ValueError(
+                    f"INTO GRAPH needs a constant IRI at char {tk.pos}"
+                )
+        return ParsedUpdate(kind="load", source=src, graph=g)
     if t.kind == "IDENT" and str(t.val).lower() in ("add", "copy", "move"):
         # §3.2.5–3.2.7 graph management: SOURCE (GRAPH <g> | DEFAULT)
         # TO DESTINATION. ADD unions src into dst; COPY replaces dst
@@ -2453,6 +2487,44 @@ def _apply_one_update(
     from ..sinks.triplestore import delete_triplestore, merge_triplestore
     from .construct import construct
     from .lookup import get_pattern_store
+
+    if u.kind == "load":
+        # §3.1.4: the merge delta is the distributed N-Triples/N-Quads
+        # read of the document (lines parallelize for free); INTO GRAPH
+        # re-stamps every row, otherwise quad lines keep their own
+        # context and triple lines land in the default graph
+        import urllib.parse
+
+        from ..sinks.ntriples import read_ntriples
+        from ..sinks.triplestore import merge_triplestore
+
+        parsed = urllib.parse.urlparse(u.source)
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                f"LOAD supports local documents only (file: scheme or "
+                f"a bare path), got {u.source!r}"
+            )
+        path = parsed.path if parsed.scheme == "file" else u.source
+        delta = read_ntriples(path)
+        if u.graph is not None:
+            delta = delta.map_batches(
+                lambda t, _g=u.graph: _stamp_graph_col(t, _g),
+                batch_format="pyarrow",
+            )
+        import os
+
+        if not os.path.isdir(store_dir):
+            # LOAD into a fresh location bootstraps the store (merge
+            # needs an existing bucket layout to upsert into)
+            from ..sinks.triplestore import write_triplestore
+
+            m = write_triplestore(
+                delta, store_dir, input_fp="sparql-update:" + path
+            )
+            return {
+                "rows_added": m.get("rows_written", 0), "rows_removed": 0,
+            }
+        return merge_triplestore(delta, store_dir, input_fp="sparql-update")
 
     if u.kind in ("add", "copy", "move"):
         # §3.2.5–3.2.7: the source slice re-stamped to the destination

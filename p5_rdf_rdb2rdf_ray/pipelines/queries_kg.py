@@ -2262,3 +2262,44 @@ SQL_SPARQL_DATATYPE_FILTER = f"""
 SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS s, n_name AS v
 FROM nation
 """
+
+
+def q_sparql_load_store(sf_dir: str) -> rd.Dataset:
+    """SPARQL 1.1 Update §3.1.4 LOAD lifecycle: the DM nation triples
+    exported as N-Triples text (the line-oriented sink), then
+    ``LOAD <file:…>`` into a FRESH store — the distributed NT read is
+    the merge delta and a missing store bootstraps via
+    ``write_triplestore`` — and the loaded graph queried live. Pins
+    sink → reader → store write → BGP read end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.sparql import sparql, sparql_update
+    from ..sinks.ntriples import write_ntriples
+
+    cat = catalog_for(sf_dir)
+    spec = direct_mapping(cat, tables=["nation", "region"], base=BASE)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    nt_dir = os.path.join(tempfile.gettempdir(), "p5kg_load_nt_" + tag)
+    store = os.path.join(tempfile.gettempdir(), "p5kg_load_store_" + tag)
+    # pure function of sf_dir: rebuild both artifacts every call
+    shutil.rmtree(nt_dir, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    write_ntriples(
+        run_mapping(spec, cat, distinct=False, only_maps=["nation"]),
+        nt_dir,
+    )
+    sparql_update(store, f"LOAD <file://{nt_dir}>")
+    return sparql(
+        store,
+        f"SELECT ?n ?r WHERE {{ ?n <{BASE}nation#ref-n_regionkey> ?r }}",
+    )
+
+
+SQL_SPARQL_LOAD_STORE = f"""
+SELECT '{BASE}nation/n_nationkey=' || n_nationkey AS n,
+       '{BASE}region/r_regionkey=' || n_regionkey AS r
+FROM nation
+"""

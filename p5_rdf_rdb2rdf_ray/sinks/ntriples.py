@@ -220,9 +220,9 @@ def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
     bad = m["pred"].isna()
     if bad.any():
         raise ValueError(f"malformed N-Triples line: {s[bad].iloc[0]!r}")
-    subj = m["siri"].fillna(m["sbn"])
+    subj = m["siri"].combine_first(m["sbn"])
     is_lit = m["olit"].notna()
-    obj = m["oiri"].fillna(m["obn"]).fillna(m["olit"])
+    obj = m["oiri"].combine_first(m["obn"]).combine_first(m["olit"])
     kind = np.where(
         is_lit, KIND_LITERAL, np.where(m["obn"].notna(), KIND_BNODE, KIND_IRI)
     ).astype("uint8")
@@ -232,7 +232,7 @@ def parse_ntriples_batch(t: pa.Table, line_col: str = "text") -> pa.Table:
     if esc.any():
         obj = obj.copy()
         obj[esc] = obj[esc].map(_unescape_nt)
-    graph = m["giri"].fillna(m["gbn"])
+    graph = m["giri"].combine_first(m["gbn"])
     return pa.Table.from_arrays(
         [
             pa.array(subj, pa.string()),

@@ -2313,3 +2313,42 @@ def test_sameterm(lang_store):
     assert sorted(r["a"] for r in got3) == sorted(
         [N + "a", N + "b", N + "c", N + "c"]
     )
+
+
+def test_update_load(store, tmp_path, ray_session):
+    """§3.1.4 LOAD: export a slice of the fixture store to N-Triples,
+    LOAD it into a fresh store (bootstrap) and into an existing one
+    (merge), with and without INTO GRAPH."""
+    from p5_rdf_rdb2rdf_ray.engine.sparql import sparql_update
+    from p5_rdf_rdb2rdf_ray.sinks.ntriples import write_ntriples
+    from p5_rdf_rdb2rdf_ray.sinks.triplestore import store_statements
+
+    nt = str(tmp_path / "dump")
+    write_ntriples(
+        store_statements(store, predicate=N + "name"), nt
+    )
+    # bootstrap a fresh store, into a named graph
+    fresh = str(tmp_path / "fresh")
+    m = sparql_update(fresh, f"LOAD <file://{nt}> INTO GRAPH <{N}g1>")
+    assert m["rows_added"] == 3
+    got = sorted(
+        r["v"]
+        for r in sparql(
+            fresh,
+            f"SELECT ?v WHERE {{ GRAPH <{N}g1> {{ ?s <{N}name> ?v }} }}",
+        ).take_all()
+    )
+    assert got == ["alpha", "beta", "gamma"]
+    # LOAD again without INTO GRAPH: default graph, disjoint from g1
+    m2 = sparql_update(fresh, f"LOAD SILENT <file://{nt}>")
+    assert m2["rows_added"] == 3
+    both = sparql(
+        fresh, f"SELECT ?s ?v WHERE {{ ?s <{N}name> ?v }}"
+    ).take_all()
+    assert len(both) == 3  # same (s,p,o) solutions across both graphs
+    # idempotence: re-LOAD into the same graph adds nothing
+    m3 = sparql_update(fresh, f"LOAD <file://{nt}> INTO GRAPH <{N}g1>")
+    assert m3["rows_added"] == 0
+    # a remote scheme fails loud (offline engine)
+    with pytest.raises(ValueError, match="local"):
+        sparql_update(fresh, "LOAD <http://example.org/data.nt>")
