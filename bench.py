@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "sparql_datetime",
     "sparql_hash",
     "sparql_bnode",
+    "sparql_lang_filter",
+    "sparql_datatype_filter",
+    "sparql_load_store",
 ]
 
 
