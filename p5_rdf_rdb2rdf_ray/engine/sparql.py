@@ -634,9 +634,9 @@ class _Parser:
 
     def comparison(self) -> tuple:
         """``?var OP (constant | ?var)`` — the engine's binding-filter
-        shape — or a string-test call ``REGEX(?var, "pat")`` /
-        ``CONTAINS`` / ``STRSTARTS`` / ``STRENDS`` (SPARQL §17.4.3;
-        REGEX flags are not supported — inline ``(?i)`` etc. in the
+        shape — or a string-test call ``REGEX(?var, "pat"[, "flags"])``
+        / ``CONTAINS`` / ``STRSTARTS`` / ``STRENDS`` (SPARQL §17.4.3;
+        REGEX flags i/s/m compile to an RE2 inline group, q quotes the
         pattern), ``BOUND(?var)``, or ``?var [NOT] IN (consts…)``
         (§17.4.1.9/.10 — lowered to the or/and boolean algebra)."""
         t0 = self.peek()
@@ -646,6 +646,26 @@ class _Parser:
             var = self.expect("VAR").val
             self.expect("PUNCT", ",")
             pat = self.expect("STRING").val
+            if fn == "regex" and self.at_punct(","):
+                # §17.4.3.14 REGEX flags argument (XPath fn:matches):
+                # i/s/m compile to an RE2 inline group the Arrow kernel
+                # understands; q quotes the pattern literally; x
+                # (whitespace-stripping) has no RE2 equivalent — loud
+                self.next()
+                flags = self.expect("STRING").val
+                bad = set(flags) - set("ismq")
+                if bad:
+                    raise ValueError(
+                        f"unsupported REGEX flags {''.join(sorted(bad))!r}"
+                        " (supported: i, s, m, q)"
+                    )
+                if "q" in flags:
+                    import re as _re
+
+                    pat = _re.escape(pat)
+                inline = "".join(c for c in "ism" if c in flags)
+                if inline:
+                    pat = f"(?{inline}){pat}"
             self.expect("PUNCT", ")")
             return ("?" + var, self._STR_FILTER_FNS[fn], pat)
         if t0.kind == "KW" and t0.val == "bound":

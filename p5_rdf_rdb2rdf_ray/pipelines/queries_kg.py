@@ -1690,6 +1690,33 @@ ORDER BY nm
 """
 
 
+def q_sparql_regex_flags(sf_dir: str) -> rd.Dataset:
+    """REGEX with the §17.4.3.14 flags argument: ``"i"`` compiles to an
+    RE2 ``(?i)`` inline group the Arrow kernel evaluates — the
+    lowercase pattern matches the uppercase data ONLY through the flag
+    (the flagless twin entry proves the same pattern shape is
+    case-sensitive by default)."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?nm WHERE {{
+          ?n <{BASE}nation#n_name> ?nm .
+          FILTER(REGEX(?nm, "^nation_1[0-9]$", "i"))
+        }} ORDER BY ?nm
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_REGEX_FLAGS = """
+SELECT n_name AS nm FROM nation
+WHERE regexp_matches(n_name, '^nation_1[0-9]$', 'i')
+ORDER BY nm
+"""
+
+
 def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
     """Implicit single-group aggregation (SPARQL §18.3: aggregates with
     NO GROUP BY aggregate over ALL solutions): one combiner-first pass

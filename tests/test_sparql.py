@@ -621,6 +621,25 @@ def test_filter_string_functions(store, ray_session):
     assert [r["s"] for r in got] == [N + "a"]
 
 
+def test_regex_flags(store, ray_session):
+    """§17.4.3.14 REGEX flags: "i" is case-insensitive (the flagless
+    form of the same pattern proves the default is sensitive), "s" lets
+    dot cross newlines, "q" quotes metacharacters, and an unsupported
+    flag fails loud at parse time."""
+    def names(q):
+        return sorted(r["nm"] for r in sparql(store, q).take_all())
+
+    base = f"SELECT ?nm WHERE {{ ?s <{N}name> ?nm . %s }}"
+    assert names(base % 'FILTER(REGEX(?nm, "^BET"))') == []
+    assert names(base % 'FILTER(REGEX(?nm, "^BET", "i"))') == ["beta"]
+    # "q": the pattern is a literal string, not a regex
+    assert names(base % 'FILTER(REGEX(?nm, "a.pha"))') == ["alpha"]
+    assert names(base % 'FILTER(REGEX(?nm, "a.pha", "q"))') == []
+    assert names(base % 'FILTER(REGEX(?nm, "alpha", "q"))') == ["alpha"]
+    with pytest.raises(ValueError, match="REGEX flags"):
+        sparql(store, base % 'FILTER(REGEX(?nm, "a", "x"))')
+
+
 def test_graph_scope_and_sample(store, ray_session):
     """GRAPH <g> scopes to a named context (the fixture store is all
     default-graph, so any named scope is empty — and so is GRAPH ?var,
