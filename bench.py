@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "sparql_lang_filter",
     "sparql_datatype_filter",
     "sparql_load_store",
+    "sparql_regex_flags",
+    "sparql_contains_var",
 ]
 
 

@@ -175,8 +175,12 @@ def _validate_filter(flt: tuple) -> None:
     if op not in _FILTER_OPS and op not in _STR_FILTER_FNS:
         raise ValueError(f"unsupported filter op {op!r}")
     if isinstance(val, tuple):
+        # var right sides: comparisons, plus the §17.4.3 string tests
+        # except REGEX (a per-row pattern would compile per row)
         if not (
-            len(val) == 2 and val[0] == "var" and op in _FILTER_OPS
+            len(val) == 2 and val[0] == "var"
+            and (op in _FILTER_OPS
+                 or op in ("contains", "strstarts", "strends"))
         ):
             raise ValueError(f"bad filter value {val!r} for op {op!r}")
 
@@ -268,6 +272,33 @@ def _atomic_mask(t: pa.Table, var: str, op: str, val):
         return valid & m, valid
     if op in _STR_FILTER_FNS:
         col = t.column(name).combine_chunks()
+        if isinstance(val, tuple) and len(val) == 2 and val[0] == "var":
+            # string test with a VARIABLE second argument, e.g.
+            # CONTAINS(?text, ?name): row-pairwise over the two binding
+            # columns (no vectorized per-row-pattern kernel exists —
+            # the zip stays inside the batch like the §17.4.6 hash
+            # maps). Unbound either side is a type error.
+            b_name = str(val[1]).lstrip("?")
+            if b_name not in t.column_names:
+                z = np.zeros(t.num_rows, dtype=bool)
+                return z, z.copy()
+            a = col.to_pandas()
+            b = t.column(b_name).combine_chunks().to_pandas()
+            valid = (a.notna() & b.notna()).to_numpy()
+            fn = {
+                "contains": lambda x, y: y in x,
+                "strstarts": lambda x, y: x.startswith(y),
+                "strends": lambda x, y: x.endswith(y),
+            }[op]
+            keep = np.fromiter(
+                (
+                    bool(v) and fn(str(x), str(y))
+                    for v, x, y in zip(valid, a, b)
+                ),
+                dtype=bool,
+                count=len(valid),
+            )
+            return keep, valid
         m = getattr(pc, _STR_FILTER_FNS[op])(col, str(val))
         return (
             pc.fill_null(m, False).to_numpy(zero_copy_only=False),
@@ -417,6 +448,8 @@ def _apply_binding_filters(acc: rd.Dataset, filters: list[tuple]) -> rd.Dataset:
 # expression AST (tuples, evaluated vectorized over pandas columns):
 #   "?var"                      -> the variable's lexical form
 #   str / int / float constant  -> a constant
+#   ("str-const", s)            -> a string constant starting with "?"
+#                                  (bare "?…" strings are variables)
 #   ("concat", a, b, ...)       -> string concatenation (NULL-propagating)
 #   ("strlen", a) ("ucase", a) ("lcase", a)
 #   ("substr", a, start[, len]) -> SPARQL 1-based substring
@@ -458,6 +491,8 @@ def _bind_vars_of(expr) -> set[str]:
     if isinstance(expr, str) and expr.startswith("?"):
         return {expr[1:]}
     if isinstance(expr, tuple):
+        if expr and expr[0] == "str-const":
+            return set()  # a wrapped "?…" string CONSTANT, not a var
         # element 0 is normally the op NAME — except in an ("if", …)
         # CONDITION tuple ("?v", cmp, val), where it is the variable
         head_is_var = bool(expr) and isinstance(expr[0], str) and expr[
@@ -507,6 +542,11 @@ def _compile_bind(expr):
         return lambda df: pd.Series([const] * len(df), index=df.index)
 
     op, *args = expr
+    if op == "str-const":
+        # a string constant that happens to start with "?" — the parser
+        # wraps it because a bare "?…" string in this AST is a variable
+        const = args[0]
+        return lambda df: pd.Series([const] * len(df), index=df.index)
     if op == "iri":  # kind marker only — value semantics are identity
         return _compile_bind(args[0])
     if op == "if":
@@ -581,9 +621,15 @@ def _compile_bind(expr):
         return lambda df: fns[0](df).astype("string")
     if op in ("strbefore", "strafter"):
         sep = args[1]
-        if not isinstance(sep, str):
+        if isinstance(sep, tuple) and sep and sep[0] == "str-const":
+            sep = sep[1]  # wrapped "?…" string constant
+        if not isinstance(sep, str) or sep.startswith("?"):
+            # a "?…" string IS a variable in this AST — a variable
+            # separator would need a per-row split; fail loud instead
+            # of silently splitting on the variable's NAME
             raise ValueError(
                 f"{op.upper()} needs a constant separator string"
+                " (variable separators are unsupported)"
             )
 
         def part(df, _after=(op == "strafter"), _sep=sep):

@@ -522,6 +522,15 @@ class _Parser:
             return "?" + t.val
         if t.kind in ("STRING", "NUMBER"):
             self.next()
+            if (
+                t.kind == "STRING"
+                and isinstance(t.val, str)
+                and t.val.startswith("?")
+            ):
+                # a plain "?…" string in the programmatic expression AST
+                # means a VARIABLE — wrap the constant so e.g.
+                # CONCAT(?nm, "?x") can't silently read a column
+                return ("str-const", t.val)
             return t.val
         if t.kind == "PUNCT" and t.val == "(":
             self.next()
@@ -645,6 +654,22 @@ class _Parser:
             self.expect("PUNCT", "(")
             var = self.expect("VAR").val
             self.expect("PUNCT", ",")
+            if self.peek().kind == "VAR":
+                # §17.4.3 with a VARIABLE second argument, e.g.
+                # CONTAINS(?text, ?name) — row-pairwise in the binding
+                # filter. REGEX stays constant-pattern (a per-row
+                # pattern would compile a regex per row — loud).
+                other = self.next().val
+                if fn == "regex":
+                    raise ValueError(
+                        "REGEX with a variable pattern is unsupported"
+                        " (per-row regex compile); use CONTAINS/"
+                        "STRSTARTS/STRENDS for variable arguments"
+                    )
+                self.expect("PUNCT", ")")
+                return (
+                    "?" + var, self._STR_FILTER_FNS[fn], ("var", other)
+                )
             pat = self.expect("STRING").val
             if fn == "regex" and self.at_punct(","):
                 # §17.4.3.14 REGEX flags argument (XPath fn:matches):

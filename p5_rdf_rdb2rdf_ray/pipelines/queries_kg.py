@@ -1717,6 +1717,35 @@ ORDER BY nm
 """
 
 
+def q_sparql_contains_var(sf_dir: str) -> rd.Dataset:
+    """§17.4.3 string test with a VARIABLE second argument —
+    CONTAINS(?text, ?lang) row-pairwise over two binding columns of the
+    documents DM graph (the constant-argument form uses the Arrow
+    kernel; the variable form zips inside the batch). Picks the docs
+    whose body happens to mention their own language code."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?d ?lg WHERE {{
+          ?doc <{BASE}documents#text> ?t ;
+               <{BASE}documents#lang> ?lg ;
+               <{BASE}documents#doc_id> ?d .
+          FILTER(CONTAINS(?t, ?lg))
+        }} ORDER BY ?d
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_CONTAINS_VAR = """
+SELECT CAST(doc_id AS VARCHAR) AS d, lang AS lg FROM documents
+WHERE contains(text, lang)
+ORDER BY d
+"""
+
+
 def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
     """Implicit single-group aggregation (SPARQL §18.3: aggregates with
     NO GROUP BY aggregate over ALL solutions): one combiner-first pass

@@ -621,6 +621,44 @@ def test_filter_string_functions(store, ray_session):
     assert [r["s"] for r in got] == [N + "a"]
 
 
+def test_string_tests_variable_args(store, ray_session):
+    """§17.4.3 string tests with a VARIABLE second argument: row-pairwise
+    over two binding columns, unbound either side is a type error, and
+    a "?…" STRING constant is a constant (never a variable read)."""
+    def names(q):
+        return sorted(r["nm"] for r in sparql(store, q).take_all())
+
+    base = f"SELECT ?nm WHERE {{ ?s <{N}name> ?nm . %s }}"
+    # every name starts with its own 3-char prefix…
+    assert names(
+        base % 'BIND(SUBSTR(?nm, 1, 3) AS ?pre) FILTER(STRSTARTS(?nm, ?pre))'
+    ) == ["alpha", "beta", "gamma"]
+    # …and no lowercase name contains its uppercased self
+    assert names(
+        base % 'BIND(UCASE(?nm) AS ?up) FILTER(CONTAINS(?nm, ?up))'
+    ) == []
+    # unbound OPTIONAL side is a type error — only bound-tag rows pass
+    assert names(
+        base % f'OPTIONAL {{ ?s <{N}tag> ?t }} FILTER(STRSTARTS(?t, ?t))'
+    ) == ["alpha", "beta"]
+    # a string CONSTANT starting with "?" stays a constant in BIND
+    got = sparql(
+        store,
+        f"""SELECT ?x WHERE {{
+          ?s <{N}name> ?nm . BIND(CONCAT(?nm, "?x") AS ?x)
+        }} ORDER BY ?x""",
+    ).take_all()
+    assert [r["x"] for r in got] == ["alpha?x", "beta?x", "gamma?x"]
+    # variable separators / patterns fail loud, never silently mis-read
+    with pytest.raises(ValueError, match="constant separator"):
+        sparql(
+            store,
+            base % f'?s <{N}tag> ?t BIND(STRBEFORE(?nm, ?t) AS ?b)',
+        ).take_all()
+    with pytest.raises(ValueError, match="variable pattern"):
+        sparql(store, base % "FILTER(REGEX(?nm, ?nm))")
+
+
 def test_regex_flags(store, ray_session):
     """§17.4.3.14 REGEX flags: "i" is case-insensitive (the flagless
     form of the same pattern proves the default is sensitive), "s" lets
