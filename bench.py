@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "sparql_load_store",
     "sparql_regex_flags",
     "sparql_contains_var",
+    "sparql_agg_expr",
 ]
 
 

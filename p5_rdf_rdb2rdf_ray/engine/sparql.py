@@ -1262,8 +1262,11 @@ class _Parser:
         return (alias, op, val)
 
     def aggregate_call(self) -> tuple:
-        """→ (fn, var-or-"*", extra) with fn in count/sum/min/max/avg/
-        group_concat."""
+        """→ (fn, var-or-"*"-or-("expr", ast), extra) with fn in
+        count/sum/min/max/avg/group_concat. An EXPRESSION argument
+        (§18.2.4, e.g. ``SUM(?k * 2)``) comes back as ``("expr", ast)``
+        — the SELECT parser desugars it to a hidden BIND so the
+        aggregate machinery only ever sees plain binding columns."""
         fn = self.expect("KW").val
         self.expect("PUNCT", "(")
         if self.at_kw("distinct"):
@@ -1285,7 +1288,11 @@ class _Parser:
             self.next()
             var = "*"
         else:
-            var = self.expect("VAR").val
+            e = self.expr()
+            if isinstance(e, str) and e.startswith("?"):
+                var = e[1:]
+            else:
+                var = ("expr", e)
         if fn == "group_concat" and self.at_punct(";"):
             self.next()
             self.expect("KW", "separator")
@@ -1360,6 +1367,13 @@ class _Parser:
                         self.expect("KW", "as")
                         alias = self.expect("VAR").val
                         self.expect("PUNCT", ")")
+                        if isinstance(var, tuple) and var[0] == "expr":
+                            # aggregate over an EXPRESSION: desugar to a
+                            # hidden BIND evaluated over the solution
+                            # set, then aggregate the bound column
+                            hidden = f"_aggexpr{len(pending_binds)}"
+                            pending_binds.append(("?" + hidden, var[1]))
+                            var = hidden
                         q.aggregates[alias] = (fn, var, extra)
                         q.project.append(alias)
                     else:

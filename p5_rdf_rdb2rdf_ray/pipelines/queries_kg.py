@@ -1746,6 +1746,32 @@ ORDER BY d
 """
 
 
+def q_sparql_agg_expr(sf_dir: str) -> rd.Dataset:
+    """Aggregate over an EXPRESSION (§18.2.4): ``SUM(?k * 2)`` desugars
+    in the parser to a hidden BIND evaluated over the solution set, so
+    the grouped-aggregation machinery only ever sees plain binding
+    columns — zero new shuffle shapes."""
+    from ..engine.sparql import sparql
+
+    return sparql(
+        catalog_for(sf_dir),
+        f"""
+        SELECT ?r (SUM(?k * 2) AS ?s) WHERE {{
+          ?n <{BASE}nation#n_nationkey> ?k ;
+             <{BASE}nation#ref-n_regionkey> ?r .
+        }} GROUP BY ?r ORDER BY ?r
+        """,
+        base=BASE,
+    )
+
+
+SQL_SPARQL_AGG_EXPR = f"""
+SELECT '{BASE}region/r_regionkey=' || n_regionkey AS r,
+       CAST(sum(n_nationkey * 2) AS DOUBLE) AS s
+FROM nation GROUP BY 1 ORDER BY r
+"""
+
+
 def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
     """Implicit single-group aggregation (SPARQL §18.3: aggregates with
     NO GROUP BY aggregate over ALL solutions): one combiner-first pass

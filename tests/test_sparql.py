@@ -286,6 +286,39 @@ def test_group_by_count_sum_having(store):
     assert [(r["v"], r["t"]) for r in got] == [("3", 3.0), ("7", 14.0)]
 
 
+def test_aggregate_over_expression(store, ray_session):
+    """§18.2.4 aggregates over expressions: SUM(?v * 2) / AVG(?v + 1) /
+    COUNT(DISTINCT SUBSTR(?nm, 1, 1)) desugar to a hidden BIND, so
+    values match the plain-variable aggregates' machinery exactly."""
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT (SUM(?v * 2) AS ?s) (AVG(?v * 3) AS ?a)
+            WHERE {{ ?x <{N}score> ?v }}""",
+        )
+    )
+    # scores 3, 7, 7 → sum of doubles 34; avg of triples 17.0
+    assert [(r["s"], r["a"]) for r in got] == [(34.0, 17.0)]
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT (COUNT(DISTINCT SUBSTR(?nm, 1, 1)) AS ?c)
+            WHERE {{ ?x <{N}name> ?nm }}""",
+        )
+    )
+    assert [r["c"] for r in got] == [3]  # a / b / g
+    # grouped form: per score value, sum of doubled scores
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?v (SUM(?v * 10) AS ?t) WHERE {{
+              ?s <{N}score> ?v
+            }} GROUP BY ?v ORDER BY ?v""",
+        )
+    )
+    assert [(r["v"], r["t"]) for r in got] == [("3", 30.0), ("7", 140.0)]
+
+
 def test_implicit_single_group(store, ray_session):
     """Aggregates WITHOUT GROUP BY aggregate over all solutions
     (SPARQL §18.3), including the §18.5 empty-group identity row."""
