@@ -1189,8 +1189,27 @@ class _Parser:
     def solution_modifiers(self, q: ParsedQuery):
         if self.eat_kw("group"):
             self.expect("KW", "by")
-            while self.peek().kind == "VAR":
-                q.group_by.append(self.next().val)
+            while True:
+                if self.peek().kind == "VAR":
+                    q.group_by.append(self.next().val)
+                elif self.at_punct("("):
+                    # GROUP BY (expr AS ?v) — §18.2.4: the key
+                    # expression desugars to a BIND over the solution
+                    # set; the alias is then a plain grouping column
+                    self.next()
+                    expr = self.expr()
+                    self.expect("KW", "as")
+                    v = self.expect("VAR").val
+                    self.expect("PUNCT", ")")
+                    if q.union_groups is not None:
+                        raise ValueError(
+                            "GROUP BY expressions need a single WHERE "
+                            "group (no top-level UNION)"
+                        )
+                    q.where.bind.append(("?" + v, expr))
+                    q.group_by.append(v)
+                else:
+                    break
             if not q.group_by:
                 raise ValueError("GROUP BY needs at least one variable")
         if self.eat_kw("having"):

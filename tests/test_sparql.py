@@ -317,6 +317,17 @@ def test_aggregate_over_expression(store, ray_session):
         )
     )
     assert [(r["v"], r["t"]) for r in got] == [("3", 30.0), ("7", 140.0)]
+    # GROUP BY over an expression: key desugars to a BIND the same way
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?g (COUNT(*) AS ?c) WHERE {{
+              ?s <{N}name> ?nm
+            }} GROUP BY (STRLEN(?nm) AS ?g) ORDER BY ?g""",
+        )
+    )
+    # alpha(5) beta(4) gamma(5)
+    assert [(r["g"], r["c"]) for r in got] == [("4", 1), ("5", 2)]
 
 
 def test_implicit_single_group(store, ray_session):
