@@ -253,6 +253,7 @@ class ParsedQuery:
     distinct: bool = False
     project: list[str] | None = None  # None = *
     aggregates: dict | None = None  # alias -> ("count*"|fn, var, extra)
+    agg_exprs: dict = field(default_factory=dict)  # hidden var -> expr AST
     group_by: list[str] = field(default_factory=list)
     having: list = field(default_factory=list)  # (alias, op, number)
     where: WhereClause | None = None
@@ -1260,7 +1261,16 @@ class _Parser:
             fn, var, _extra = self.aggregate_call()
             alias = None
             for a, (afn, avar, _x) in (q.aggregates or {}).items():
-                if afn == fn and avar == var:
+                if afn != fn:
+                    continue
+                if avar == var or (
+                    # expression aggregate: the SELECT stores a hidden
+                    # BIND var — match the HAVING call's AST against
+                    # the recorded expression structurally
+                    isinstance(var, tuple)
+                    and var[0] == "expr"
+                    and q.agg_exprs.get(avar) == var[1]
+                ):
                     alias = a
                     break
             if alias is None:
@@ -1392,6 +1402,7 @@ class _Parser:
                             # set, then aggregate the bound column
                             hidden = f"_aggexpr{len(pending_binds)}"
                             pending_binds.append(("?" + hidden, var[1]))
+                            q.agg_exprs[hidden] = var[1]
                             var = hidden
                         q.aggregates[alias] = (fn, var, extra)
                         q.project.append(alias)

@@ -328,6 +328,25 @@ def test_aggregate_over_expression(store, ray_session):
     )
     # alpha(5) beta(4) gamma(5)
     assert [(r["g"], r["c"]) for r in got] == [("4", 1), ("5", 2)]
+    # HAVING repeats the SELECT's expression aggregate — matched
+    # structurally against the recorded AST; a different expression
+    # stays loud
+    got = _rows(
+        sparql(
+            store,
+            f"""SELECT ?v (SUM(?v * 10) AS ?t) WHERE {{
+              ?s <{N}score> ?v
+            }} GROUP BY ?v HAVING(SUM(?v * 10) > 100) ORDER BY ?v""",
+        )
+    )
+    assert [(r["v"], r["t"]) for r in got] == [("7", 140.0)]
+    with pytest.raises(ValueError, match="HAVING aggregate"):
+        sparql(
+            store,
+            f"""SELECT ?v (SUM(?v * 10) AS ?t) WHERE {{
+              ?s <{N}score> ?v
+            }} GROUP BY ?v HAVING(SUM(?v * 11) > 100)""",
+        )
 
 
 def test_implicit_single_group(store, ray_session):
